@@ -1,0 +1,236 @@
+"""Public FlashAttention-2 API: padding, dispatch, and autodiff wiring.
+
+This is the TPU analog of the reference's dispatch + launch surface
+(/root/reference/include/dispatcher.h:220-246 RunFlashAttention and the host
+launchers in kernels/*.cu): runtime shapes are normalized (zero-padded to the
+128-lane block grid — replacing the reference's per-element bound checks),
+block sizes are fitted to the padded shapes, and forward/backward are wired
+through `jax.custom_vjp` with the (O, logsumexp) residual contract
+(SURVEY.md §3.4: kernel-produced logsumexp feeds the kernel backward).
+
+Ragged sequence lengths (the reference's Edge-NonPowerOf2 S=100 and
+Edge-SmallSeq S=32 configs, test_flash_attention2.py:1395-1409) are supported
+for any S >= 1.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from cuda_flash_attention_tpu.kernels.common import (
+    MIN_BLOCK,
+    NUM_LANES,
+    BlockSizes,
+    pad_to_block,
+    round_up,
+)
+from cuda_flash_attention_tpu.kernels.fa2_backward import (
+    fa2_backward_dkv_aligned,
+    fa2_backward_dq_aligned,
+)
+from cuda_flash_attention_tpu.kernels.fa2_forward import fa2_forward_aligned
+
+__all__ = [
+    "BlockSizes",
+    "flash_attention",
+    "flash_attention_with_lse",
+    "fa2_backward",
+]
+
+
+def _fit_block(requested: int, padded_len: int) -> int:
+    """Largest multiple of MIN_BLOCK that divides padded_len and is <= requested."""
+    best = MIN_BLOCK
+    b = MIN_BLOCK
+    while b <= min(requested, padded_len):
+        if padded_len % b == 0:
+            best = b
+        b += MIN_BLOCK
+    return best
+
+
+def _normalize(q, k, v, sm_scale, block_sizes):
+    if q.ndim != 4 or k.ndim != 4 or v.ndim != 4:
+        raise ValueError(
+            f"q/k/v must be [batch, heads, seq, head_dim]; got {q.shape}, "
+            f"{k.shape}, {v.shape}"
+        )
+    if k.shape != v.shape:
+        raise ValueError(f"k/v shape mismatch: {k.shape} vs {v.shape}")
+    if q.shape[0] != k.shape[0] or q.shape[1] != k.shape[1] or q.shape[3] != k.shape[3]:
+        raise ValueError(
+            f"q and k must agree on batch/heads/head_dim: {q.shape} vs {k.shape}"
+            " (for grouped-query attention use models.gqa_flash_attention)"
+        )
+    if sm_scale is None:
+        sm_scale = 1.0 / (q.shape[-1] ** 0.5)
+    if block_sizes is None:
+        block_sizes = BlockSizes.default()
+    q_len, kv_len = q.shape[2], k.shape[2]
+    q_pad = pad_to_block(q, 2, MIN_BLOCK)
+    k_pad = pad_to_block(k, 2, MIN_BLOCK)
+    v_pad = pad_to_block(v, 2, MIN_BLOCK)
+    return q_pad, k_pad, v_pad, float(sm_scale), block_sizes, q_len, kv_len
+
+
+def _replicate_lanes(x):
+    """[B, H, S] -> lane-replicated [B, H, S, NUM_LANES] fp32."""
+    return jnp.broadcast_to(
+        x.astype(jnp.float32)[..., None], (*x.shape, NUM_LANES)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Differentiable core (block-aligned shapes).
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _fa2(q, k, v, kv_len, causal, sm_scale, block_sizes, tile_dtype):
+    o, _ = _fa2_fwd_impl(q, k, v, kv_len, causal, sm_scale, block_sizes, tile_dtype)
+    return o
+
+
+def _fa2_fwd_impl(q, k, v, kv_len, causal, sm_scale, block_sizes, tile_dtype):
+    block_q = _fit_block(block_sizes.block_q, q.shape[2])
+    block_k = _fit_block(block_sizes.block_k, k.shape[2])
+    return fa2_forward_aligned(
+        q, k, v,
+        causal=causal, sm_scale=sm_scale,
+        block_q=block_q, block_k=block_k,
+        kv_len=kv_len, tile_dtype=tile_dtype,
+    )
+
+
+def _fa2_fwd(q, k, v, kv_len, causal, sm_scale, block_sizes, tile_dtype):
+    o, lse_rep = _fa2_fwd_impl(
+        q, k, v, kv_len, causal, sm_scale, block_sizes, tile_dtype
+    )
+    return o, (q, k, v, o, lse_rep)
+
+
+def _fa2_bwd(kv_len, causal, sm_scale, block_sizes, tile_dtype, residuals, do):
+    q, k, v, o, lse_rep = residuals
+    # D_i = rowsum(dO * O): the reference runs a separate reduction kernel
+    # (f-attn2-backward.cu:342-380); on TPU this is a single fused XLA
+    # elementwise-multiply + lane reduction — no custom kernel wins here.
+    di_rep = _replicate_lanes(
+        jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
+    )
+    dq = fa2_backward_dq_aligned(
+        q, k, v, do, lse_rep, di_rep,
+        causal=causal, sm_scale=sm_scale,
+        block_q=_fit_block(block_sizes.block_q_dq, q.shape[2]),
+        block_k=_fit_block(block_sizes.block_k_dq, k.shape[2]),
+        kv_len=kv_len, tile_dtype=tile_dtype,
+    )
+    dk, dv = fa2_backward_dkv_aligned(
+        q, k, v, do, lse_rep, di_rep,
+        causal=causal, sm_scale=sm_scale,
+        block_q=_fit_block(block_sizes.block_q_dkv, q.shape[2]),
+        block_k=_fit_block(block_sizes.block_k_dkv, k.shape[2]),
+        kv_len=kv_len, tile_dtype=tile_dtype,
+    )
+    return dq, dk, dv
+
+
+_fa2.defvjp(_fa2_fwd, _fa2_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Public API.
+# ---------------------------------------------------------------------------
+
+
+def flash_attention(
+    q,  # [B, H, Sq, D]
+    k,  # [B, H, Skv, D]
+    v,  # [B, H, Skv, D]
+    *,
+    causal: bool = False,
+    sm_scale: float | None = None,
+    block_sizes: BlockSizes | None = None,
+    tile_dtype=None,
+):
+    """Differentiable FlashAttention-2. Returns O with q's shape/dtype.
+
+    ``tile_dtype`` is the SHM_PRECISION analog: Q/K/V/P tiles are cast to it
+    (bf16/fp16) inside the kernel before the MXU matmuls while all softmax
+    statistics stay fp32 (reference keeps fp16 SHM tiles,
+    kernel_fa2_optimized_f16.cu:74-161).
+    """
+    q_pad, k_pad, v_pad, sm_scale, block_sizes, q_len, kv_len = _normalize(
+        q, k, v, sm_scale, block_sizes
+    )
+    o = _fa2(q_pad, k_pad, v_pad, kv_len, causal, sm_scale, block_sizes, tile_dtype)
+    return o[:, :, :q_len, :]
+
+
+def flash_attention_with_lse(
+    q, k, v,
+    *,
+    causal: bool = False,
+    sm_scale: float | None = None,
+    block_sizes: BlockSizes | None = None,
+    tile_dtype=None,
+):
+    """FA2 forward returning (O, logsumexp[B, H, Sq] fp32) — the
+    save-for-backward contract the CLI persists as logsumexp.bin
+    (/root/reference/src/main.cpp:110-113). Not differentiable; use
+    `flash_attention` for autodiff."""
+    q_pad, k_pad, v_pad, sm_scale, block_sizes, q_len, kv_len = _normalize(
+        q, k, v, sm_scale, block_sizes
+    )
+    o, lse_rep = _fa2_fwd_impl(
+        q_pad, k_pad, v_pad, kv_len, causal, sm_scale, block_sizes, tile_dtype
+    )
+    return o[:, :, :q_len, :], lse_rep[:, :, :q_len, 0]
+
+
+def fa2_backward(
+    q, k, v, o, lse, do=None,
+    *,
+    causal: bool = False,
+    sm_scale: float | None = None,
+    block_sizes: BlockSizes | None = None,
+    tile_dtype=None,
+):
+    """Standalone FA2 backward from forward artifacts (O, logsumexp) —
+    capability parity with the reference CLI backward mode, which reloads
+    O.bin/logsumexp.bin and defaults dO = 1 (src/main.cpp:66-92).
+
+    Returns (dQ, dK, dV).
+    """
+    if do is None:
+        do = jnp.ones_like(o)
+    q_pad, k_pad, v_pad, sm_scale, block_sizes, q_len, kv_len = _normalize(
+        q, k, v, sm_scale, block_sizes
+    )
+    o_pad = pad_to_block(o, 2, MIN_BLOCK)
+    do_pad = pad_to_block(do, 2, MIN_BLOCK)
+    lse_rep = _replicate_lanes(pad_to_block(lse, 2, MIN_BLOCK))
+    di_rep = _replicate_lanes(
+        jnp.sum(o_pad.astype(jnp.float32) * do_pad.astype(jnp.float32), axis=-1)
+    )
+    dq = fa2_backward_dq_aligned(
+        q_pad, k_pad, v_pad, do_pad, lse_rep, di_rep,
+        causal=causal, sm_scale=sm_scale,
+        block_q=_fit_block(block_sizes.block_q_dq, q_pad.shape[2]),
+        block_k=_fit_block(block_sizes.block_k_dq, k_pad.shape[2]),
+        kv_len=kv_len, tile_dtype=tile_dtype,
+    )
+    dk, dv = fa2_backward_dkv_aligned(
+        q_pad, k_pad, v_pad, do_pad, lse_rep, di_rep,
+        causal=causal, sm_scale=sm_scale,
+        block_q=_fit_block(block_sizes.block_q_dkv, q_pad.shape[2]),
+        block_k=_fit_block(block_sizes.block_k_dkv, k_pad.shape[2]),
+        kv_len=kv_len, tile_dtype=tile_dtype,
+    )
+    return (
+        dq[:, :, :q_len, :],
+        dk[:, :, :kv_len, :],
+        dv[:, :, :kv_len, :],
+    )

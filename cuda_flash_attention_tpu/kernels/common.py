@@ -1,0 +1,145 @@
+"""Shared kernel-layer utilities: block-size config, padding, masking.
+
+TPU-first redesign of the reference's compile-time tile constants
+(BM=BN=32, TM=TN=4, BK=4 at /root/reference/kernels/kernel_fa2_optimized.cu:388-399):
+on TPU the natural tile quantum is the (8, 128) register tile and the 128x128
+MXU, so all sequence blocks are multiples of 128 and ragged sequence lengths
+(reference: per-element bound checks + -FLT_MAX padding,
+kernel_fa2_optimized.cu:169-190) are handled by zero-padding to the block grid
+and masking inside the kernel.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+NUM_LANES = 128
+NUM_SUBLANES = 8
+MIN_BLOCK = 128
+# -inf would produce NaN via exp(-inf - (-inf)) on fully-masked rows; a large
+# finite negative keeps the online softmax NaN-free (same reasoning as the
+# reference's -FLT_MAX row padding, kernel_fa2_optimized.cu:183-184).
+DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+TRANS_B_DIMS = (((1,), (1,)), ((), ()))  # x @ y.T
+
+
+def cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def round_up(x: int, m: int) -> int:
+    return cdiv(x, m) * m
+
+
+@dataclasses.dataclass(frozen=True)
+class BlockSizes:
+    """Tile-size configuration for the FA2 kernel family.
+
+    The analog of the reference dispatcher's compile-time tile template
+    parameters (/root/reference/include/dispatcher.h:15-105), but in units of
+    TPU blocks (multiples of 128 along sequence dims).
+    """
+
+    block_q: int = 256
+    block_k: int = 512
+    block_q_dkv: int = 128
+    block_k_dkv: int = 256
+    block_q_dq: int = 256
+    block_k_dq: int = 256
+
+    def __post_init__(self):
+        for f in dataclasses.fields(self):
+            v = getattr(self, f.name)
+            if v % MIN_BLOCK != 0:
+                raise ValueError(f"{f.name}={v} must be a multiple of {MIN_BLOCK}")
+
+    @classmethod
+    def default(cls) -> "BlockSizes":
+        return cls()
+
+
+def below_or_on_diag(q_idx, block_q: int, kv_idx, block_k: int):
+    """True if the (q_idx, kv_idx) tile intersects or is below the diagonal —
+    the causal tile-skip predicate."""
+    return ((q_idx + 1) * block_q - 1) >= (kv_idx * block_k)
+
+
+def pad_to_block(x: jax.Array, axis: int, block: int):
+    """Zero-pad `axis` of x up to a multiple of `block`."""
+    size = x.shape[axis]
+    padded = round_up(size, block)
+    if padded == size:
+        return x
+    pads = [(0, 0)] * x.ndim
+    pads[axis] = (0, padded - size)
+    return jnp.pad(x, pads)
+
+
+@functools.lru_cache(maxsize=None)
+def _interpret_default() -> bool:
+    """Pallas TPU kernels run in interpreter mode on non-TPU backends so the
+    whole suite is testable on the virtual CPU mesh."""
+    return jax.default_backend() != "tpu"
+
+
+def resolve_interpret(interpret) -> bool:
+    if interpret is None:
+        return _interpret_default()
+    return bool(interpret)
+
+
+def _fp16_storage_round(x):
+    """Round-to-nearest-even to a 10-bit mantissa in fp32 — bitwise identical
+    to an f32->f16->f32 round-trip for normal-range values.
+
+    Mosaic on v5e cannot legalize in-kernel f32<->f16 vector converts
+    (tpu.pack_subelements), so the fp16 *storage* precision is emulated with
+    integer ops on the VPU. Exponent clamping/subnormal flush is not modeled
+    (attention tiles never reach ±65504)."""
+    bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    lsb = (bits >> 13) & jnp.uint32(1)
+    bits = bits + jnp.uint32(0xFFF) + lsb
+    bits = bits & jnp.uint32(0xFFFFE000)
+    return jax.lax.bitcast_convert_type(bits, jnp.float32)
+
+
+def tile_cast(x, tile_dtype):
+    """Cast a VMEM tile to the reduced `tile_dtype` for the MXU.
+
+    bf16 is the MXU-native reduced precision and stays bf16. fp16 has no MXU
+    matmul on TPU, so — exactly like the reference's fp16-SHM kernel, which
+    stores __half tiles but converts to float before the FMAs
+    (kernel_fa2_optimized_f16.cu:152-161) — fp16 is a storage-precision
+    truncation: values are rounded to fp16 mantissa width, compute stays fp32.
+    """
+    if tile_dtype is None:
+        return x
+    if tile_dtype == jnp.float16:
+        return _fp16_storage_round(x.astype(jnp.float32))
+    return x.astype(tile_dtype)
+
+
+def matmul_precision(operand_dtype):
+    """Full-precision MXU passes only for fp32 operands (reference
+    fp32-CUDA-core parity, <1e-6 error); reduced-precision operands (bf16)
+    use the native fast path — Mosaic rejects HIGHEST on non-f32 inputs."""
+    import jax.lax as lax
+
+    return lax.Precision.HIGHEST if operand_dtype == jnp.float32 else None
+
+
+def lanes_broadcast(vec, width: int):
+    """Broadcast a [rows, NUM_LANES] stat tile to [rows, width]."""
+    if width == NUM_LANES:
+        return vec
+    if width < NUM_LANES:
+        return vec[:, :width]
+    reps, rem = divmod(width, NUM_LANES)
+    if rem:
+        raise NotImplementedError(f"{width=} must divide into {NUM_LANES} lanes")
+    return jnp.tile(vec, (1, reps))

@@ -1,0 +1,343 @@
+"""Pallas FlashAttention-2 backward kernels.
+
+TPU-native redesign of the reference CUDA FA2 backward
+(/root/reference/kernels/f-attn2-backward.cu:34-339 and its fp16-SHM twin):
+the reference grids over KV tiles and accumulates dQ across blocks with a
+global atomicAdd (f-attn2-backward.cu:269-300).  Pallas has no cross-block
+atomics — and atomics would make gradients non-deterministic — so the TPU
+design splits the pass into TWO kernels, each owning its output tile
+exclusively (SURVEY.md §7 "hard parts"):
+
+  * dKV kernel: grid (B, H, KV-blocks, Q-blocks), Q innermost; accumulates
+    dK, dV in VMEM scratch and writes them once at the last Q block
+    (replaces the reference's in-SHM dK accumulation, :303-338).
+  * dQ kernel: grid (B, H, Q-blocks, KV-blocks), KV innermost; accumulates
+    dQ in VMEM scratch (replaces the atomicAdd).
+
+Both recompute P = exp(QK^T * scale - lse) from the saved logsumexp exactly
+as the reference does (:151-183), and consume the precomputed
+D_i = rowsum(dO * O) (reference D_computation_reduction_kernel, :342-380;
+here a fused XLA reduction — see attention.py).
+
+Gradient algebra (identical to the reference, :219-323):
+  dV = P^T dO
+  dP = dO V^T
+  dS = P * (dP - D) * sm_scale
+  dQ = dS K       dK = dS^T Q
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cuda_flash_attention_tpu.kernels.common import (
+    DEFAULT_MASK_VALUE,
+    NUM_LANES,
+    TRANS_B_DIMS,
+    below_or_on_diag,
+    lanes_broadcast,
+    matmul_precision,
+    resolve_interpret,
+    tile_cast,
+)
+
+# Contract dim 0 of both operands: A^T @ B without materializing a transpose.
+_TRANS_A_DIMS = (((0,), (0,)), ((), ()))
+
+
+def _compute_p_ds(q, k, v, do, lse, di, *, sm_scale, mask, mask_value, tile_dtype):
+    """Shared recompute: P from logsumexp, then dS. Returns (p, ds) in fp32."""
+    q = tile_cast(q, tile_dtype)
+    k = tile_cast(k, tile_dtype)
+    precision = matmul_precision(q.dtype)
+    s = lax.dot_general(
+        q, k, TRANS_B_DIMS, preferred_element_type=jnp.float32, precision=precision
+    )
+    if sm_scale != 1.0:
+        s *= sm_scale
+    if mask is not None:
+        s += jnp.where(mask, 0.0, mask_value)
+    block_k = s.shape[1]
+    # P = exp(S - lse): rows already normalized because lse = log(l) + m.
+    p = jnp.exp(s - lanes_broadcast(lse, block_k))
+    do_c = tile_cast(do, tile_dtype)
+    dp = lax.dot_general(
+        do_c, tile_cast(v, tile_dtype), TRANS_B_DIMS,
+        preferred_element_type=jnp.float32,
+        precision=matmul_precision(do_c.dtype),
+    )
+    ds = p * (dp - lanes_broadcast(di, block_k))
+    if sm_scale != 1.0:
+        ds *= sm_scale
+    return p, ds
+
+
+def _build_mask(q_idx, kv_idx, block_q, block_k, *, causal, mask_kv_tail, kv_len):
+    mask = None
+    if mask_kv_tail:
+        col_ids = lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+        mask = (kv_idx * block_k + col_ids) < kv_len
+    if causal:
+        row_ids = (
+            lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0) + q_idx * block_q
+        )
+        col_ids = (
+            lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + kv_idx * block_k
+        )
+        causal_mask = col_ids <= row_ids
+        mask = causal_mask if mask is None else jnp.logical_and(mask, causal_mask)
+    return mask
+
+
+def _fa2_bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
+    dk_ref, dv_ref,
+    dk_scr, dv_scr,
+    *,
+    sm_scale, causal, mask_value, kv_len,
+    block_q, block_k, num_q_blocks, tile_dtype, mask_kv_tail,
+):
+    kv_idx = pl.program_id(2)
+    q_idx = pl.program_id(3)
+
+    @pl.when(q_idx == 0)
+    def _init():
+        dk_scr[...] = jnp.zeros(dk_scr.shape, jnp.float32)
+        dv_scr[...] = jnp.zeros(dv_scr.shape, jnp.float32)
+
+    if causal:
+        should_run = below_or_on_diag(q_idx, block_q, kv_idx, block_k)
+    else:
+        should_run = True
+
+    @pl.when(should_run)
+    def _run():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
+        lse = lse_ref[0, 0]
+        di = di_ref[0, 0]
+        mask = _build_mask(
+            q_idx, kv_idx, block_q, block_k,
+            causal=causal, mask_kv_tail=mask_kv_tail, kv_len=kv_len,
+        )
+        p, ds = _compute_p_ds(
+            q, k, v, do, lse, di,
+            sm_scale=sm_scale, mask=mask, mask_value=mask_value,
+            tile_dtype=tile_dtype,
+        )
+        # dV += P^T dO ;  dK += dS^T Q   (contract over the Q rows)
+        do_c = tile_cast(do, tile_dtype)
+        q_c = tile_cast(q, tile_dtype)
+        p_c = tile_cast(p, tile_dtype).astype(do_c.dtype)
+        ds_c = tile_cast(ds, tile_dtype).astype(q_c.dtype)
+        precision = matmul_precision(p_c.dtype)
+        dv_scr[...] += lax.dot_general(
+            p_c, do_c, _TRANS_A_DIMS,
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        dk_scr[...] += lax.dot_general(
+            ds_c, q_c, _TRANS_A_DIMS,
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+
+    @pl.when(q_idx == num_q_blocks - 1)
+    def _store():
+        dk_ref[0, 0] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+def _fa2_bwd_dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
+    dq_ref,
+    dq_scr,
+    *,
+    sm_scale, causal, mask_value, kv_len,
+    block_q, block_k, num_kv_blocks, tile_dtype, mask_kv_tail,
+):
+    q_idx = pl.program_id(2)
+    kv_idx = pl.program_id(3)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        dq_scr[...] = jnp.zeros(dq_scr.shape, jnp.float32)
+
+    if causal:
+        should_run = below_or_on_diag(q_idx, block_q, kv_idx, block_k)
+    else:
+        should_run = True
+
+    @pl.when(should_run)
+    def _run():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
+        lse = lse_ref[0, 0]
+        di = di_ref[0, 0]
+        mask = _build_mask(
+            q_idx, kv_idx, block_q, block_k,
+            causal=causal, mask_kv_tail=mask_kv_tail, kv_len=kv_len,
+        )
+        _, ds = _compute_p_ds(
+            q, k, v, do, lse, di,
+            sm_scale=sm_scale, mask=mask, mask_value=mask_value,
+            tile_dtype=tile_dtype,
+        )
+        k_c = tile_cast(k, tile_dtype)
+        dq_scr[...] += lax.dot(
+            tile_cast(ds, tile_dtype).astype(k_c.dtype), k_c,
+            preferred_element_type=jnp.float32,
+            precision=matmul_precision(k_c.dtype),
+        )
+
+    @pl.when(kv_idx == num_kv_blocks - 1)
+    def _store():
+        dq_ref[0, 0] = dq_scr[...].astype(dq_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "causal", "sm_scale", "block_q", "block_k", "kv_len",
+        "tile_dtype", "interpret", "debug",
+    ),
+)
+def fa2_backward_dkv_aligned(
+    q, k, v, do, lse_rep, di_rep,
+    *,
+    causal: bool,
+    sm_scale: float,
+    block_q: int,
+    block_k: int,
+    kv_len: int,
+    tile_dtype=None,
+    interpret=None,
+    debug: bool = False,
+):
+    """dK, dV. lse_rep/di_rep are lane-replicated [B, H, Sq_pad, NUM_LANES]."""
+    batch, heads, q_len, head_dim = q.shape
+    kv_len_pad = k.shape[2]
+    num_q_blocks = q_len // block_q
+    grid = (batch, heads, kv_len_pad // block_k, num_q_blocks)
+
+    def qo_index_map(b, h, ki, qi):
+        if causal:
+            # Above-diagonal Q blocks are skipped; prefetch Q block 0 instead.
+            qi = lax.select(below_or_on_diag(qi, block_q, ki, block_k), qi, 0)
+        return (b, h, qi, 0)
+
+    def kv_index_map(b, h, ki, qi):
+        return (b, h, ki, 0)
+
+    kernel = functools.partial(
+        _fa2_bwd_dkv_kernel,
+        sm_scale=sm_scale,
+        causal=causal,
+        mask_value=DEFAULT_MASK_VALUE,
+        kv_len=kv_len,
+        block_q=block_q,
+        block_k=block_k,
+        num_q_blocks=num_q_blocks,
+        tile_dtype=tile_dtype,
+        mask_kv_tail=(kv_len != kv_len_pad),
+    )
+    qo_spec = pl.BlockSpec((1, 1, block_q, head_dim), qo_index_map)
+    kv_spec = pl.BlockSpec((1, 1, block_k, head_dim), kv_index_map)
+    stat_spec = pl.BlockSpec((1, 1, block_q, NUM_LANES), qo_index_map)
+    dk, dv = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[qo_spec, kv_spec, kv_spec, qo_spec, stat_spec, stat_spec],
+        out_specs=(
+            pl.BlockSpec((1, 1, block_k, head_dim), kv_index_map),
+            pl.BlockSpec((1, 1, block_k, head_dim), kv_index_map),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_k, head_dim), jnp.float32),
+            pltpu.VMEM((block_k, head_dim), jnp.float32),
+        ],
+        out_shape=(
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=resolve_interpret(interpret),
+        debug=debug,
+    )(q, k, v, do, lse_rep, di_rep)
+    return dk, dv
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "causal", "sm_scale", "block_q", "block_k", "kv_len",
+        "tile_dtype", "interpret", "debug",
+    ),
+)
+def fa2_backward_dq_aligned(
+    q, k, v, do, lse_rep, di_rep,
+    *,
+    causal: bool,
+    sm_scale: float,
+    block_q: int,
+    block_k: int,
+    kv_len: int,
+    tile_dtype=None,
+    interpret=None,
+    debug: bool = False,
+):
+    """dQ — grid over Q blocks, replacing the reference's cross-block
+    atomicAdd (f-attn2-backward.cu:269-300) with exclusive per-block
+    accumulation; gradients are bitwise deterministic."""
+    batch, heads, q_len, head_dim = q.shape
+    kv_len_pad = k.shape[2]
+    num_kv_blocks = kv_len_pad // block_k
+    grid = (batch, heads, q_len // block_q, num_kv_blocks)
+
+    def qo_index_map(b, h, qi, ki):
+        return (b, h, qi, 0)
+
+    def kv_index_map(b, h, qi, ki):
+        if causal:
+            ki = lax.select(below_or_on_diag(qi, block_q, ki, block_k), ki, 0)
+        return (b, h, ki, 0)
+
+    kernel = functools.partial(
+        _fa2_bwd_dq_kernel,
+        sm_scale=sm_scale,
+        causal=causal,
+        mask_value=DEFAULT_MASK_VALUE,
+        kv_len=kv_len,
+        block_q=block_q,
+        block_k=block_k,
+        num_kv_blocks=num_kv_blocks,
+        tile_dtype=tile_dtype,
+        mask_kv_tail=(kv_len != kv_len_pad),
+    )
+    qo_spec = pl.BlockSpec((1, 1, block_q, head_dim), qo_index_map)
+    kv_spec = pl.BlockSpec((1, 1, block_k, head_dim), kv_index_map)
+    stat_spec = pl.BlockSpec((1, 1, block_q, NUM_LANES), qo_index_map)
+    dq = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[qo_spec, kv_spec, kv_spec, qo_spec, stat_spec, stat_spec],
+        out_specs=pl.BlockSpec((1, 1, block_q, head_dim), qo_index_map),
+        scratch_shapes=[pltpu.VMEM((block_q, head_dim), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=resolve_interpret(interpret),
+        debug=debug,
+    )(q, k, v, do, lse_rep, di_rep)
+    return dq

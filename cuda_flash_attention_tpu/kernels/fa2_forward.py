@@ -1,0 +1,238 @@
+"""Pallas FlashAttention-2 forward kernel.
+
+TPU-native redesign of the reference CUDA FA2 forward
+(/root/reference/kernels/kernel_fa2_optimized.cu:20-347 fp32 and
+kernel_fa2_optimized_f16.cu:21-350 fp16-in-SHM):
+
+  CUDA reference                      TPU design (this file)
+  ---------------------------------   -----------------------------------------
+  grid: (batch*heads*Q-tiles) blocks  grid: (B, H, Q-blocks, KV-blocks); KV is
+  with an in-kernel KV loop           the innermost "arbitrary" dim so Pallas
+                                      pipelines HBM->VMEM K/V block DMAs
+                                      (double-buffered) behind the MXU
+  SHM tiles + register tiling 4x4     VMEM blocks; QK^T and PV are single MXU
+  per thread                          `lax.dot_general` calls per tile
+  warp-shuffle max/sum reductions     VPU lane reductions (jnp.max/sum axis=1)
+  fp16-in-SHM variant                 `tile_dtype` parameter: blocks cast to
+                                      bf16/fp16 before the matmuls, softmax
+                                      stats always fp32 (SURVEY.md §7)
+  -FLT_MAX tail padding               zero-pad to block grid + in-kernel mask
+  logsumexp = log(l) + m              identical contract
+                                      (kernel_fa2_optimized.cu:339-344)
+
+The kernel keeps the FA2 deferred-normalization form: the accumulator is
+rescaled only by alpha = exp(m_prev - m_next) per tile and divided by l once
+at the final KV block (one VPU divide per output element instead of two
+multiplies per tile).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cuda_flash_attention_tpu.kernels.common import (
+    DEFAULT_MASK_VALUE,
+    NUM_LANES,
+    TRANS_B_DIMS,
+    below_or_on_diag,
+    lanes_broadcast,
+    matmul_precision,
+    resolve_interpret,
+    tile_cast,
+)
+
+
+def _fa2_fwd_kernel(
+    q_ref,  # [1, 1, block_q, D]
+    k_ref,  # [1, 1, block_k, D]
+    v_ref,  # [1, 1, block_k, D]
+    o_ref,  # [1, 1, block_q, D]
+    lse_ref,  # [1, 1, block_q, NUM_LANES] (lane-replicated)
+    m_scr,  # [block_q, NUM_LANES] f32
+    l_scr,  # [block_q, NUM_LANES] f32
+    acc_scr,  # [block_q, D] f32
+    *,
+    sm_scale: float,
+    causal: bool,
+    mask_value: float,
+    kv_len: int,
+    block_q: int,
+    block_k: int,
+    num_kv_blocks: int,
+    tile_dtype,
+    mask_kv_tail: bool,
+):
+    q_idx = pl.program_id(2)
+    kv_idx = pl.program_id(3)
+    head_dim = q_ref.shape[-1]
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        m_scr[...] = jnp.full(m_scr.shape, -jnp.inf, jnp.float32)
+        l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
+        acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
+
+    if causal:
+        should_run = below_or_on_diag(q_idx, block_q, kv_idx, block_k)
+    else:
+        should_run = True
+
+    @pl.when(should_run)
+    def _run():
+        q = tile_cast(q_ref[0, 0], tile_dtype)
+        k = tile_cast(k_ref[0, 0], tile_dtype)
+        precision = matmul_precision(q.dtype)
+        s = lax.dot_general(
+            q, k, TRANS_B_DIMS,
+            preferred_element_type=jnp.float32, precision=precision,
+        )  # [block_q, block_k]
+        if sm_scale != 1.0:
+            s *= sm_scale
+
+        mask = None
+        if mask_kv_tail:
+            col_ids = lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+            mask = (kv_idx * block_k + col_ids) < kv_len
+        if causal:
+            row_ids = (
+                lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+                + q_idx * block_q
+            )
+            col_ids = (
+                lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+                + kv_idx * block_k
+            )
+            causal_mask = col_ids <= row_ids
+            mask = causal_mask if mask is None else jnp.logical_and(mask, causal_mask)
+        if mask is not None:
+            s += jnp.where(mask, 0.0, mask_value)
+
+        m_prev = m_scr[...]  # [block_q, 128]
+        l_prev = l_scr[...]
+        m_curr = jnp.max(s, axis=1)[:, None]  # [block_q, 1]
+        m_next = jnp.maximum(m_prev, m_curr)  # [block_q, 128]
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - lanes_broadcast(m_next, block_k))
+        l_next = alpha * l_prev + jnp.sum(p, axis=1)[:, None]
+        m_scr[...] = m_next
+        l_scr[...] = l_next
+
+        v = tile_cast(v_ref[0, 0], tile_dtype)
+        pv = lax.dot(
+            tile_cast(p, tile_dtype).astype(v.dtype), v,
+            preferred_element_type=jnp.float32,
+            precision=matmul_precision(v.dtype),
+        )  # [block_q, D]
+        acc_scr[...] = acc_scr[...] * lanes_broadcast(alpha, head_dim) + pv
+
+    @pl.when(kv_idx == num_kv_blocks - 1)
+    def _store():
+        l = l_scr[...]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0, 0] = (acc_scr[...] * lanes_broadcast(l_inv, head_dim)).astype(
+            o_ref.dtype
+        )
+        # logsumexp contract parity: log(sum exp(s - m)) + m
+        # (/root/reference/kernels/kernel_fa2_optimized.cu:339-344).
+        lse_ref[0, 0] = m_scr[...] + jnp.log(jnp.where(l == 0.0, 1.0, l))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "causal", "sm_scale", "block_q", "block_k", "kv_len",
+        "tile_dtype", "interpret", "debug",
+    ),
+)
+def fa2_forward_aligned(
+    q,  # [B, H, Sq_pad, D], Sq_pad % block_q == 0
+    k,  # [B, H, Skv_pad, D], Skv_pad % block_k == 0
+    v,
+    *,
+    causal: bool,
+    sm_scale: float,
+    block_q: int,
+    block_k: int,
+    kv_len: int,  # true (unpadded) kv length, for tail masking
+    tile_dtype=None,
+    interpret=None,
+    debug: bool = False,
+):
+    """Block-aligned FA2 forward. Returns (O, lse_rep) where lse_rep is the
+    lane-replicated logsumexp [B, H, Sq_pad, NUM_LANES] (fp32) saved as the
+    backward residual."""
+    batch, heads, q_len, head_dim = q.shape
+    kv_len_pad = k.shape[2]
+    assert q_len % block_q == 0 and kv_len_pad % block_k == 0
+    num_kv_blocks = kv_len_pad // block_k
+    grid = (batch, heads, q_len // block_q, num_kv_blocks)
+
+    def q_index_map(b, h, qi, ki):
+        return (b, h, qi, 0)
+
+    def kv_index_map(b, h, qi, ki):
+        if causal:
+            # Skipped (above-diagonal) blocks prefetch block 0 for the next
+            # Q row instead of wasting DMA bandwidth on dead data.
+            ki = lax.select(below_or_on_diag(qi, block_q, ki, block_k), ki, 0)
+        return (b, h, ki, 0)
+
+    kernel = functools.partial(
+        _fa2_fwd_kernel,
+        sm_scale=sm_scale,
+        causal=causal,
+        mask_value=DEFAULT_MASK_VALUE,
+        kv_len=kv_len,
+        block_q=block_q,
+        block_k=block_k,
+        num_kv_blocks=num_kv_blocks,
+        tile_dtype=tile_dtype,
+        mask_kv_tail=(kv_len != kv_len_pad),
+    )
+
+    out_shape = (
+        jax.ShapeDtypeStruct(q.shape, q.dtype),
+        jax.ShapeDtypeStruct((batch, heads, q_len, NUM_LANES), jnp.float32),
+    )
+    o, lse_rep = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, head_dim), q_index_map),
+            pl.BlockSpec((1, 1, block_k, head_dim), kv_index_map),
+            pl.BlockSpec((1, 1, block_k, head_dim), kv_index_map),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, block_q, head_dim), q_index_map),
+            pl.BlockSpec((1, 1, block_q, NUM_LANES), q_index_map),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
+            pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
+            pltpu.VMEM((block_q, head_dim), jnp.float32),
+        ],
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * batch * heads * q_len * kv_len_pad * head_dim
+            // (2 if causal else 1),
+            transcendentals=batch * heads * q_len * kv_len_pad,
+            bytes_accessed=(
+                q.size * q.dtype.itemsize
+                + k.size * k.dtype.itemsize
+                + v.size * v.dtype.itemsize
+                + q.size * q.dtype.itemsize
+            ),
+        ),
+        interpret=resolve_interpret(interpret),
+        debug=debug,
+    )(q, k, v)
+    return o, lse_rep

@@ -1,0 +1,105 @@
+"""Pure-JAX reference attention — the correctness oracle.
+
+Capability parity with the reference's vanilla attention kernel
+(/root/reference/kernels/vanilla-attn.cu:7-80: materialized S = QK^T/sqrt(d),
+full-row softmax, PV) and the PyTorch CPU oracle used by its harness
+(/root/reference/test_flash_attention2.py:197-208).  Unlike the CUDA kernel,
+this is plain XLA — jnp matmuls hit the MXU directly, and it doubles as both
+the numerics oracle and the "vanilla" perf floor in the benchmark suite.
+
+logsumexp semantics match the reference contract
+(/root/reference/kernels/kernel_fa2_optimized.cu:339-344):
+    lse = log(sum_j exp(s_j - m)) + m      with s = QK^T * sm_scale
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _attention_core(q, k, v, *, causal, sm_scale, compute_dtype):
+    """Materialized softmax(QK^T * scale) V with logsumexp, in compute_dtype."""
+    orig_dtype = q.dtype
+    q = q.astype(compute_dtype)
+    k = k.astype(compute_dtype)
+    v = v.astype(compute_dtype)
+    # HIGHEST precision: full-fp32 MXU passes, matching the reference's
+    # CUDA-cores-only fp32 arithmetic (README.md:8) instead of TPU's default
+    # bf16-pass matmul.
+    precision = jax.lax.Precision.HIGHEST
+    s = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k,
+        preferred_element_type=compute_dtype, precision=precision,
+    )
+    s = s * compute_dtype(sm_scale)
+    if causal:
+        q_len, kv_len = s.shape[-2], s.shape[-1]
+        row = jax.lax.broadcasted_iota(jnp.int32, (q_len, kv_len), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (q_len, kv_len), 1)
+        s = jnp.where(col <= row, s, -jnp.inf)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    # Guard fully-masked rows (can only happen for causal with padded rows).
+    m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
+    p = jnp.exp(s - m_safe)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jnp.einsum(
+        "bhqk,bhkd->bhqd", p, v,
+        preferred_element_type=compute_dtype, precision=precision,
+    )
+    o = o / l
+    lse = (jnp.log(l) + m_safe)[..., 0]
+    return o.astype(orig_dtype), lse.astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("causal", "sm_scale", "compute_dtype"))
+def vanilla_attention_with_lse(
+    q,  # [B, H, Sq, D]
+    k,  # [B, H, Skv, D]
+    v,  # [B, H, Skv, D]
+    *,
+    causal: bool = False,
+    sm_scale: float | None = None,
+    compute_dtype=jnp.float32,
+):
+    """Reference attention returning (O, logsumexp).
+
+    ``sm_scale`` defaults to 1/sqrt(D) (reference: QK^T/sqrt(d) at
+    /root/reference/kernels/vanilla-attn.cu:29-42).
+    """
+    if sm_scale is None:
+        sm_scale = 1.0 / (q.shape[-1] ** 0.5)
+    return _attention_core(
+        q, k, v, causal=causal, sm_scale=float(sm_scale), compute_dtype=compute_dtype
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("causal", "sm_scale", "compute_dtype"))
+def vanilla_attention(
+    q, k, v, *, causal: bool = False, sm_scale: float | None = None,
+    compute_dtype=jnp.float32,
+):
+    """Reference attention returning only O — the materialized perf floor."""
+    o, _ = vanilla_attention_with_lse(
+        q, k, v, causal=causal, sm_scale=sm_scale, compute_dtype=compute_dtype
+    )
+    return o
+
+
+@functools.partial(jax.jit, static_argnames=("causal", "sm_scale"))
+def reference_attention_grads(q, k, v, do=None, *, causal=False, sm_scale=None):
+    """Oracle gradients (dQ, dK, dV) via jax autodiff.
+
+    Mirrors the reference harness's torch-autograd oracle with the simulated
+    loss L = sum(O), i.e. dO = 1 when ``do`` is None
+    (/root/reference/test_flash_attention2.py:220-250, src/main.cpp:84-92).
+    """
+    def f(q, k, v):
+        o = vanilla_attention(q, k, v, causal=causal, sm_scale=sm_scale)
+        if do is None:
+            return jnp.sum(o)
+        return jnp.sum(o * do)
+
+    return jax.grad(f, argnums=(0, 1, 2))(q, k, v)

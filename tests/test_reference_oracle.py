@@ -1,0 +1,47 @@
+"""Sanity checks for the pure-JAX oracle itself."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cuda_flash_attention_tpu.ops.reference import (
+    vanilla_attention_with_lse,
+    reference_attention_grads,
+)
+
+
+def test_oracle_matches_naive_numpy():
+    rng = np.random.default_rng(0)
+    b, h, s, d = 1, 2, 64, 32
+    q = rng.standard_normal((b, h, s, d), dtype=np.float32)
+    k = rng.standard_normal((b, h, s, d), dtype=np.float32)
+    v = rng.standard_normal((b, h, s, d), dtype=np.float32)
+    scale = 1.0 / np.sqrt(d)
+    s_mat = np.einsum("bhqd,bhkd->bhqk", q, k).astype(np.float64) * scale
+    p = np.exp(s_mat - s_mat.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    o_np = np.einsum("bhqk,bhkd->bhqd", p, v.astype(np.float64))
+    o, lse = vanilla_attention_with_lse(jnp.array(q), jnp.array(k), jnp.array(v))
+    np.testing.assert_allclose(np.asarray(o), o_np, atol=2e-5)
+    lse_np = np.log(np.exp(s_mat - s_mat.max(-1, keepdims=True)).sum(-1)) + s_mat.max(-1)
+    np.testing.assert_allclose(np.asarray(lse), lse_np, atol=2e-4)
+
+
+def test_oracle_causal_masks_future():
+    key = jax.random.PRNGKey(1)
+    q = jax.random.normal(key, (1, 1, 8, 16))
+    k = jax.random.normal(key, (1, 1, 8, 16))
+    v = jax.random.normal(key, (1, 1, 8, 16))
+    o_causal, _ = vanilla_attention_with_lse(q, k, v, causal=True)
+    # Row 0 attends only to position 0 -> output equals v[0].
+    np.testing.assert_allclose(
+        np.asarray(o_causal[0, 0, 0]), np.asarray(v[0, 0, 0]), rtol=1e-6
+    )
+
+
+def test_oracle_grads_shapes():
+    key = jax.random.PRNGKey(2)
+    q = jax.random.normal(key, (1, 2, 32, 16))
+    dq, dk, dv = reference_attention_grads(q, q, q)
+    assert dq.shape == dk.shape == dv.shape == q.shape
+    assert np.isfinite(np.asarray(dq)).all()
