@@ -88,31 +88,36 @@ def _replicate_lanes(x):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
-def _fa2(q, k, v, kv_len, causal, sm_scale, block_sizes, tile_dtype):
-    o, _ = _fa2_fwd_impl(q, k, v, kv_len, causal, sm_scale, block_sizes, tile_dtype)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def _fa2(q, k, v, kv_len, causal, sm_scale, block_sizes, tile_dtype, interpret):
+    o, _ = _fa2_fwd_impl(
+        q, k, v, kv_len, causal, sm_scale, block_sizes, tile_dtype, interpret
+    )
     return o
 
 
-def _fa2_fwd_impl(q, k, v, kv_len, causal, sm_scale, block_sizes, tile_dtype):
+def _fa2_fwd_impl(q, k, v, kv_len, causal, sm_scale, block_sizes, tile_dtype,
+                  interpret=None):
     block_q = _fit_block(block_sizes.block_q, q.shape[2])
     block_k = _fit_block(block_sizes.block_k, k.shape[2])
     return fa2_forward_aligned(
         q, k, v,
         causal=causal, sm_scale=sm_scale,
         block_q=block_q, block_k=block_k,
-        kv_len=kv_len, tile_dtype=tile_dtype,
+        kv_len=kv_len, tile_dtype=tile_dtype, interpret=interpret,
     )
 
 
-def _fa2_fwd(q, k, v, kv_len, causal, sm_scale, block_sizes, tile_dtype):
+def _fa2_fwd(q, k, v, kv_len, causal, sm_scale, block_sizes, tile_dtype,
+             interpret):
     o, lse_rep = _fa2_fwd_impl(
-        q, k, v, kv_len, causal, sm_scale, block_sizes, tile_dtype
+        q, k, v, kv_len, causal, sm_scale, block_sizes, tile_dtype, interpret
     )
     return o, (q, k, v, o, lse_rep)
 
 
-def _fa2_bwd(kv_len, causal, sm_scale, block_sizes, tile_dtype, residuals, do):
+def _fa2_bwd(kv_len, causal, sm_scale, block_sizes, tile_dtype, interpret,
+             residuals, do):
     q, k, v, o, lse_rep = residuals
     # D_i = rowsum(dO * O): the reference runs a separate reduction kernel
     # (f-attn2-backward.cu:342-380); on TPU this is a single fused XLA
@@ -125,14 +130,14 @@ def _fa2_bwd(kv_len, causal, sm_scale, block_sizes, tile_dtype, residuals, do):
         causal=causal, sm_scale=sm_scale,
         block_q=_fit_block(block_sizes.block_q_dq, q.shape[2]),
         block_k=_fit_block(block_sizes.block_k_dq, k.shape[2]),
-        kv_len=kv_len, tile_dtype=tile_dtype,
+        kv_len=kv_len, tile_dtype=tile_dtype, interpret=interpret,
     )
     dk, dv = fa2_backward_dkv_aligned(
         q, k, v, do, lse_rep, di_rep,
         causal=causal, sm_scale=sm_scale,
         block_q=_fit_block(block_sizes.block_q_dkv, q.shape[2]),
         block_k=_fit_block(block_sizes.block_k_dkv, k.shape[2]),
-        kv_len=kv_len, tile_dtype=tile_dtype,
+        kv_len=kv_len, tile_dtype=tile_dtype, interpret=interpret,
     )
     return dq, dk, dv
 
@@ -154,6 +159,7 @@ def flash_attention(
     sm_scale: float | None = None,
     block_sizes: BlockSizes | None = None,
     tile_dtype=None,
+    interpret=None,
 ):
     """Differentiable FlashAttention-2. Returns O with q's shape/dtype.
 
@@ -165,7 +171,10 @@ def flash_attention(
     q_pad, k_pad, v_pad, sm_scale, block_sizes, q_len, kv_len = _normalize(
         q, k, v, sm_scale, block_sizes
     )
-    o = _fa2(q_pad, k_pad, v_pad, kv_len, causal, sm_scale, block_sizes, tile_dtype)
+    o = _fa2(
+        q_pad, k_pad, v_pad, kv_len, causal, sm_scale, block_sizes,
+        tile_dtype, interpret,
+    )
     return o[:, :, :q_len, :]
 
 
@@ -176,6 +185,7 @@ def flash_attention_with_lse(
     sm_scale: float | None = None,
     block_sizes: BlockSizes | None = None,
     tile_dtype=None,
+    interpret=None,
 ):
     """FA2 forward returning (O, logsumexp[B, H, Sq] fp32) — the
     save-for-backward contract the CLI persists as logsumexp.bin
@@ -185,7 +195,8 @@ def flash_attention_with_lse(
         q, k, v, sm_scale, block_sizes
     )
     o, lse_rep = _fa2_fwd_impl(
-        q_pad, k_pad, v_pad, kv_len, causal, sm_scale, block_sizes, tile_dtype
+        q_pad, k_pad, v_pad, kv_len, causal, sm_scale, block_sizes, tile_dtype,
+        interpret,
     )
     return o[:, :, :q_len, :], lse_rep[:, :, :q_len, 0]
 
@@ -197,6 +208,7 @@ def fa2_backward(
     sm_scale: float | None = None,
     block_sizes: BlockSizes | None = None,
     tile_dtype=None,
+    interpret=None,
 ):
     """Standalone FA2 backward from forward artifacts (O, logsumexp) —
     capability parity with the reference CLI backward mode, which reloads
@@ -220,14 +232,14 @@ def fa2_backward(
         causal=causal, sm_scale=sm_scale,
         block_q=_fit_block(block_sizes.block_q_dq, q_pad.shape[2]),
         block_k=_fit_block(block_sizes.block_k_dq, k_pad.shape[2]),
-        kv_len=kv_len, tile_dtype=tile_dtype,
+        kv_len=kv_len, tile_dtype=tile_dtype, interpret=interpret,
     )
     dk, dv = fa2_backward_dkv_aligned(
         q_pad, k_pad, v_pad, do_pad, lse_rep, di_rep,
         causal=causal, sm_scale=sm_scale,
         block_q=_fit_block(block_sizes.block_q_dkv, q_pad.shape[2]),
         block_k=_fit_block(block_sizes.block_k_dkv, k_pad.shape[2]),
-        kv_len=kv_len, tile_dtype=tile_dtype,
+        kv_len=kv_len, tile_dtype=tile_dtype, interpret=interpret,
     )
     return (
         dq[:, :, :q_len, :],
