@@ -1,0 +1,254 @@
+"""Flagship model: GQA decoder-only transformer on the Pallas FA2 kernels.
+
+The reference is a kernel library with no model layer (SURVEY.md §2); this is
+the TPU-first model family the north star requires (causal GQA attention,
+the substrate for the quantized decode engine and multi-host scaling).
+
+Design:
+  * pure-JAX functional: params are a plain pytree; `forward`/`loss_fn` are
+    jit-friendly functions — transparent to pjit sharding and shard_map.
+  * mixed pjit + shard_map: dense matmuls run under the jit partitioner with
+    sharding constraints; attention runs as a shard_map island over the
+    Pallas kernel (head-parallel TP over "model", sequence-parallel ring
+    over "ctx" when the mesh has one).
+  * RMSNorm + RoPE + SwiGLU; bf16 activations, fp32 params/optimizer.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from cuda_flash_attention_tpu.kernels.attention import flash_attention
+from cuda_flash_attention_tpu.parallel.mesh import (
+    CTX_AXIS,
+    DATA_AXIS,
+    MODEL_AXIS,
+)
+from cuda_flash_attention_tpu.parallel.ring import ring_attention
+from cuda_flash_attention_tpu.parallel.sharded import (
+    head_parallel_attention,
+    mesh_interpret_default,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class TransformerConfig:
+    vocab_size: int = 32768
+    d_model: int = 1024
+    n_layers: int = 8
+    n_heads: int = 16
+    n_kv_heads: int = 8
+    head_dim: int = 64
+    d_ff: int = 4096
+    rope_theta: float = 10000.0
+    dtype: jnp.dtype = jnp.bfloat16       # activation dtype
+    param_dtype: jnp.dtype = jnp.float32
+    attn_tile_dtype: jnp.dtype | None = jnp.bfloat16  # kernel tile precision
+
+    def __post_init__(self):
+        assert self.n_heads % self.n_kv_heads == 0
+
+    @property
+    def q_dim(self) -> int:
+        return self.n_heads * self.head_dim
+
+    @property
+    def kv_dim(self) -> int:
+        return self.n_kv_heads * self.head_dim
+
+    @classmethod
+    def tiny(cls) -> "TransformerConfig":
+        """Tiny config for CPU-mesh dry runs and tests."""
+        return cls(
+            vocab_size=256, d_model=128, n_layers=2, n_heads=4, n_kv_heads=2,
+            head_dim=64, d_ff=256,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Parameter init
+# ---------------------------------------------------------------------------
+
+
+def init_params(key, cfg: TransformerConfig):
+    def dense(key, shape, scale=None):
+        if scale is None:
+            scale = shape[0] ** -0.5
+        return (jax.random.normal(key, shape, jnp.float32) * scale).astype(
+            cfg.param_dtype
+        )
+
+    keys = jax.random.split(key, cfg.n_layers + 3)
+    layers = []
+    for i in range(cfg.n_layers):
+        ks = jax.random.split(keys[i], 7)
+        layers.append({
+            "attn_norm": jnp.ones((cfg.d_model,), cfg.param_dtype),
+            "wq": dense(ks[0], (cfg.d_model, cfg.q_dim)),
+            "wk": dense(ks[1], (cfg.d_model, cfg.kv_dim)),
+            "wv": dense(ks[2], (cfg.d_model, cfg.kv_dim)),
+            "wo": dense(ks[3], (cfg.q_dim, cfg.d_model)),
+            "mlp_norm": jnp.ones((cfg.d_model,), cfg.param_dtype),
+            "w_gate": dense(ks[4], (cfg.d_model, cfg.d_ff)),
+            "w_up": dense(ks[5], (cfg.d_model, cfg.d_ff)),
+            "w_down": dense(ks[6], (cfg.d_ff, cfg.d_model)),
+        })
+    return {
+        "embed": dense(keys[-3], (cfg.vocab_size, cfg.d_model), scale=1.0),
+        "layers": layers,
+        "final_norm": jnp.ones((cfg.d_model,), cfg.param_dtype),
+        "lm_head": dense(keys[-2], (cfg.d_model, cfg.vocab_size)),
+    }
+
+
+def param_shardings(mesh, cfg: TransformerConfig):
+    """NamedShardings for TP ("model" axis) placement of the param pytree:
+    QKV/gate/up column-sharded, O/down row-sharded, norms replicated."""
+    model = MODEL_AXIS if MODEL_AXIS in mesh.axis_names else None
+
+    def ns(spec):
+        return NamedSharding(mesh, spec)
+
+    layer = {
+        "attn_norm": ns(P(None)),
+        "wq": ns(P(None, model)),
+        "wk": ns(P(None, model)),
+        "wv": ns(P(None, model)),
+        "wo": ns(P(model, None)),
+        "mlp_norm": ns(P(None)),
+        "w_gate": ns(P(None, model)),
+        "w_up": ns(P(None, model)),
+        "w_down": ns(P(model, None)),
+    }
+    return {
+        "embed": ns(P(None, None)),
+        "layers": [dict(layer) for _ in range(cfg.n_layers)],
+        "final_norm": ns(P(None)),
+        "lm_head": ns(P(None, model)),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Building blocks
+# ---------------------------------------------------------------------------
+
+
+def rms_norm(x, scale, eps: float = 1e-6):
+    var = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    return (x.astype(jnp.float32) * jax.lax.rsqrt(var + eps)).astype(x.dtype) * scale
+
+
+def rope(x, positions, theta: float):
+    """Half-rotation RoPE. x: [B, S, H, D]; positions: [B, S]."""
+    d = x.shape[-1]
+    half = d // 2
+    freqs = jnp.exp(
+        -jnp.log(theta) * jnp.arange(0, half, dtype=jnp.float32) / half
+    )
+    angles = positions[..., None].astype(jnp.float32) * freqs  # [B, S, half]
+    cos = jnp.cos(angles)[:, :, None, :]
+    sin = jnp.sin(angles)[:, :, None, :]
+    x1, x2 = x[..., :half], x[..., half:]
+    rotated = jnp.concatenate(
+        [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1
+    )
+    return rotated.astype(x.dtype)
+
+
+def gqa_flash_attention(q, k, v, *, cfg: TransformerConfig, mesh=None,
+                        causal: bool = True):
+    """Grouped-query attention over the FA2 kernel.
+
+    q: [B, Hq, S, D]; k/v: [B, Hkv, S, D]. KV heads are expanded to the query
+    head count by group broadcast (kernel-native GQA lands with the paged
+    decode kernel; for training shapes the extra KV reads are minor next to
+    the O(S^2) attention FLOPs).
+    """
+    groups = cfg.n_heads // cfg.n_kv_heads
+    if groups > 1:
+        k = jnp.repeat(k, groups, axis=1)
+        v = jnp.repeat(v, groups, axis=1)
+    tile = cfg.attn_tile_dtype
+    if mesh is None:
+        return flash_attention(q, k, v, causal=causal, tile_dtype=tile)
+    if CTX_AXIS in mesh.axis_names and mesh.shape[CTX_AXIS] > 1:
+        return ring_attention(mesh, q, k, v, causal=causal, tile_dtype=tile)
+    return head_parallel_attention(mesh, q, k, v, causal=causal, tile_dtype=tile)
+
+
+def _attention_block(x, layer, positions, cfg: TransformerConfig, mesh):
+    b, s, _ = x.shape
+    h = rms_norm(x, layer["attn_norm"])
+    q = (h @ layer["wq"].astype(h.dtype)).reshape(b, s, cfg.n_heads, cfg.head_dim)
+    k = (h @ layer["wk"].astype(h.dtype)).reshape(b, s, cfg.n_kv_heads, cfg.head_dim)
+    v = (h @ layer["wv"].astype(h.dtype)).reshape(b, s, cfg.n_kv_heads, cfg.head_dim)
+    q = rope(q, positions, cfg.rope_theta).transpose(0, 2, 1, 3)
+    k = rope(k, positions, cfg.rope_theta).transpose(0, 2, 1, 3)
+    v = v.transpose(0, 2, 1, 3)
+    o = gqa_flash_attention(q, k, v, cfg=cfg, mesh=mesh, causal=True)
+    o = o.transpose(0, 2, 1, 3).reshape(b, s, cfg.q_dim)
+    return x + o @ layer["wo"].astype(o.dtype)
+
+
+def _mlp_block(x, layer):
+    h = rms_norm(x, layer["mlp_norm"])
+    gate = jax.nn.silu(h @ layer["w_gate"].astype(h.dtype))
+    up = h @ layer["w_up"].astype(h.dtype)
+    return x + (gate * up) @ layer["w_down"].astype(x.dtype)
+
+
+def _activation_spec(mesh):
+    data = DATA_AXIS if (mesh and DATA_AXIS in mesh.axis_names) else None
+    ctx = CTX_AXIS if (mesh and CTX_AXIS in mesh.axis_names) else None
+    return P(data, ctx, None)
+
+
+def forward(params, tokens, cfg: TransformerConfig, mesh=None):
+    """Causal LM forward: tokens [B, S] int32 -> logits [B, S, vocab]."""
+    b, s = tokens.shape
+    positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s))
+    x = params["embed"].astype(cfg.dtype)[tokens]
+    if mesh is not None:
+        x = jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, _activation_spec(mesh))
+        )
+    for layer in params["layers"]:
+        x = _attention_block(x, layer, positions, cfg, mesh)
+        x = _mlp_block(x, layer)
+    x = rms_norm(x, params["final_norm"])
+    return (x @ params["lm_head"].astype(x.dtype)).astype(jnp.float32)
+
+
+def loss_fn(params, tokens, cfg: TransformerConfig, mesh=None):
+    """Next-token cross entropy (tokens serve as both input and target)."""
+    logits = forward(params, tokens[:, :-1], cfg, mesh)
+    targets = tokens[:, 1:]
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    return jnp.mean(nll)
+
+
+def make_train_step(cfg: TransformerConfig, mesh=None, learning_rate=1e-3):
+    """SGD-with-momentum train step (optimizer state = momentum pytree) —
+    jittable, shardable; returns (params, opt_state, loss)."""
+
+    def train_step(params, opt_state, tokens):
+        loss, grads = jax.value_and_grad(loss_fn)(params, tokens, cfg, mesh)
+        new_opt = jax.tree.map(
+            lambda m, g: 0.9 * m + g.astype(jnp.float32), opt_state, grads
+        )
+        new_params = jax.tree.map(
+            lambda p, m: (p - learning_rate * m).astype(p.dtype), params, new_opt
+        )
+        return new_params, new_opt, loss
+
+    return train_step
+
+
+def init_opt_state(params):
+    return jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32), params)

@@ -14,6 +14,18 @@ import dataclasses
 import time
 
 import jax
+import numpy as np
+
+
+def sync(out):
+    """Force device completion. `jax.block_until_ready` alone is not
+    sufficient on tunneled/remote PJRT backends (buffers are futures that
+    report ready immediately); reading one element back to the host is —
+    the device executes queued work in order, so the last result's readback
+    fences everything before it."""
+    jax.block_until_ready(out)
+    leaf = jax.tree.leaves(out)[0]
+    np.asarray(jax.device_get(leaf[(0,) * leaf.ndim]))
 
 
 @dataclasses.dataclass
@@ -29,7 +41,7 @@ class Timer:
 
     def stop(self, result=None):
         if result is not None:
-            jax.block_until_ready(result)
+            sync(result)
         assert self._t0 is not None, "Timer.stop() without start()"
         self.total_s += time.perf_counter() - self._t0
         self.runs += 1
@@ -45,9 +57,9 @@ def benchmark(fn, *args, warmup: int = 1, iters: int = 10, **kwargs) -> float:
     matching the reference harness (1 warm-up + 10 timed,
     test_flash_attention2.py:284-308)."""
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args, **kwargs))
+        sync(fn(*args, **kwargs))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args, **kwargs)
-    jax.block_until_ready(out)
+    sync(out)
     return (time.perf_counter() - t0) / iters
