@@ -45,12 +45,12 @@ class BlockSizes:
     TPU blocks (multiples of 128 along sequence dims).
     """
 
-    block_q: int = 256
-    block_k: int = 512
-    block_q_dkv: int = 128
-    block_k_dkv: int = 256
-    block_q_dq: int = 256
-    block_k_dq: int = 256
+    block_q: int = 512
+    block_k: int = 1024
+    block_q_dkv: int = 256
+    block_k_dkv: int = 1024
+    block_q_dq: int = 512
+    block_k_dq: int = 2048
 
     def __post_init__(self):
         for f in dataclasses.fields(self):

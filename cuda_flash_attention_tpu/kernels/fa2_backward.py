@@ -41,7 +41,6 @@ from cuda_flash_attention_tpu.kernels.common import (
     NUM_LANES,
     TRANS_B_DIMS,
     below_or_on_diag,
-    lanes_broadcast,
     matmul_precision,
     resolve_interpret,
     tile_cast,
@@ -63,16 +62,16 @@ def _compute_p_ds(q, k, v, do, lse, di, *, sm_scale, mask, mask_value, tile_dtyp
         s *= sm_scale
     if mask is not None:
         s += jnp.where(mask, 0.0, mask_value)
-    block_k = s.shape[1]
     # P = exp(S - lse): rows already normalized because lse = log(l) + m.
-    p = jnp.exp(s - lanes_broadcast(lse, block_k))
+    # lse/di are lane-replicated; a single-lane broadcast beats a lane-tile.
+    p = jnp.exp(s - lse[:, :1])
     do_c = tile_cast(do, tile_dtype)
     dp = lax.dot_general(
         do_c, tile_cast(v, tile_dtype), TRANS_B_DIMS,
         preferred_element_type=jnp.float32,
         precision=matmul_precision(do_c.dtype),
     )
-    ds = p * (dp - lanes_broadcast(di, block_k))
+    ds = p * (dp - di[:, :1])
     if sm_scale != 1.0:
         ds *= sm_scale
     return p, ds

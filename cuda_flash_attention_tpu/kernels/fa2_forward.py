@@ -41,7 +41,6 @@ from cuda_flash_attention_tpu.kernels.common import (
     NUM_LANES,
     TRANS_B_DIMS,
     below_or_on_diag,
-    lanes_broadcast,
     matmul_precision,
     resolve_interpret,
     tile_cast,
@@ -113,12 +112,14 @@ def _fa2_fwd_kernel(
         if mask is not None:
             s += jnp.where(mask, 0.0, mask_value)
 
-        m_prev = m_scr[...]  # [block_q, 128]
+        m_prev = m_scr[...]  # [block_q, 128] (lane-replicated)
         l_prev = l_scr[...]
         m_curr = jnp.max(s, axis=1)[:, None]  # [block_q, 1]
         m_next = jnp.maximum(m_prev, m_curr)  # [block_q, 128]
         alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - lanes_broadcast(m_next, block_k))
+        # Single-lane broadcast (m_next[:, :1]) instead of a materialized
+        # lane-tile: saves a (block_q, block_k) VPU copy per KV step.
+        p = jnp.exp(s - m_next[:, :1])
         l_next = alpha * l_prev + jnp.sum(p, axis=1)[:, None]
         m_scr[...] = m_next
         l_scr[...] = l_next
@@ -129,15 +130,13 @@ def _fa2_fwd_kernel(
             preferred_element_type=jnp.float32,
             precision=matmul_precision(v.dtype),
         )  # [block_q, D]
-        acc_scr[...] = acc_scr[...] * lanes_broadcast(alpha, head_dim) + pv
+        acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
 
     @pl.when(kv_idx == num_kv_blocks - 1)
     def _store():
         l = l_scr[...]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-        o_ref[0, 0] = (acc_scr[...] * lanes_broadcast(l_inv, head_dim)).astype(
-            o_ref.dtype
-        )
+        o_ref[0, 0] = (acc_scr[...] * l_inv[:, :1]).astype(o_ref.dtype)
         # logsumexp contract parity: log(sum exp(s - m)) + m
         # (/root/reference/kernels/kernel_fa2_optimized.cu:339-344).
         lse_ref[0, 0] = m_scr[...] + jnp.log(jnp.where(l == 0.0, 1.0, l))
