@@ -24,7 +24,7 @@ import jax.numpy as jnp
 def main():
     from cuda_flash_attention_tpu.kernels.attention import flash_attention
     from cuda_flash_attention_tpu.ops.metrics import attention_flops
-    from cuda_flash_attention_tpu.utils.timing import benchmark
+    from cuda_flash_attention_tpu.utils.timing import device_benchmark
 
     b, h, s, d = 8, 16, 2048, 64
     ks = jax.random.split(jax.random.PRNGKey(42), 3)
@@ -37,8 +37,8 @@ def main():
 
     fwd_bwd = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
 
-    t_fwd = benchmark(fwd, q, k, v, warmup=2, iters=10)
-    t_fwd_bwd = benchmark(fwd_bwd, q, k, v, warmup=2, iters=10)
+    t_fwd = device_benchmark(fwd, q, k, v, warmup=1, iters=4)
+    t_fwd_bwd = device_benchmark(fwd_bwd, q, k, v, warmup=1, iters=4)
 
     flops_fwd = attention_flops(b, h, s, s, d, mode="forward")
     flops_total = attention_flops(b, h, s, s, d, mode="both")  # 3.5x fwd

@@ -52,12 +52,72 @@ class Timer:
         return 1e3 * self.total_s / max(self.runs, 1)
 
 
-def benchmark(fn, *args, warmup: int = 1, iters: int = 10, **kwargs) -> float:
+def device_benchmark(fn, *args, iters: int = 16, warmup: int = 1,
+                     repeats: int = 2) -> float:
+    """Mean seconds per call measured on the DEVICE via two-point slope:
+    `iters` and 5x`iters` calls are chained in a lax.fori_loop with a data
+    dependency (each iteration's first argument is perturbed by 0x the
+    previous output, preventing CSE), both timed end-to-end, and the per-call
+    time is the slope — cancelling the fixed per-dispatch cost of tunneled
+    PJRT backends (~60 ms round-trip here).  This is the TPU analog of the
+    reference's cudaEvent device timing (test_flash_attention2.py:293-308):
+    it measures the device, not the client."""
+    import functools
+
+    import jax.numpy as jnp
+    from jax import lax
+
+    out0 = jax.jit(fn)(*args)
+    init = jnp.zeros_like(jax.tree.leaves(out0)[0])
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def run_n(init, *args, n):
+        def body(_, acc):
+            # Real (if negligible) data dependency: x0 alone (or *0) gets
+            # constant-folded and the whole body hoisted out of the loop.
+            dep = (acc.ravel()[0] * 1e-30).astype(args[0].dtype)
+            out = fn(args[0] + dep, *args[1:])
+            return jax.tree.leaves(out)[0]
+
+        return lax.fori_loop(0, n, body, init)
+
+    def timed(n):
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            sync(run_n(init, *args, n=n))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    while True:
+        n_lo, n_hi = iters, 5 * iters
+        for _ in range(warmup):
+            sync(run_n(init, *args, n=n_lo))
+            sync(run_n(init, *args, n=n_hi))
+        t_lo, t_hi = timed(n_lo), timed(n_hi)
+        # Grow the loop until the slope signal clears the ~10s-of-ms relay
+        # jitter, so tiny shapes are measured honestly too.
+        if t_hi - t_lo > 0.05 or iters >= 2048:
+            return max(t_hi - t_lo, 1e-9) / (n_hi - n_lo)
+        iters *= 8
+
+
+def benchmark(fn, *args, warmup: int = 1, iters: int | None = 10,
+              target_time_s: float = 0.5, max_iters: int = 300, **kwargs) -> float:
     """Mean seconds per call: `warmup` untimed + `iters` timed launches,
     matching the reference harness (1 warm-up + 10 timed,
-    test_flash_attention2.py:284-308)."""
+    test_flash_attention2.py:284-308).
+
+    iters=None auto-sizes the loop to ~`target_time_s` of device work so the
+    fixed per-dispatch latency of tunneled PJRT backends (~0.5 ms/call here)
+    amortizes out of small-shape measurements."""
     for _ in range(warmup):
         sync(fn(*args, **kwargs))
+    if iters is None:
+        t0 = time.perf_counter()
+        sync(fn(*args, **kwargs))
+        t1 = max(time.perf_counter() - t0, 1e-6)
+        iters = int(max(10, min(max_iters, target_time_s / t1)))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args, **kwargs)
