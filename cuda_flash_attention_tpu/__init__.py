@@ -17,6 +17,10 @@ from cuda_flash_attention_tpu.kernels.attention import (  # noqa: F401
     flash_attention,
     flash_attention_with_lse,
 )
+from cuda_flash_attention_tpu.kernels.fa2_forward_quant import (  # noqa: F401
+    flash_attention_int8_kv,
+    flash_attention_quantized_kv,
+)
 from cuda_flash_attention_tpu.ops.reference import (  # noqa: F401
     vanilla_attention,
     vanilla_attention_with_lse,

@@ -1,0 +1,28 @@
+"""Serving layer: paged quantized KV cache, flash-decoding kernel,
+continuous-batching engine (SURVEY.md §7.9)."""
+
+from cuda_flash_attention_tpu.decode.attention import paged_decode_attention
+from cuda_flash_attention_tpu.decode.engine import DecodeEngine, Request
+from cuda_flash_attention_tpu.decode.kv_cache import (
+    KVPages,
+    PageAllocator,
+    append_token_kv,
+    init_kv_pages,
+    write_prompt_kv,
+)
+from cuda_flash_attention_tpu.decode.model import decode_step, prefill_forward
+from cuda_flash_attention_tpu.decode.sampling import sample_tokens
+
+__all__ = [
+    "paged_decode_attention",
+    "DecodeEngine",
+    "Request",
+    "KVPages",
+    "PageAllocator",
+    "append_token_kv",
+    "init_kv_pages",
+    "write_prompt_kv",
+    "decode_step",
+    "prefill_forward",
+    "sample_tokens",
+]

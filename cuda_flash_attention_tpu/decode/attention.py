@@ -1,0 +1,200 @@
+"""Paged decode attention: one new query token per sequence against a paged
+(possibly INT8/FP8) KV cache.
+
+No reference counterpart (the reference is a training-shape kernel library,
+SURVEY.md §2); this is the serving-path kernel the north star requires.
+TPU-first design:
+
+  * grid = (num_seqs, n_kv_heads, pages_per_seq) with the page dim
+    "arbitrary": Pallas prefetches page p+1's K/V block from HBM while the
+    MXU works on page p — the pipelined-DMA pattern that makes the
+    bandwidth-bound decode hit HBM speed-of-light.
+  * `pltpu.PrefetchScalarGridSpec`: the page table and sequence lengths are
+    scalar-prefetched so the BlockSpec index maps can compute *data-dependent*
+    HBM addresses (physical page id = page_table[seq, p]) ahead of the DMA —
+    the TPU equivalent of vLLM-style gather addressing.
+  * GQA-native: q is viewed as [seqs, kv_heads, group, D], so all query
+    heads sharing a KV head attend in one MXU pass over each page — KV is
+    read once per group, not once per query head.
+  * Quantized pages dequantize in-kernel exactly like
+    kernels/fa2_forward_quant.py: K's per-token scale folds into S's columns,
+    V's into P — no dequantized page is ever materialized.
+  * Skipped pages (p beyond the sequence's length) cost no compute and their
+    index map clamps to the null page so no DMA bandwidth is wasted on dead
+    data.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cuda_flash_attention_tpu.decode.kv_cache import KVPages
+from cuda_flash_attention_tpu.kernels.common import (
+    DEFAULT_MASK_VALUE,
+    NUM_LANES,
+    TRANS_B_DIMS,
+    matmul_precision,
+    resolve_interpret,
+)
+
+
+def _decode_kernel(
+    # scalar prefetch
+    page_table_ref,  # [num_seqs, pages_per_seq] int32 (SMEM)
+    lengths_ref,     # [num_seqs] int32 (SMEM)
+    # inputs
+    q_ref,   # [1, 1, group, D]
+    k_ref,   # [1, 1, page_size, D]   cache dtype
+    ks_ref,  # [1, 1, 1, page_size]   f32
+    v_ref,   # [1, 1, page_size, D]
+    vs_ref,  # [1, 1, 1, page_size]
+    # outputs
+    o_ref,   # [1, 1, group, D]
+    # scratch
+    m_scr, l_scr, acc_scr,
+    *,
+    sm_scale: float,
+    page_size: int,
+    pages_per_seq: int,
+    compute_dtype,
+):
+    seq = pl.program_id(0)
+    p = pl.program_id(2)
+    length = lengths_ref[seq]
+
+    @pl.when(p == 0)
+    def _init():
+        m_scr[...] = jnp.full(m_scr.shape, -jnp.inf, jnp.float32)
+        l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
+        acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
+
+    @pl.when(p * page_size < length)
+    def _run():
+        group = q_ref.shape[2]
+        q = q_ref[0, 0].astype(compute_dtype)       # [group, D]
+        k = k_ref[0, 0].astype(compute_dtype)       # [page_size, D]
+        s = lax.dot_general(
+            q, k, TRANS_B_DIMS,
+            preferred_element_type=jnp.float32,
+            precision=matmul_precision(q.dtype),
+        )  # [group, page_size]
+        s *= ks_ref[0, 0] * sm_scale  # fold K's per-token scales into S cols
+
+        # Mask the tail of the last active page (positions >= length).
+        col = p * page_size + lax.broadcasted_iota(
+            jnp.int32, (group, page_size), 1
+        )
+        s += jnp.where(col < length, 0.0, DEFAULT_MASK_VALUE)
+
+        m_prev = m_scr[...]
+        l_prev = l_scr[...]
+        m_curr = jnp.max(s, axis=1)[:, None]
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        prob = jnp.exp(s - m_next[:, :1])
+        l_scr[...] = alpha * l_prev + jnp.sum(prob, axis=1)[:, None]
+        m_scr[...] = m_next
+
+        v = v_ref[0, 0].astype(compute_dtype)
+        prob_scaled = (prob * vs_ref[0, 0]).astype(compute_dtype)  # V scales
+        pv = lax.dot(
+            prob_scaled, v,
+            preferred_element_type=jnp.float32,
+            precision=matmul_precision(v.dtype),
+        )
+        acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
+
+    @pl.when(p == pages_per_seq - 1)
+    def _store():
+        l = l_scr[...]
+        l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)  # inactive slot -> zeros
+        o_ref[0, 0] = (acc_scr[...] * l_inv[:, :1]).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sm_scale", "compute_dtype", "interpret"),
+)
+def paged_decode_attention(
+    q,           # [num_seqs, n_heads, head_dim] — one token per slot
+    pages: KVPages,
+    page_table,  # [num_seqs, pages_per_seq] int32
+    lengths,     # [num_seqs] int32 (0 for inactive slots)
+    *,
+    sm_scale: float | None = None,
+    compute_dtype=jnp.bfloat16,
+    interpret=None,
+):
+    """Flash-decoding over the paged cache. Returns [num_seqs, n_heads, D]."""
+    num_seqs, n_heads, head_dim = q.shape
+    n_kv_heads, num_pages, page_size, _ = pages.k_pages.shape
+    pages_per_seq = page_table.shape[1]
+    assert n_heads % n_kv_heads == 0
+    group = n_heads // n_kv_heads
+    if sm_scale is None:
+        sm_scale = 1.0 / (head_dim ** 0.5)
+
+    # Query heads sharing a KV head sit together: [seqs, kv_heads, group, D].
+    q4 = q.reshape(num_seqs, n_kv_heads, group, head_dim)
+
+    def q_map(s, h, p, pt_ref, len_ref):
+        return (s, h, 0, 0)
+
+    def page_map(s, h, p, pt_ref, len_ref):
+        # Clamp dead pages (p beyond length) to the null page 0 so the
+        # prefetch DMA doesn't touch cold HBM.
+        live = p * page_size < len_ref[s]
+        return (h, lax.select(live, pt_ref[s, p], 0), 0, 0)
+
+    def scale_map(s, h, p, pt_ref, len_ref):
+        live = p * page_size < len_ref[s]
+        return (h, lax.select(live, pt_ref[s, p], 0), 0, 0)
+
+    kernel = functools.partial(
+        _decode_kernel,
+        sm_scale=float(sm_scale),
+        page_size=page_size,
+        pages_per_seq=pages_per_seq,
+        compute_dtype=compute_dtype,
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_seqs, n_kv_heads, pages_per_seq),
+        in_specs=[
+            pl.BlockSpec((1, 1, group, head_dim), q_map),
+            pl.BlockSpec((1, 1, page_size, head_dim), page_map),
+            pl.BlockSpec((1, 1, 1, page_size), scale_map),
+            pl.BlockSpec((1, 1, page_size, head_dim), page_map),
+            pl.BlockSpec((1, 1, 1, page_size), scale_map),
+        ],
+        out_specs=pl.BlockSpec((1, 1, group, head_dim), q_map),
+        scratch_shapes=[
+            pltpu.VMEM((group, NUM_LANES), jnp.float32),
+            pltpu.VMEM((group, NUM_LANES), jnp.float32),
+            pltpu.VMEM((group, head_dim), jnp.float32),
+        ],
+    )
+
+    # Scales as [Hkv, pages, 1, page_size]: the (1, page_size) trailing block
+    # satisfies Mosaic's (8, 128)-or-full-dim tiling rule and lands lane-major
+    # for the broadcast over S's columns.
+    k_scales = pages.k_scales[:, :, None, :]
+    v_scales = pages.v_scales[:, :, None, :]
+    o = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(q4.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=resolve_interpret(interpret),
+    )(page_table, lengths, q4, pages.k_pages, k_scales,
+      pages.v_pages, v_scales)
+    return o.reshape(num_seqs, n_heads, head_dim)

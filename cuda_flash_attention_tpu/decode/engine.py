@@ -1,0 +1,275 @@
+"""Decode engine: continuous batching over the paged KV cache.
+
+Serving layer with no reference counterpart (SURVEY.md §2 — the north star's
+"paged INT8 KV cache + continuous batching" config).  Architecture:
+
+  * DEVICE: one jitted decode step — embeds the last token of every slot,
+    appends each layer's new K/V to the paged cache (donated, so XLA updates
+    it in place), runs paged flash-decoding, samples — all fused in one
+    program, executed once per generated token for the WHOLE batch.
+  * HOST: the scheduler — admission queue, slot table, page allocator
+    (kv_cache.PageAllocator).  Requests join/leave the batch between device
+    steps without recompilation: the device program's shapes are fixed at
+    (max_seqs, pages_per_seq); inactive slots ride along masked.
+
+Prefill runs per-request through the training-shape FA2 kernel (prompt
+lengths bucketed to 128 so compiles are cached), then the prompt's K/V is
+quantized and scattered into freshly allocated pages.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from collections import deque
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cuda_flash_attention_tpu.decode.kv_cache import (
+    KVPages,
+    PageAllocator,
+    init_kv_pages,
+    write_prompt_kv,
+)
+from cuda_flash_attention_tpu.decode.model import decode_step, prefill_forward
+from cuda_flash_attention_tpu.decode.sampling import sample_tokens
+from cuda_flash_attention_tpu.models.transformer import TransformerConfig
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+@dataclasses.dataclass
+class Request:
+    uid: int
+    prompt: list[int]
+    max_new_tokens: int
+    eos_id: int | None = None
+    generated: list[int] = dataclasses.field(default_factory=list)
+    slot: int | None = None
+    done: bool = False
+
+
+class DecodeEngine:
+    """Continuous-batching generation over a quantized paged KV cache."""
+
+    def __init__(
+        self,
+        params,
+        cfg: TransformerConfig,
+        *,
+        max_seqs: int = 8,
+        max_seq_len: int = 2048,
+        page_size: int = 128,
+        num_pages: int | None = None,
+        cache_dtype=jnp.int8,
+        temperature: float = 0.0,
+        top_k: int = 0,
+        seed: int = 0,
+        interpret=None,
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.max_seqs = max_seqs
+        self.page_size = page_size
+        self.pages_per_seq = _cdiv(max_seq_len, page_size)
+        self.temperature = temperature
+        self.top_k = top_k
+        self.interpret = interpret
+        if num_pages is None:
+            num_pages = max_seqs * self.pages_per_seq + 1  # +1 null page
+        self.allocator = PageAllocator(num_pages)
+        self.caches = [
+            init_kv_pages(
+                cfg.n_kv_heads, num_pages, page_size, cfg.head_dim, cache_dtype
+            )
+            for _ in range(cfg.n_layers)
+        ]
+        # Host-side slot state (numpy; shipped to device each step — tiny).
+        self.page_table = np.zeros(
+            (max_seqs, self.pages_per_seq), dtype=np.int32
+        )
+        self.lengths = np.zeros((max_seqs,), dtype=np.int32)
+        self.active = np.zeros((max_seqs,), dtype=bool)
+        self.last_token = np.zeros((max_seqs,), dtype=np.int32)
+        self._slot_req: list[Request | None] = [None] * max_seqs
+        self._slot_pages: list[list[int]] = [[] for _ in range(max_seqs)]
+        self._pending: deque[Request] = deque()
+        self._next_uid = 0
+        self._key = jax.random.PRNGKey(seed)
+
+        self._decode_fn = jax.jit(
+            functools.partial(self._device_step, cfg=cfg, interpret=interpret),
+            static_argnames=(),
+            donate_argnums=(1,),  # caches are updated in place
+        )
+        self._prefill_fn = jax.jit(
+            lambda params, tokens: prefill_forward(params, tokens, cfg)
+        )
+        self._write_fn = jax.jit(
+            lambda pages, k, v, ids: write_prompt_kv(pages, k, v, ids),
+            donate_argnums=(0,),
+        )
+
+    # ------------------------------------------------------------------
+    # Device step
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def _device_step(params, caches, tokens, positions, page_table, active,
+                     key, *, cfg, interpret, temperature=0.0, top_k=0):
+        logits, new_caches = decode_step(
+            params, tokens, positions, caches, page_table, active, cfg,
+            interpret=interpret,
+        )
+        return logits, new_caches
+
+    # ------------------------------------------------------------------
+    # Scheduler (host)
+    # ------------------------------------------------------------------
+
+    def submit(self, prompt: list[int], max_new_tokens: int = 32,
+               eos_id: int | None = None) -> Request:
+        """Queue a request; admitted as soon as a slot frees up."""
+        req = Request(self._next_uid, list(prompt), max_new_tokens, eos_id)
+        self._next_uid += 1
+        self._pending.append(req)
+        self._admit()
+        return req
+
+    def _free_slots(self):
+        return [i for i in range(self.max_seqs) if not self.active[i]
+                and self._slot_req[i] is None]
+
+    def _admit(self):
+        for slot in self._free_slots():
+            if not self._pending:
+                break
+            req = self._pending.popleft()
+            self._prefill_into_slot(req, slot)
+
+    def _sample(self, logits):
+        self._key, sub = jax.random.split(self._key)
+        return sample_tokens(
+            logits, sub, temperature=self.temperature, top_k=self.top_k
+        )
+
+    def _prefill_into_slot(self, req: Request, slot: int):
+        prompt_len = len(req.prompt)
+        if prompt_len == 0:
+            raise ValueError("empty prompt")
+        if prompt_len + req.max_new_tokens > self.pages_per_seq * self.page_size:
+            raise ValueError(
+                f"prompt+generation ({prompt_len}+{req.max_new_tokens}) exceeds "
+                f"max_seq_len {self.pages_per_seq * self.page_size}"
+            )
+        # Bucket prompt to a 128 multiple for the FA2 kernel; causal masking
+        # makes the padded tail's logits irrelevant and its K/V is never
+        # attended (lengths gate) and gets overwritten by decode appends.
+        pad_len = _cdiv(prompt_len, 128) * 128
+        tokens = np.zeros((1, pad_len), dtype=np.int32)
+        tokens[0, :prompt_len] = req.prompt
+        logits, kv = self._prefill_fn(self.params, jnp.asarray(tokens))
+
+        n_pages = _cdiv(prompt_len, self.page_size)
+        page_ids = self.allocator.alloc(n_pages)
+        self._slot_pages[slot] = page_ids
+        self.page_table[slot, :] = 0
+        self.page_table[slot, :n_pages] = page_ids
+        ids_dev = jnp.asarray(page_ids, jnp.int32)
+        kv_len = n_pages * self.page_size  # page-multiple cut of the prompt
+        for li in range(self.cfg.n_layers):
+            k, v = kv[li]
+            self.caches[li] = self._write_fn(
+                self.caches[li], k[0, :kv_len], v[0, :kv_len], ids_dev
+            )
+
+        first = int(np.asarray(self._sample(logits[:, prompt_len - 1, :]))[0])
+        req.generated.append(first)
+        req.slot = slot
+        self._slot_req[slot] = req
+        self.lengths[slot] = prompt_len
+        self.active[slot] = True
+        self.last_token[slot] = first
+        self._maybe_finish(req, first)
+
+    def _ensure_page(self, slot: int):
+        """Grow the slot's page list so position lengths[slot] is writable."""
+        needed = self.lengths[slot] // self.page_size + 1
+        while len(self._slot_pages[slot]) < needed:
+            (pid,) = self.allocator.alloc(1)
+            self._slot_pages[slot].append(pid)
+            self.page_table[slot, len(self._slot_pages[slot]) - 1] = pid
+
+    def _maybe_finish(self, req: Request, token: int):
+        if req.done:
+            return
+        hit_eos = req.eos_id is not None and token == req.eos_id
+        if hit_eos or len(req.generated) >= req.max_new_tokens:
+            req.done = True
+
+    def _retire(self, slot: int) -> Request:
+        req = self._slot_req[slot]
+        self.allocator.free(self._slot_pages[slot])
+        self._slot_pages[slot] = []
+        self.page_table[slot, :] = 0
+        self.lengths[slot] = 0
+        self.active[slot] = False
+        self._slot_req[slot] = None
+        return req
+
+    def step(self) -> list[Request]:
+        """One decode step for every active slot; returns newly finished
+        requests (their slots are freed and pending requests admitted)."""
+        # Retire slots whose request finished on the previous step/prefill.
+        finished = []
+        for slot in range(self.max_seqs):
+            req = self._slot_req[slot]
+            if req is not None and req.done:
+                finished.append(self._retire(slot))
+        self._admit()
+        if not self.active.any():
+            return finished
+
+        for slot in range(self.max_seqs):
+            if self.active[slot]:
+                self._ensure_page(slot)
+
+        self._key, sub = jax.random.split(self._key)
+        logits, self.caches = self._decode_fn(
+            self.params,
+            self.caches,
+            jnp.asarray(self.last_token),
+            jnp.asarray(self.lengths),
+            jnp.asarray(self.page_table),
+            jnp.asarray(self.active),
+            sub,
+        )
+        next_tokens = np.asarray(self._sample(logits))
+
+        for slot in range(self.max_seqs):
+            if not self.active[slot]:
+                continue
+            req = self._slot_req[slot]
+            tok = int(next_tokens[slot])
+            self.lengths[slot] += 1  # KV of last_token is now in the cache
+            req.generated.append(tok)
+            self.last_token[slot] = tok
+            self._maybe_finish(req, tok)
+        return finished
+
+    def run(self, prompts, max_new_tokens: int = 32, eos_id: int | None = None,
+            max_steps: int = 10000):
+        """Convenience: submit all prompts, step until done, return requests
+        in submission order."""
+        reqs = [self.submit(p, max_new_tokens, eos_id) for p in prompts]
+        steps = 0
+        while (any(not r.done for r in reqs) or self._pending) and steps < max_steps:
+            self.step()
+            steps += 1
+        # Final retire pass so slots/pages are released.
+        self.step()
+        return reqs

@@ -1,0 +1,198 @@
+"""Paged KV cache: fixed-size pages, host-side page allocator, quantized
+storage (SURVEY.md §7.9 "paged INT8 KV cache").
+
+The reference has no serving layer at all (SURVEY.md §2 — kernel library
+only); this is the TPU-first design the north star requires:
+
+  * K/V live in HBM as [n_kv_heads, num_pages, page_size, head_dim] pages of
+    int8 (or fp8 / bf16 / fp32) with per-token fp32 scales
+    [n_kv_heads, num_pages, page_size] when quantized.
+  * A page table [max_seqs, pages_per_seq] of page ids maps each sequence
+    slot's logical blocks to physical pages — sequences grow without copying
+    and freed pages are reused immediately (continuous batching).
+  * The page allocator is HOST state (a free list): allocation happens
+    between jitted steps when requests are admitted/evicted; the device only
+    ever sees dense int32 tables, so every kernel stays static-shaped.
+
+Writes are functional scatters (`.at[...].set`) so the cache is a plain
+pytree that flows through jit; XLA turns the per-step single-token append
+into an in-place dynamic-update-slice.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from cuda_flash_attention_tpu.quant.qtensor import qmax_for
+
+_FLOAT_CACHE_DTYPES = (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16))
+
+
+def _is_quantized(dtype) -> bool:
+    return jnp.dtype(dtype) not in _FLOAT_CACHE_DTYPES
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class KVPages:
+    """One layer's paged K/V storage. scales are all-ones when the cache
+    dtype is a float type (uniform kernel path, zero branching)."""
+
+    k_pages: jax.Array   # [n_kv_heads, num_pages, page_size, head_dim]
+    k_scales: jax.Array  # [n_kv_heads, num_pages, page_size] f32
+    v_pages: jax.Array
+    v_scales: jax.Array
+
+    def tree_flatten(self):
+        return (self.k_pages, self.k_scales, self.v_pages, self.v_scales), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def page_size(self) -> int:
+        return self.k_pages.shape[2]
+
+    @property
+    def num_pages(self) -> int:
+        return self.k_pages.shape[1]
+
+
+def init_kv_pages(
+    n_kv_heads: int,
+    num_pages: int,
+    page_size: int,
+    head_dim: int,
+    dtype=jnp.int8,
+) -> KVPages:
+    shape = (n_kv_heads, num_pages, page_size, head_dim)
+    sshape = (n_kv_heads, num_pages, page_size)
+    return KVPages(
+        k_pages=jnp.zeros(shape, dtype),
+        k_scales=jnp.ones(sshape, jnp.float32),
+        v_pages=jnp.zeros(shape, dtype),
+        v_scales=jnp.ones(sshape, jnp.float32),
+    )
+
+
+def _quantize_rows(x, dtype):
+    """Per-row (last-axis) symmetric quantization -> (values, scales)."""
+    if not _is_quantized(dtype):
+        return x.astype(dtype), jnp.ones(x.shape[:-1], jnp.float32)
+    qmax = qmax_for(dtype)
+    x = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(x), axis=-1)
+    scales = jnp.maximum(amax, 1e-12) / qmax
+    q = x / scales[..., None]
+    if jnp.dtype(dtype) == jnp.dtype(jnp.int8):
+        values = jnp.clip(jnp.round(q), -qmax, qmax).astype(jnp.int8)
+    else:
+        values = jnp.clip(q, -qmax, qmax).astype(dtype)
+    return values, scales
+
+
+def append_token_kv(
+    pages: KVPages,
+    k_new,  # [num_seqs, n_kv_heads, head_dim] — one new token per slot
+    v_new,
+    page_table,  # [max_seqs, pages_per_seq] int32
+    positions,   # [num_seqs] int32 — write position (current length)
+    active,      # [num_seqs] bool — inactive slots must not clobber pages
+) -> KVPages:
+    """Single-token decode append for every slot, as one scatter per tensor."""
+    page_size = pages.page_size
+    page_idx = positions // page_size
+    offsets = positions % page_size
+    num_seqs = k_new.shape[0]
+    page_ids = page_table[jnp.arange(num_seqs), page_idx]  # [num_seqs]
+    # Route inactive slots' writes to a dead offset in page 0? No — page 0 is
+    # a real page. Instead keep the write but make it a no-op by writing back
+    # the existing values.
+    dtype = pages.k_pages.dtype
+    kq, ks = _quantize_rows(k_new, dtype)  # [S, Hkv, D], [S, Hkv]
+    vq, vs = _quantize_rows(v_new, dtype)
+    kq = kq.transpose(1, 0, 2)  # [Hkv, S, D]
+    vq = vq.transpose(1, 0, 2)
+    ks = ks.T  # [Hkv, S]
+    vs = vs.T
+
+    old_k = pages.k_pages[:, page_ids, offsets, :]
+    old_v = pages.v_pages[:, page_ids, offsets, :]
+    old_ks = pages.k_scales[:, page_ids, offsets]
+    old_vs = pages.v_scales[:, page_ids, offsets]
+    sel = active[None, :, None]
+    sel_s = active[None, :]
+    return KVPages(
+        k_pages=pages.k_pages.at[:, page_ids, offsets, :].set(
+            jnp.where(sel, kq, old_k)
+        ),
+        k_scales=pages.k_scales.at[:, page_ids, offsets].set(
+            jnp.where(sel_s, ks, old_ks)
+        ),
+        v_pages=pages.v_pages.at[:, page_ids, offsets, :].set(
+            jnp.where(sel, vq, old_v)
+        ),
+        v_scales=pages.v_scales.at[:, page_ids, offsets].set(
+            jnp.where(sel_s, vs, old_vs)
+        ),
+    )
+
+
+def write_prompt_kv(
+    pages: KVPages,
+    k_prompt,  # [prompt_len, n_kv_heads, head_dim]
+    v_prompt,
+    page_ids,  # [ceil(prompt_len / page_size)] int32 — this slot's pages
+) -> KVPages:
+    """Prefill write: scatter a whole prompt's K/V into this slot's pages.
+    prompt_len is padded to a page multiple by the caller (engine)."""
+    page_size = pages.page_size
+    s = k_prompt.shape[0]
+    assert s % page_size == 0, "engine pads prompts to page multiples"
+    n = s // page_size
+    dtype = pages.k_pages.dtype
+    kq, ks = _quantize_rows(k_prompt, dtype)
+    vq, vs = _quantize_rows(v_prompt, dtype)
+    # [S, Hkv, D] -> [Hkv, n_pages, page_size, D]
+    def to_pages(x):
+        return x.transpose(1, 0, 2).reshape(x.shape[1], n, page_size, -1)
+
+    def to_scale_pages(x):  # [S, Hkv] -> [Hkv, n, page_size]
+        return x.T.reshape(x.shape[1], n, page_size)
+
+    return KVPages(
+        k_pages=pages.k_pages.at[:, page_ids].set(to_pages(kq)),
+        k_scales=pages.k_scales.at[:, page_ids].set(to_scale_pages(ks)),
+        v_pages=pages.v_pages.at[:, page_ids].set(to_pages(vq)),
+        v_scales=pages.v_scales.at[:, page_ids].set(to_scale_pages(vs)),
+    )
+
+
+class PageAllocator:
+    """Host-side free-list page allocator (not traced; runs between steps)."""
+
+    def __init__(self, num_pages: int):
+        # Page 0 is reserved as the null page the table points at for
+        # unallocated logical blocks (kernels skip them via lengths).
+        self._free = list(range(num_pages - 1, 0, -1))
+        self.num_pages = num_pages
+
+    @property
+    def available(self) -> int:
+        return len(self._free)
+
+    def alloc(self, n: int) -> list[int]:
+        if n > len(self._free):
+            raise MemoryError(
+                f"KV cache out of pages: need {n}, have {len(self._free)}"
+            )
+        return [self._free.pop() for _ in range(n)]
+
+    def free(self, pages) -> None:
+        for p in pages:
+            if p != 0:
+                self._free.append(int(p))

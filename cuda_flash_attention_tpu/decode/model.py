@@ -1,0 +1,109 @@
+"""Decode-mode model functions: prefill (fill the paged cache) and the
+single-token decode step over paged attention.
+
+Reuses the flagship transformer's param pytree and building blocks
+(models/transformer.py) — same weights serve training and serving. The
+reference has no serving path (SURVEY.md §2); its closest analog is the
+forward-artifacts-feed-backward contract (O/logsumexp .bin round trip,
+/root/reference/src/main.cpp:66-92), which here generalizes to "prefill
+artifacts (KV pages) feed the decode steps".
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from cuda_flash_attention_tpu.decode.attention import paged_decode_attention
+from cuda_flash_attention_tpu.decode.kv_cache import KVPages, append_token_kv
+from cuda_flash_attention_tpu.kernels.attention import flash_attention
+from cuda_flash_attention_tpu.models.transformer import (
+    TransformerConfig,
+    rms_norm,
+    rope,
+)
+from cuda_flash_attention_tpu.quant.linear import dense
+
+
+def prefill_forward(params, tokens, cfg: TransformerConfig):
+    """Full causal forward over a prompt batch [B, S]; returns
+    (logits [B, S, vocab], per-layer (k, v) with shape [B, S, Hkv, D]) —
+    the K/V are post-RoPE, exactly what the cache stores."""
+    b, s = tokens.shape
+    positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s))
+    x = params["embed"].astype(cfg.dtype)[tokens]
+    kv_out = []
+    for layer in params["layers"]:
+        h = rms_norm(x, layer["attn_norm"])
+        q = dense(h, layer["wq"]).reshape(b, s, cfg.n_heads, cfg.head_dim)
+        k = dense(h, layer["wk"]).reshape(b, s, cfg.n_kv_heads, cfg.head_dim)
+        v = dense(h, layer["wv"]).reshape(b, s, cfg.n_kv_heads, cfg.head_dim)
+        q = rope(q, positions, cfg.rope_theta)
+        k = rope(k, positions, cfg.rope_theta)
+        kv_out.append((k, v))
+        groups = cfg.n_heads // cfg.n_kv_heads
+        kk, vv = k, v
+        if groups > 1:
+            kk = jnp.repeat(k, groups, axis=2)
+            vv = jnp.repeat(v, groups, axis=2)
+        o = flash_attention(
+            q.transpose(0, 2, 1, 3), kk.transpose(0, 2, 1, 3),
+            vv.transpose(0, 2, 1, 3),
+            causal=True, tile_dtype=cfg.attn_tile_dtype,
+        )
+        o = o.transpose(0, 2, 1, 3).reshape(b, s, cfg.q_dim)
+        x = x + dense(o, layer["wo"])
+        h2 = rms_norm(x, layer["mlp_norm"])
+        gate = jax.nn.silu(dense(h2, layer["w_gate"]))
+        up = dense(h2, layer["w_up"])
+        x = x + dense(gate * up, layer["w_down"]).astype(x.dtype)
+    x = rms_norm(x, params["final_norm"])
+    logits = dense(x, params["lm_head"]).astype(jnp.float32)
+    return logits, kv_out
+
+
+def decode_step(
+    params,
+    tokens,      # [num_seqs] int32 — last sampled token per slot
+    positions,   # [num_seqs] int32 — write position (= current length)
+    caches,      # list[KVPages], one per layer
+    page_table,  # [num_seqs, pages_per_seq] int32
+    active,      # [num_seqs] bool
+    cfg: TransformerConfig,
+    *,
+    interpret=None,
+):
+    """One decode step for all slots: append each layer's new K/V to the
+    paged cache, attend over pages, return (logits [num_seqs, vocab],
+    new_caches)."""
+    n = tokens.shape[0]
+    x = params["embed"].astype(cfg.dtype)[tokens]  # [n, d_model]
+    pos2 = positions[:, None]  # [n, 1] for rope's [B, S] contract
+    attn_lengths = jnp.where(active, positions + 1, 0)
+    new_caches = []
+    for layer, pages in zip(params["layers"], caches):
+        h = rms_norm(x, layer["attn_norm"])
+        q = dense(h, layer["wq"]).reshape(n, 1, cfg.n_heads, cfg.head_dim)
+        k = dense(h, layer["wk"]).reshape(n, 1, cfg.n_kv_heads, cfg.head_dim)
+        v = dense(h, layer["wv"]).reshape(n, 1, cfg.n_kv_heads, cfg.head_dim)
+        q = rope(q, pos2, cfg.rope_theta)[:, 0]  # [n, Hq, D]
+        k = rope(k, pos2, cfg.rope_theta)[:, 0]  # [n, Hkv, D]
+        v = v[:, 0]
+        pages = append_token_kv(pages, k, v, page_table, positions, active)
+        new_caches.append(pages)
+        o = paged_decode_attention(
+            q.astype(cfg.dtype), pages, page_table, attn_lengths,
+            compute_dtype=jnp.float32 if cfg.attn_tile_dtype is None
+            else jnp.bfloat16,
+            interpret=interpret,
+        )  # [n, Hq, D]
+        x = x + dense(o.reshape(n, cfg.q_dim), layer["wo"])
+        h2 = rms_norm(x, layer["mlp_norm"])
+        gate = jax.nn.silu(dense(h2, layer["w_gate"]))
+        up = dense(h2, layer["w_up"])
+        x = x + dense(gate * up, layer["w_down"]).astype(x.dtype)
+    x = rms_norm(x, params["final_norm"])
+    logits = dense(x, params["lm_head"]).astype(jnp.float32)
+    return logits, new_caches

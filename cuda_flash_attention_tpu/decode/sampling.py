@@ -1,0 +1,34 @@
+"""Token sampling for the decode engine: greedy, temperature, top-k.
+
+Pure-jnp, static-shaped (top-k uses lax.top_k with a static k) so the whole
+sample step fuses into the decode jit.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=("temperature", "top_k"))
+def sample_tokens(
+    logits,       # [num_seqs, vocab]
+    key,          # PRNG key
+    *,
+    temperature: float = 0.0,
+    top_k: int = 0,
+):
+    """Sample one token per row. temperature<=0 -> greedy; top_k>0 restricts
+    sampling to the k most likely tokens."""
+    if temperature <= 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    logits = logits / temperature
+    if top_k > 0:
+        vals, idx = jax.lax.top_k(logits, top_k)  # [n, k]
+        choice = jax.random.categorical(key, vals, axis=-1)  # [n]
+        return jnp.take_along_axis(idx, choice[:, None], axis=-1)[:, 0].astype(
+            jnp.int32
+        )
+    return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)

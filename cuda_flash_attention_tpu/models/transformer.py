@@ -34,6 +34,7 @@ from cuda_flash_attention_tpu.parallel.sharded import (
     head_parallel_attention,
     mesh_interpret_default,
 )
+from cuda_flash_attention_tpu.quant.linear import dense as _dense
 
 
 @dataclasses.dataclass(frozen=True)
@@ -184,22 +185,22 @@ def gqa_flash_attention(q, k, v, *, cfg: TransformerConfig, mesh=None,
 def _attention_block(x, layer, positions, cfg: TransformerConfig, mesh):
     b, s, _ = x.shape
     h = rms_norm(x, layer["attn_norm"])
-    q = (h @ layer["wq"].astype(h.dtype)).reshape(b, s, cfg.n_heads, cfg.head_dim)
-    k = (h @ layer["wk"].astype(h.dtype)).reshape(b, s, cfg.n_kv_heads, cfg.head_dim)
-    v = (h @ layer["wv"].astype(h.dtype)).reshape(b, s, cfg.n_kv_heads, cfg.head_dim)
+    q = _dense(h, layer["wq"]).reshape(b, s, cfg.n_heads, cfg.head_dim)
+    k = _dense(h, layer["wk"]).reshape(b, s, cfg.n_kv_heads, cfg.head_dim)
+    v = _dense(h, layer["wv"]).reshape(b, s, cfg.n_kv_heads, cfg.head_dim)
     q = rope(q, positions, cfg.rope_theta).transpose(0, 2, 1, 3)
     k = rope(k, positions, cfg.rope_theta).transpose(0, 2, 1, 3)
     v = v.transpose(0, 2, 1, 3)
     o = gqa_flash_attention(q, k, v, cfg=cfg, mesh=mesh, causal=True)
     o = o.transpose(0, 2, 1, 3).reshape(b, s, cfg.q_dim)
-    return x + o @ layer["wo"].astype(o.dtype)
+    return x + _dense(o, layer["wo"])
 
 
 def _mlp_block(x, layer):
     h = rms_norm(x, layer["mlp_norm"])
-    gate = jax.nn.silu(h @ layer["w_gate"].astype(h.dtype))
-    up = h @ layer["w_up"].astype(h.dtype)
-    return x + (gate * up) @ layer["w_down"].astype(x.dtype)
+    gate = jax.nn.silu(_dense(h, layer["w_gate"]))
+    up = _dense(h, layer["w_up"])
+    return x + _dense(gate * up, layer["w_down"]).astype(x.dtype)
 
 
 def _activation_spec(mesh):
@@ -221,7 +222,7 @@ def forward(params, tokens, cfg: TransformerConfig, mesh=None):
         x = _attention_block(x, layer, positions, cfg, mesh)
         x = _mlp_block(x, layer)
     x = rms_norm(x, params["final_norm"])
-    return (x @ params["lm_head"].astype(x.dtype)).astype(jnp.float32)
+    return _dense(x, params["lm_head"]).astype(jnp.float32)
 
 
 def loss_fn(params, tokens, cfg: TransformerConfig, mesh=None):

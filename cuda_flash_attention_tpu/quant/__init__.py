@@ -1,0 +1,28 @@
+"""Quantization layer: INT8/FP8 tensors, weight-only dense quant, and the
+fused-dequant attention entry points (SURVEY.md §7.8)."""
+
+from cuda_flash_attention_tpu.quant.qtensor import (
+    QuantizedTensor,
+    dequantize,
+    quantize,
+    quantize_kv,
+    supported_quant_dtypes,
+)
+from cuda_flash_attention_tpu.quant.linear import (
+    dense,
+    quantize_transformer_params,
+    quantize_weight,
+    quantized_matmul,
+)
+
+__all__ = [
+    "QuantizedTensor",
+    "quantize",
+    "dequantize",
+    "quantize_kv",
+    "supported_quant_dtypes",
+    "quantize_weight",
+    "quantized_matmul",
+    "dense",
+    "quantize_transformer_params",
+]

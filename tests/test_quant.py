@@ -1,0 +1,167 @@
+"""Quantization layer tests: round-trip error, fused-dequant attention
+kernel exactness, weight-only dense quant, and quantized end-to-end model.
+
+Accuracy gating follows the reference harness pattern (max-abs tolerance +
+NaN/Inf gate, /root/reference/test_flash_attention2.py:1018-1020) with
+budgets scaled to each bit-width (SURVEY.md §7.8: "accuracy gated at the
+same max-abs/MSE budget per bit-width").
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cuda_flash_attention_tpu.kernels.fa2_forward_quant import (
+    flash_attention_int8_kv,
+    flash_attention_quantized_kv,
+)
+from cuda_flash_attention_tpu.ops.reference import vanilla_attention
+from cuda_flash_attention_tpu.quant import (
+    QuantizedTensor,
+    dequantize,
+    quantize,
+    quantize_kv,
+    quantize_transformer_params,
+    quantize_weight,
+    quantized_matmul,
+)
+
+
+def _qkv(b=2, h=2, s=256, d=64, seed=0):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 3)
+    q = jax.random.normal(ks[0], (b, h, s, d), jnp.float32)
+    k = jax.random.normal(ks[1], (b, h, s, d), jnp.float32)
+    v = jax.random.normal(ks[2], (b, h, s, d), jnp.float32)
+    return q, k, v
+
+
+# ---------------------------------------------------------------------------
+# QuantizedTensor round trip
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("dtype", [jnp.int8, jnp.float8_e4m3fn])
+def test_quantize_roundtrip(dtype):
+    x = jax.random.normal(jax.random.PRNGKey(1), (64, 128), jnp.float32)
+    qt = quantize(x, dtype, axis=-1)
+    assert qt.values.dtype == jnp.dtype(dtype)
+    assert qt.scales.shape == (64, 1)
+    x_hat = dequantize(qt)
+    # Error bound per format: int8 step is amax/127 (absolute); e4m3 has a
+    # 3-bit mantissa -> worst-case relative step 2^-3, half-step 6.25%.
+    err = jnp.max(jnp.abs(x - x_hat))
+    amax = jnp.max(jnp.abs(x))
+    bound = amax / 100 if jnp.dtype(dtype) == jnp.dtype(jnp.int8) else amax * 0.0725
+    assert err < bound
+    assert not jnp.any(jnp.isnan(x_hat))
+
+
+def test_quantized_tensor_is_pytree():
+    x = jnp.ones((8, 128))
+    qt = quantize(x, jnp.int8, axis=-1)
+    leaves = jax.tree.leaves(qt)
+    assert len(leaves) == 2
+    qt2 = jax.jit(lambda t: t)(qt)
+    assert isinstance(qt2, QuantizedTensor)
+    np.testing.assert_array_equal(qt.values, qt2.values)
+
+
+# ---------------------------------------------------------------------------
+# Fused-dequant attention kernel
+# ---------------------------------------------------------------------------
+
+
+def test_quant_kernel_matches_dequantized_oracle_exactly():
+    """With fp32 in-kernel compute, the fused-scale algebra must match
+    attention over the explicitly dequantized K/V to fp32 accumulation
+    accuracy — this isolates the fusion from the quantization error."""
+    q, k, v = _qkv(s=320)  # non-multiple of 128 exercises tail masking
+    k_q, v_q = quantize_kv(k, v, jnp.int8)
+    o_kernel = flash_attention_quantized_kv(
+        q, k_q, v_q, compute_dtype=jnp.float32
+    )
+    o_ref = vanilla_attention(q, dequantize(k_q), dequantize(v_q))
+    np.testing.assert_allclose(np.asarray(o_kernel), np.asarray(o_ref), atol=2e-5)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_int8_kv_attention_accuracy(causal):
+    """End-to-end int8 KV error vs the fp32 oracle stays within the int8
+    budget on gaussian data."""
+    q, k, v = _qkv(s=256)
+    o_q = flash_attention_int8_kv(q, k, v, causal=causal,
+                                  compute_dtype=jnp.float32)
+    o_ref = vanilla_attention(q, k, v, causal=causal)
+    err = jnp.max(jnp.abs(o_q - o_ref))
+    assert err < 0.05, f"int8 KV max abs err {err}"
+    assert not jnp.any(jnp.isnan(o_q))
+
+
+def test_fp8_kv_attention_accuracy():
+    q, k, v = _qkv(s=256)
+    k_q, v_q = quantize_kv(k, v, jnp.float8_e4m3fn)
+    o_q = flash_attention_quantized_kv(q, k_q, v_q, compute_dtype=jnp.float32)
+    o_ref = vanilla_attention(q, k, v)
+    err = jnp.max(jnp.abs(o_q - o_ref))
+    assert err < 0.08, f"fp8 KV max abs err {err}"
+
+
+def test_quant_kernel_ragged_and_causal():
+    q, k, v = _qkv(s=100)  # Edge-NonPowerOf2 parity (S=100)
+    o_q = flash_attention_int8_kv(q, k, v, causal=True,
+                                  compute_dtype=jnp.float32)
+    o_ref = vanilla_attention(q, k, v, causal=True)
+    assert o_q.shape == o_ref.shape
+    assert jnp.max(jnp.abs(o_q - o_ref)) < 0.05
+    assert not jnp.any(jnp.isnan(o_q))
+
+
+# ---------------------------------------------------------------------------
+# Weight-only quantization
+# ---------------------------------------------------------------------------
+
+
+def test_quantized_matmul_matches_dequantized():
+    key = jax.random.PRNGKey(3)
+    x = jax.random.normal(key, (16, 256), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(4), (256, 512), jnp.float32) * 0.05
+    w_q = quantize_weight(w, jnp.int8)
+    # At HIGHEST precision the fused scale-after-contraction form is exactly
+    # the dequantized matmul (pure algebra, no precision asymmetry).
+    y_fused = quantized_matmul(x, w_q, precision=jax.lax.Precision.HIGHEST)
+    y_explicit = jnp.dot(x, dequantize(w_q), precision=jax.lax.Precision.HIGHEST)
+    np.testing.assert_allclose(
+        np.asarray(y_fused), np.asarray(y_explicit), rtol=1e-5, atol=1e-5
+    )
+    # The default (reduced-pass) fused path still tracks the fp32 matmul
+    # within the int8 budget.
+    assert jnp.max(jnp.abs(quantized_matmul(x, w_q) - x @ w)) < 0.05
+
+
+def test_quantized_transformer_forward():
+    from cuda_flash_attention_tpu.models import (
+        TransformerConfig, forward, init_params,
+    )
+
+    cfg = TransformerConfig.tiny()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (2, 128), 0, cfg.vocab_size)
+
+    logits_fp = forward(params, tokens, cfg)
+    q_params = quantize_transformer_params(params, jnp.int8)
+    n_quant = sum(
+        isinstance(leaf, QuantizedTensor)
+        for leaf in jax.tree.leaves(
+            q_params, is_leaf=lambda x: isinstance(x, QuantizedTensor)
+        )
+    )
+    assert n_quant == 7 * cfg.n_layers + 1  # 7 projections/layer + lm_head
+    logits_q = jax.jit(lambda p, t: forward(p, t, cfg))(q_params, tokens)
+    assert logits_q.shape == logits_fp.shape
+    assert not jnp.any(jnp.isnan(logits_q))
+    # int8 weight-only should track fp32 logits closely on a tiny model.
+    rel = jnp.max(jnp.abs(logits_q - logits_fp)) / (
+        jnp.max(jnp.abs(logits_fp)) + 1e-9
+    )
+    assert rel < 0.15, f"quantized logits diverged: rel={rel}"
