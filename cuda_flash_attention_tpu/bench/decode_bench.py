@@ -1,0 +1,174 @@
+"""Decode throughput benchmark: steady-state tokens/sec/chip over the paged
+quantized KV cache (BASELINE.md "TPU targets": decode tokens/sec/chip with
+paged INT8 KV).
+
+Measures the DEVICE steady state: `decode_step` + greedy sampling chained in
+a `lax.fori_loop` (each step consumes the previous step's sampled token, so
+nothing can be hoisted), timed at two loop lengths and differenced — the
+same slope method utils/timing.py uses to cancel the fixed dispatch latency
+of tunneled PJRT backends.  Host-scheduler overhead (admission, page
+allocation) is excluded by design: it overlaps device work in a real serving
+loop and is measured separately by the engine tests.
+
+Usage:
+    python -m cuda_flash_attention_tpu.bench.decode_bench \
+        --batch 16 --prompt-len 128 --gen 64
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cuda_flash_attention_tpu.decode.kv_cache import (
+    PageAllocator,
+    init_kv_pages,
+    write_prompt_kv,
+)
+from cuda_flash_attention_tpu.decode.model import decode_step, prefill_forward
+from cuda_flash_attention_tpu.models.transformer import TransformerConfig, init_params
+from cuda_flash_attention_tpu.utils.timing import sync
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def build_state(cfg: TransformerConfig, batch: int, prompt_len: int,
+                max_len: int, page_size: int = 128, cache_dtype=jnp.int8,
+                seed: int = 0):
+    """Prefill `batch` random prompts into a paged cache sized for max_len."""
+    params = init_params(jax.random.PRNGKey(seed), cfg)
+    pages_per_seq = _cdiv(max_len, page_size)
+    num_pages = batch * pages_per_seq + 1
+    alloc = PageAllocator(num_pages)
+    page_table = np.zeros((batch, pages_per_seq), np.int32)
+
+    caches = [
+        init_kv_pages(cfg.n_kv_heads, num_pages, page_size, cfg.head_dim,
+                      cache_dtype)
+        for _ in range(cfg.n_layers)
+    ]
+    tokens = jax.random.randint(
+        jax.random.PRNGKey(seed + 1), (batch, prompt_len), 0, cfg.vocab_size
+    )
+    logits, kv = jax.jit(
+        lambda p, t: prefill_forward(p, t, cfg)
+    )(params, tokens)
+
+    n_prompt_pages = _cdiv(prompt_len, page_size)
+    kv_len = n_prompt_pages * page_size
+    pad = kv_len - prompt_len
+    for s in range(batch):
+        ids = alloc.alloc(pages_per_seq)  # preallocate the whole horizon
+        page_table[s, :] = ids
+        ids_prompt = jnp.asarray(ids[:n_prompt_pages], jnp.int32)
+        for li in range(cfg.n_layers):
+            k, v = kv[li]
+            ks = jnp.pad(k[s], ((0, pad), (0, 0), (0, 0)))
+            vs = jnp.pad(v[s], ((0, pad), (0, 0), (0, 0)))
+            caches[li] = write_prompt_kv(caches[li], ks, vs, ids_prompt)
+
+    first = jnp.argmax(logits[:, prompt_len - 1, :], axis=-1).astype(jnp.int32)
+    return params, caches, jnp.asarray(page_table), first
+
+
+def make_loop_fn(cfg: TransformerConfig, page_table, start_len: int):
+    """Returns fn(params, caches, tokens, n) running n chained greedy decode
+    steps on-device; output feeds the next step's input."""
+    active = jnp.ones((page_table.shape[0],), bool)
+
+    @functools.partial(jax.jit, static_argnames=("n",), donate_argnums=(1,))
+    def run_n(params, caches, tokens, n):
+        def body(i, carry):
+            caches, tokens = carry
+            positions = jnp.full(tokens.shape, start_len, jnp.int32) + i
+            logits, caches = decode_step(
+                params, tokens, positions, caches, page_table, active, cfg
+            )
+            return caches, jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+        caches, tokens = jax.lax.fori_loop(0, n, body, (caches, tokens))
+        return caches, tokens
+
+    return run_n
+
+
+def measure_decode_throughput(
+    cfg: TransformerConfig,
+    batch: int = 16,
+    prompt_len: int = 128,
+    gen_tokens: int = 64,
+    page_size: int = 128,
+    cache_dtype=jnp.int8,
+) -> dict:
+    max_len = _cdiv(prompt_len, page_size) * page_size + gen_tokens * 6 + page_size
+    params, caches, page_table, first = build_state(
+        cfg, batch, prompt_len, max_len, page_size, cache_dtype
+    )
+    run_n = make_loop_fn(cfg, page_table, prompt_len)
+
+    n_lo, n_hi = gen_tokens, gen_tokens * 5
+    # Warm-up compiles both loop lengths (donated caches: re-run build? No —
+    # donation invalidates, so thread the returned caches forward).
+    caches, toks = run_n(params, caches, first, n=n_lo)
+    sync(toks)
+    t0 = time.perf_counter()
+    caches, toks = run_n(params, caches, first, n=n_lo)
+    sync(toks)
+    t_lo = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    caches, toks = run_n(params, caches, first, n=n_hi)
+    sync(toks)
+    t_hi = time.perf_counter() - t0
+
+    step_s = max(t_hi - t_lo, 1e-9) / (n_hi - n_lo)
+    return {
+        "tokens_per_sec_per_chip": batch / step_s,
+        "step_ms": step_s * 1e3,
+        "batch": batch,
+        "prompt_len": prompt_len,
+        "cache_dtype": str(jnp.dtype(cache_dtype)),
+        "model": dataclass_summary(cfg),
+    }
+
+
+def dataclass_summary(cfg: TransformerConfig) -> str:
+    return (f"L{cfg.n_layers}_d{cfg.d_model}_h{cfg.n_heads}"
+            f"kv{cfg.n_kv_heads}_ff{cfg.d_ff}")
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--prompt-len", type=int, default=128)
+    p.add_argument("--gen", type=int, default=64)
+    p.add_argument("--cache-dtype", default="int8",
+                   choices=["int8", "float8_e4m3fn", "bfloat16", "float32"])
+    p.add_argument("--flagship", action="store_true",
+                   help="use the flagship config instead of the bench default")
+    args = p.parse_args()
+
+    cfg = (
+        TransformerConfig(
+            vocab_size=2048, d_model=512, n_layers=4, n_heads=8, n_kv_heads=4,
+            head_dim=64, d_ff=1536,
+        )
+        if args.flagship
+        else TransformerConfig.tiny()
+    )
+    out = measure_decode_throughput(
+        cfg, batch=args.batch, prompt_len=args.prompt_len,
+        gen_tokens=args.gen, cache_dtype=jnp.dtype(args.cache_dtype),
+    )
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
