@@ -115,9 +115,11 @@ def measure_decode_throughput(
     run_n = make_loop_fn(cfg, page_table, prompt_len)
 
     n_lo, n_hi = gen_tokens, gen_tokens * 5
-    # Warm-up compiles both loop lengths (donated caches: re-run build? No —
-    # donation invalidates, so thread the returned caches forward).
+    # Warm-up must compile BOTH loop lengths before any timed run (each
+    # static n is its own executable); donated caches thread forward.
     caches, toks = run_n(params, caches, first, n=n_lo)
+    sync(toks)
+    caches, toks = run_n(params, caches, first, n=n_hi)
     sync(toks)
     t0 = time.perf_counter()
     caches, toks = run_n(params, caches, first, n=n_lo)
