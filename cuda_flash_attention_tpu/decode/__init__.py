@@ -12,6 +12,10 @@ from cuda_flash_attention_tpu.decode.kv_cache import (
 )
 from cuda_flash_attention_tpu.decode.model import decode_step, prefill_forward
 from cuda_flash_attention_tpu.decode.sampling import sample_tokens
+from cuda_flash_attention_tpu.decode.sharded import (
+    shard_kv_pages,
+    tp_paged_decode_attention,
+)
 
 __all__ = [
     "paged_decode_attention",
@@ -25,4 +29,6 @@ __all__ = [
     "decode_step",
     "prefill_forward",
     "sample_tokens",
+    "shard_kv_pages",
+    "tp_paged_decode_attention",
 ]

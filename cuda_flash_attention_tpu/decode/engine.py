@@ -69,10 +69,12 @@ class DecodeEngine:
         temperature: float = 0.0,
         top_k: int = 0,
         seed: int = 0,
+        mesh=None,
         interpret=None,
     ):
         self.params = params
         self.cfg = cfg
+        self.mesh = mesh
         self.max_seqs = max_seqs
         self.page_size = page_size
         self.pages_per_seq = _cdiv(max_seq_len, page_size)
@@ -88,6 +90,14 @@ class DecodeEngine:
             )
             for _ in range(cfg.n_layers)
         ]
+        if mesh is not None:
+            from cuda_flash_attention_tpu.decode.sharded import shard_kv_pages
+            from cuda_flash_attention_tpu.models.transformer import param_shardings
+
+            self.params = jax.tree.map(
+                jax.device_put, params, param_shardings(mesh, cfg)
+            )
+            self.caches = [shard_kv_pages(mesh, c) for c in self.caches]
         # Host-side slot state (numpy; shipped to device each step — tiny).
         self.page_table = np.zeros(
             (max_seqs, self.pages_per_seq), dtype=np.int32
@@ -102,12 +112,14 @@ class DecodeEngine:
         self._key = jax.random.PRNGKey(seed)
 
         self._decode_fn = jax.jit(
-            functools.partial(self._device_step, cfg=cfg, interpret=interpret),
+            functools.partial(
+                self._device_step, cfg=cfg, interpret=interpret, mesh=mesh
+            ),
             static_argnames=(),
             donate_argnums=(1,),  # caches are updated in place
         )
         self._prefill_fn = jax.jit(
-            lambda params, tokens: prefill_forward(params, tokens, cfg)
+            lambda params, tokens: prefill_forward(params, tokens, cfg, mesh)
         )
         self._write_fn = jax.jit(
             lambda pages, k, v, ids: write_prompt_kv(pages, k, v, ids),
@@ -120,10 +132,11 @@ class DecodeEngine:
 
     @staticmethod
     def _device_step(params, caches, tokens, positions, page_table, active,
-                     key, *, cfg, interpret, temperature=0.0, top_k=0):
+                     key, *, cfg, interpret, mesh=None,
+                     temperature=0.0, top_k=0):
         logits, new_caches = decode_step(
             params, tokens, positions, caches, page_table, active, cfg,
-            interpret=interpret,
+            mesh=mesh, interpret=interpret,
         )
         return logits, new_caches
 

@@ -18,19 +18,20 @@ import jax.numpy as jnp
 
 from cuda_flash_attention_tpu.decode.attention import paged_decode_attention
 from cuda_flash_attention_tpu.decode.kv_cache import KVPages, append_token_kv
-from cuda_flash_attention_tpu.kernels.attention import flash_attention
 from cuda_flash_attention_tpu.models.transformer import (
     TransformerConfig,
+    gqa_flash_attention,
     rms_norm,
     rope,
 )
 from cuda_flash_attention_tpu.quant.linear import dense
 
 
-def prefill_forward(params, tokens, cfg: TransformerConfig):
+def prefill_forward(params, tokens, cfg: TransformerConfig, mesh=None):
     """Full causal forward over a prompt batch [B, S]; returns
     (logits [B, S, vocab], per-layer (k, v) with shape [B, S, Hkv, D]) —
-    the K/V are post-RoPE, exactly what the cache stores."""
+    the K/V are post-RoPE, exactly what the cache stores.  With `mesh`,
+    attention runs head-parallel/ring exactly like training forward."""
     b, s = tokens.shape
     positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s))
     x = params["embed"].astype(cfg.dtype)[tokens]
@@ -43,15 +44,9 @@ def prefill_forward(params, tokens, cfg: TransformerConfig):
         q = rope(q, positions, cfg.rope_theta)
         k = rope(k, positions, cfg.rope_theta)
         kv_out.append((k, v))
-        groups = cfg.n_heads // cfg.n_kv_heads
-        kk, vv = k, v
-        if groups > 1:
-            kk = jnp.repeat(k, groups, axis=2)
-            vv = jnp.repeat(v, groups, axis=2)
-        o = flash_attention(
-            q.transpose(0, 2, 1, 3), kk.transpose(0, 2, 1, 3),
-            vv.transpose(0, 2, 1, 3),
-            causal=True, tile_dtype=cfg.attn_tile_dtype,
+        o = gqa_flash_attention(
+            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3), cfg=cfg, mesh=mesh, causal=True,
         )
         o = o.transpose(0, 2, 1, 3).reshape(b, s, cfg.q_dim)
         x = x + dense(o, layer["wo"])
@@ -73,15 +68,20 @@ def decode_step(
     active,      # [num_seqs] bool
     cfg: TransformerConfig,
     *,
+    mesh=None,
     interpret=None,
 ):
     """One decode step for all slots: append each layer's new K/V to the
     paged cache, attend over pages, return (logits [num_seqs, vocab],
-    new_caches)."""
+    new_caches).  With `mesh`, attention runs head-parallel over the model
+    axis (decode/sharded.py) and dense projections partition under pjit."""
     n = tokens.shape[0]
     x = params["embed"].astype(cfg.dtype)[tokens]  # [n, d_model]
     pos2 = positions[:, None]  # [n, 1] for rope's [B, S] contract
     attn_lengths = jnp.where(active, positions + 1, 0)
+    compute_dtype = (
+        jnp.float32 if cfg.attn_tile_dtype is None else jnp.bfloat16
+    )
     new_caches = []
     for layer, pages in zip(params["layers"], caches):
         h = rms_norm(x, layer["attn_norm"])
@@ -93,12 +93,21 @@ def decode_step(
         v = v[:, 0]
         pages = append_token_kv(pages, k, v, page_table, positions, active)
         new_caches.append(pages)
-        o = paged_decode_attention(
-            q.astype(cfg.dtype), pages, page_table, attn_lengths,
-            compute_dtype=jnp.float32 if cfg.attn_tile_dtype is None
-            else jnp.bfloat16,
-            interpret=interpret,
-        )  # [n, Hq, D]
+        if mesh is not None:
+            from cuda_flash_attention_tpu.decode.sharded import (
+                tp_paged_decode_attention,
+            )
+
+            o = tp_paged_decode_attention(
+                mesh, q.astype(cfg.dtype), pages, page_table, attn_lengths,
+                compute_dtype=compute_dtype,
+            )
+        else:
+            o = paged_decode_attention(
+                q.astype(cfg.dtype), pages, page_table, attn_lengths,
+                compute_dtype=compute_dtype,
+                interpret=interpret,
+            )  # [n, Hq, D]
         x = x + dense(o.reshape(n, cfg.q_dim), layer["wo"])
         h2 = rms_norm(x, layer["mlp_norm"])
         gate = jax.nn.silu(dense(h2, layer["w_gate"]))
