@@ -60,10 +60,14 @@ def _normalize(q, k, v, sm_scale, block_sizes):
         )
     if k.shape != v.shape:
         raise ValueError(f"k/v shape mismatch: {k.shape} vs {v.shape}")
-    if q.shape[0] != k.shape[0] or q.shape[1] != k.shape[1] or q.shape[3] != k.shape[3]:
+    if q.shape[0] != k.shape[0] or q.shape[3] != k.shape[3]:
         raise ValueError(
-            f"q and k must agree on batch/heads/head_dim: {q.shape} vs {k.shape}"
-            " (for grouped-query attention use models.gqa_flash_attention)"
+            f"q and k must agree on batch/head_dim: {q.shape} vs {k.shape}"
+        )
+    if q.shape[1] % k.shape[1] != 0:
+        raise ValueError(
+            f"GQA requires query heads ({q.shape[1]}) to be a multiple of "
+            f"KV heads ({k.shape[1]})"
         )
     if sm_scale is None:
         sm_scale = 1.0 / (q.shape[-1] ** 0.5)
@@ -104,7 +108,8 @@ def _fa2_fwd_impl(q, k, v, kv_len, causal, sm_scale, block_sizes, tile_dtype,
         q, k, v,
         causal=causal, sm_scale=sm_scale,
         block_q=block_q, block_k=block_k,
-        kv_len=kv_len, tile_dtype=tile_dtype, interpret=interpret,
+        kv_len=kv_len, tile_dtype=tile_dtype,
+        kv_groups=q.shape[1] // k.shape[1], interpret=interpret,
     )
 
 
@@ -125,19 +130,22 @@ def _fa2_bwd(kv_len, causal, sm_scale, block_sizes, tile_dtype, interpret,
     di_rep = _replicate_lanes(
         jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
     )
+    kv_groups = q.shape[1] // k.shape[1]
     dq = fa2_backward_dq_aligned(
         q, k, v, do, lse_rep, di_rep,
         causal=causal, sm_scale=sm_scale,
         block_q=_fit_block(block_sizes.block_q_dq, q.shape[2]),
         block_k=_fit_block(block_sizes.block_k_dq, k.shape[2]),
-        kv_len=kv_len, tile_dtype=tile_dtype, interpret=interpret,
+        kv_len=kv_len, tile_dtype=tile_dtype, kv_groups=kv_groups,
+        interpret=interpret,
     )
     dk, dv = fa2_backward_dkv_aligned(
         q, k, v, do, lse_rep, di_rep,
         causal=causal, sm_scale=sm_scale,
         block_q=_fit_block(block_sizes.block_q_dkv, q.shape[2]),
         block_k=_fit_block(block_sizes.block_k_dkv, k.shape[2]),
-        kv_len=kv_len, tile_dtype=tile_dtype, interpret=interpret,
+        kv_len=kv_len, tile_dtype=tile_dtype, kv_groups=kv_groups,
+        interpret=interpret,
     )
     return dq, dk, dv
 
@@ -162,6 +170,10 @@ def flash_attention(
     interpret=None,
 ):
     """Differentiable FlashAttention-2. Returns O with q's shape/dtype.
+
+    GQA is kernel-native: k/v may carry fewer heads than q (q heads must be
+    a multiple, ordered kv-head-major); each query head streams its KV head
+    directly from HBM — no repeated-KV materialization.
 
     ``tile_dtype`` is the SHM_PRECISION analog: Q/K/V/P tiles are cast to it
     (bf16/fp16) inside the kernel before the MXU matmuls while all softmax
@@ -227,19 +239,22 @@ def fa2_backward(
     di_rep = _replicate_lanes(
         jnp.sum(o_pad.astype(jnp.float32) * do_pad.astype(jnp.float32), axis=-1)
     )
+    kv_groups = q_pad.shape[1] // k_pad.shape[1]
     dq = fa2_backward_dq_aligned(
         q_pad, k_pad, v_pad, do_pad, lse_rep, di_rep,
         causal=causal, sm_scale=sm_scale,
         block_q=_fit_block(block_sizes.block_q_dq, q_pad.shape[2]),
         block_k=_fit_block(block_sizes.block_k_dq, k_pad.shape[2]),
-        kv_len=kv_len, tile_dtype=tile_dtype, interpret=interpret,
+        kv_len=kv_len, tile_dtype=tile_dtype, kv_groups=kv_groups,
+        interpret=interpret,
     )
     dk, dv = fa2_backward_dkv_aligned(
         q_pad, k_pad, v_pad, do_pad, lse_rep, di_rep,
         causal=causal, sm_scale=sm_scale,
         block_q=_fit_block(block_sizes.block_q_dkv, q_pad.shape[2]),
         block_k=_fit_block(block_sizes.block_k_dkv, k_pad.shape[2]),
-        kv_len=kv_len, tile_dtype=tile_dtype, interpret=interpret,
+        kv_len=kv_len, tile_dtype=tile_dtype, kv_groups=kv_groups,
+        interpret=interpret,
     )
     return (
         dq[:, :, :q_len, :],

@@ -100,12 +100,16 @@ def _fa2_bwd_dkv_kernel(
     dk_scr, dv_scr,
     *,
     sm_scale, causal, mask_value, kv_len,
-    block_q, block_k, num_q_blocks, tile_dtype, mask_kv_tail,
+    block_q, block_k, num_q_blocks, tile_dtype, mask_kv_tail, kv_groups,
 ):
     kv_idx = pl.program_id(2)
-    q_idx = pl.program_id(3)
+    # Innermost dim sweeps (query-head group g, Q block qi): dK/dV for one
+    # KV head accumulate contributions from ALL query heads in its group
+    # before the single store (kernel-native GQA).
+    inner = pl.program_id(3)
+    q_idx = inner % num_q_blocks
 
-    @pl.when(q_idx == 0)
+    @pl.when(inner == 0)
     def _init():
         dk_scr[...] = jnp.zeros(dk_scr.shape, jnp.float32)
         dv_scr[...] = jnp.zeros(dv_scr.shape, jnp.float32)
@@ -147,7 +151,7 @@ def _fa2_bwd_dkv_kernel(
             preferred_element_type=jnp.float32, precision=precision,
         )
 
-    @pl.when(q_idx == num_q_blocks - 1)
+    @pl.when(inner == kv_groups * num_q_blocks - 1)
     def _store():
         dk_ref[0, 0] = dk_scr[...].astype(dk_ref.dtype)
         dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
@@ -206,7 +210,7 @@ def _fa2_bwd_dq_kernel(
     jax.jit,
     static_argnames=(
         "causal", "sm_scale", "block_q", "block_k", "kv_len",
-        "tile_dtype", "interpret", "debug",
+        "tile_dtype", "kv_groups", "interpret", "debug",
     ),
 )
 def fa2_backward_dkv_aligned(
@@ -218,23 +222,34 @@ def fa2_backward_dkv_aligned(
     block_k: int,
     kv_len: int,
     tile_dtype=None,
+    kv_groups: int = 1,
     interpret=None,
     debug: bool = False,
 ):
-    """dK, dV. lse_rep/di_rep are lane-replicated [B, H, Sq_pad, NUM_LANES]."""
+    """dK, dV. lse_rep/di_rep are lane-replicated [B, Hq, Sq_pad, NUM_LANES].
+
+    With ``kv_groups`` > 1 the grid runs one cell per KV head and sweeps the
+    group's query heads in the innermost dim, accumulating the group's dK/dV
+    in VMEM scratch (the GQA gradient sum) before one store."""
     batch, heads, q_len, head_dim = q.shape
+    kv_heads = k.shape[1]
+    assert kv_heads * kv_groups == heads
     kv_len_pad = k.shape[2]
     num_q_blocks = q_len // block_q
-    grid = (batch, heads, kv_len_pad // block_k, num_q_blocks)
+    grid = (
+        batch, kv_heads, kv_len_pad // block_k, kv_groups * num_q_blocks
+    )
 
-    def qo_index_map(b, h, ki, qi):
+    def qo_index_map(b, hk, ki, inner):
+        g = inner // num_q_blocks
+        qi = inner % num_q_blocks
         if causal:
             # Above-diagonal Q blocks are skipped; prefetch Q block 0 instead.
             qi = lax.select(below_or_on_diag(qi, block_q, ki, block_k), qi, 0)
-        return (b, h, qi, 0)
+        return (b, hk * kv_groups + g, qi, 0)
 
-    def kv_index_map(b, h, ki, qi):
-        return (b, h, ki, 0)
+    def kv_index_map(b, hk, ki, inner):
+        return (b, hk, ki, 0)
 
     kernel = functools.partial(
         _fa2_bwd_dkv_kernel,
@@ -247,6 +262,7 @@ def fa2_backward_dkv_aligned(
         num_q_blocks=num_q_blocks,
         tile_dtype=tile_dtype,
         mask_kv_tail=(kv_len != kv_len_pad),
+        kv_groups=kv_groups,
     )
     qo_spec = pl.BlockSpec((1, 1, block_q, head_dim), qo_index_map)
     kv_spec = pl.BlockSpec((1, 1, block_k, head_dim), kv_index_map)
@@ -280,7 +296,7 @@ def fa2_backward_dkv_aligned(
     jax.jit,
     static_argnames=(
         "causal", "sm_scale", "block_q", "block_k", "kv_len",
-        "tile_dtype", "interpret", "debug",
+        "tile_dtype", "kv_groups", "interpret", "debug",
     ),
 )
 def fa2_backward_dq_aligned(
@@ -292,12 +308,14 @@ def fa2_backward_dq_aligned(
     block_k: int,
     kv_len: int,
     tile_dtype=None,
+    kv_groups: int = 1,
     interpret=None,
     debug: bool = False,
 ):
     """dQ — grid over Q blocks, replacing the reference's cross-block
     atomicAdd (f-attn2-backward.cu:269-300) with exclusive per-block
-    accumulation; gradients are bitwise deterministic."""
+    accumulation; gradients are bitwise deterministic.  ``kv_groups`` maps
+    query head h onto KV head h // kv_groups (kernel-native GQA)."""
     batch, heads, q_len, head_dim = q.shape
     kv_len_pad = k.shape[2]
     num_kv_blocks = kv_len_pad // block_k
@@ -309,7 +327,7 @@ def fa2_backward_dq_aligned(
     def kv_index_map(b, h, qi, ki):
         if causal:
             ki = lax.select(below_or_on_diag(qi, block_q, ki, block_k), ki, 0)
-        return (b, h, ki, 0)
+        return (b, h // kv_groups, ki, 0)
 
     kernel = functools.partial(
         _fa2_bwd_dq_kernel,

@@ -146,12 +146,12 @@ def _fa2_fwd_kernel(
     jax.jit,
     static_argnames=(
         "causal", "sm_scale", "block_q", "block_k", "kv_len",
-        "tile_dtype", "interpret", "debug",
+        "tile_dtype", "kv_groups", "interpret", "debug",
     ),
 )
 def fa2_forward_aligned(
-    q,  # [B, H, Sq_pad, D], Sq_pad % block_q == 0
-    k,  # [B, H, Skv_pad, D], Skv_pad % block_k == 0
+    q,  # [B, Hq, Sq_pad, D], Sq_pad % block_q == 0
+    k,  # [B, Hq // kv_groups, Skv_pad, D], Skv_pad % block_k == 0
     v,
     *,
     causal: bool,
@@ -160,15 +160,21 @@ def fa2_forward_aligned(
     block_k: int,
     kv_len: int,  # true (unpadded) kv length, for tail masking
     tile_dtype=None,
+    kv_groups: int = 1,
     interpret=None,
     debug: bool = False,
 ):
     """Block-aligned FA2 forward. Returns (O, lse_rep) where lse_rep is the
-    lane-replicated logsumexp [B, H, Sq_pad, NUM_LANES] (fp32) saved as the
-    backward residual."""
+    lane-replicated logsumexp [B, Hq, Sq_pad, NUM_LANES] (fp32) saved as the
+    backward residual.
+
+    ``kv_groups`` enables kernel-native GQA: query head h reads KV head
+    h // kv_groups straight from HBM — no repeated KV materialization, so KV
+    HBM traffic stays 1x regardless of the group size."""
     batch, heads, q_len, head_dim = q.shape
     kv_len_pad = k.shape[2]
     assert q_len % block_q == 0 and kv_len_pad % block_k == 0
+    assert k.shape[1] * kv_groups == heads
     num_kv_blocks = kv_len_pad // block_k
     grid = (batch, heads, q_len // block_q, num_kv_blocks)
 
@@ -180,7 +186,7 @@ def fa2_forward_aligned(
             # Skipped (above-diagonal) blocks prefetch block 0 for the next
             # Q row instead of wasting DMA bandwidth on dead data.
             ki = lax.select(below_or_on_diag(qi, block_q, ki, block_k), ki, 0)
-        return (b, h, ki, 0)
+        return (b, h // kv_groups, ki, 0)
 
     kernel = functools.partial(
         _fa2_fwd_kernel,

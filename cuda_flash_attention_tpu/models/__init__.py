@@ -8,3 +8,10 @@ from cuda_flash_attention_tpu.models.transformer import (  # noqa: F401
     gqa_flash_attention,
     param_shardings,
 )
+from cuda_flash_attention_tpu.models.training import (  # noqa: F401
+    TrainState,
+    init_train_state,
+    make_optax_train_step,
+    make_optimizer,
+    train_loop,
+)

@@ -1,0 +1,124 @@
+"""Production train step: optax AdamW + cosine schedule + global-norm
+clipping, mesh-shardable, with orbax checkpoint integration.
+
+The reference has no training loop (SURVEY.md §2 — kernel library only);
+models/transformer.py carries a minimal SGD-momentum step for the multichip
+dry run.  This module is the full-featured engine: the optimizer state is a
+pytree sharded like the params (pjit partitions it automatically), so the
+same step function runs single-chip or DP×TP×SP without modification.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from cuda_flash_attention_tpu.models.transformer import (
+    TransformerConfig,
+    loss_fn,
+)
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jax.Array  # int32 scalar
+
+
+def make_optimizer(
+    learning_rate: float = 3e-4,
+    warmup_steps: int = 100,
+    decay_steps: int = 10_000,
+    weight_decay: float = 0.01,
+    clip_norm: float = 1.0,
+    b1: float = 0.9,
+    b2: float = 0.95,
+):
+    import optax
+
+    # decay_steps is the TOTAL schedule length; keep warmup strictly inside
+    # it so short runs (tests, smoke loops) stay valid.
+    warmup_steps = min(warmup_steps, max(decay_steps - 1, 1))
+    schedule = optax.warmup_cosine_decay_schedule(
+        init_value=0.0, peak_value=learning_rate,
+        warmup_steps=warmup_steps, decay_steps=decay_steps,
+        end_value=learning_rate * 0.1,
+    )
+    return optax.chain(
+        optax.clip_by_global_norm(clip_norm),
+        optax.adamw(schedule, b1=b1, b2=b2, weight_decay=weight_decay),
+    )
+
+
+def init_train_state(params, optimizer) -> TrainState:
+    return TrainState(
+        params=params,
+        opt_state=optimizer.init(params),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def make_optax_train_step(cfg: TransformerConfig, optimizer, mesh=None):
+    """Returns step(state, tokens) -> (state, metrics). Jittable/pjittable;
+    grads and optimizer update shard with the params."""
+    import optax
+
+    def step(state: TrainState, tokens) -> tuple[TrainState, dict]:
+        loss, grads = jax.value_and_grad(loss_fn)(
+            state.params, tokens, cfg, mesh
+        )
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        params = optax.apply_updates(state.params, updates)
+        gnorm = optax.global_norm(grads)
+        return (
+            TrainState(params, opt_state, state.step + 1),
+            {"loss": loss, "grad_norm": gnorm, "step": state.step + 1},
+        )
+
+    return step
+
+
+def train_loop(
+    cfg: TransformerConfig,
+    data_iter,
+    *,
+    num_steps: int,
+    mesh=None,
+    params=None,
+    optimizer=None,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 0,
+    log_every: int = 10,
+    seed: int = 0,
+):
+    """Minimal host loop: jit(step) over a token iterator, periodic orbax
+    checkpoints (utils/checkpoint.py), returns the final TrainState."""
+    from cuda_flash_attention_tpu.models.transformer import init_params
+    from cuda_flash_attention_tpu.utils.checkpoint import save_checkpoint
+
+    if optimizer is None:
+        optimizer = make_optimizer(decay_steps=max(num_steps, 2))
+    if params is None:
+        params = init_params(jax.random.PRNGKey(seed), cfg)
+    state = init_train_state(params, optimizer)
+    step_fn = jax.jit(make_optax_train_step(cfg, optimizer, mesh=mesh))
+
+    for i in range(num_steps):
+        tokens = next(data_iter)
+        state, metrics = step_fn(state, tokens)
+        if log_every and (i + 1) % log_every == 0:
+            print(
+                f"step {int(metrics['step'])}: loss={float(metrics['loss']):.4f} "
+                f"gnorm={float(metrics['grad_norm']):.3f}"
+            )
+        if checkpoint_dir and checkpoint_every and (i + 1) % checkpoint_every == 0:
+            save_checkpoint(
+                checkpoint_dir, state.params, state.opt_state,
+                step=int(state.step),
+            )
+    return state

@@ -165,15 +165,10 @@ def gqa_flash_attention(q, k, v, *, cfg: TransformerConfig, mesh=None,
                         causal: bool = True):
     """Grouped-query attention over the FA2 kernel.
 
-    q: [B, Hq, S, D]; k/v: [B, Hkv, S, D]. KV heads are expanded to the query
-    head count by group broadcast (kernel-native GQA lands with the paged
-    decode kernel; for training shapes the extra KV reads are minor next to
-    the O(S^2) attention FLOPs).
-    """
-    groups = cfg.n_heads // cfg.n_kv_heads
-    if groups > 1:
-        k = jnp.repeat(k, groups, axis=1)
-        v = jnp.repeat(v, groups, axis=1)
+    q: [B, Hq, S, D]; k/v: [B, Hkv, S, D].  GQA is kernel-native: the FA2
+    BlockSpec index maps route query head h to KV head h // group, so KV is
+    read from HBM exactly once regardless of the group size (no repeated-KV
+    materialization — the bandwidth win GQA exists for)."""
     tile = cfg.attn_tile_dtype
     if mesh is None:
         return flash_attention(q, k, v, causal=causal, tile_dtype=tile)

@@ -160,7 +160,7 @@ def _ring_bwd(axis_name, axis_size, causal, sm_scale, tile_dtype, interpret,
     v_pad = pad_to_block(v, 2, MIN_BLOCK)
 
     kw = dict(sm_scale=sm_scale, kv_len=kv_len, tile_dtype=tile_dtype,
-              interpret=interpret)
+              kv_groups=q.shape[1] // k.shape[1], interpret=interpret)
     bq_dq = _fit_block(bs.block_q_dq, q_pad.shape[2])
     bk_dq = _fit_block(bs.block_k_dq, k_pad.shape[2])
     bq_dkv = _fit_block(bs.block_q_dkv, q_pad.shape[2])
