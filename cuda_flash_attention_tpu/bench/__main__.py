@@ -22,6 +22,8 @@ def main():
                    help="cross all kernels x all configs")
     p.add_argument("--seqlen-experiment", action="store_true",
                    help="sequence-length scaling sweep (S=128..4096)")
+    p.add_argument("--extended", action="store_true",
+                   help="add long-context points (8k-32k) to the seqlen sweep")
     p.add_argument("--tolerance", type=float, default=1e-3)
     p.add_argument("--no-stop-on-failure", action="store_true")
     p.add_argument("--save-results", action="store_true")
@@ -44,7 +46,7 @@ def main():
 
     if args.seqlen_experiment:
         configs = create_sequence_length_experiment_configs(
-            args.mode, args.precision, args.tolerance
+            args.mode, args.precision, args.tolerance, extended=args.extended
         )
     elif args.experiment:
         configs = create_experiment_configs(args.mode, args.precision, args.tolerance)
@@ -70,17 +72,16 @@ def main():
         import pandas as pd
 
         os.makedirs(args.output_dir, exist_ok=True)
-        name = (
-            "backward_experiment_results.csv"
-            if args.mode == "backward" else "experiment_results.csv"
-        )
-        csv_path = os.path.join(args.output_dir, name)
+        prefix = "" if args.mode == "forward" else f"{args.mode}_"
+        if args.seqlen_experiment:
+            prefix += "seqlen_"
+        csv_path = os.path.join(args.output_dir, f"{prefix}experiment_results.csv")
         h.save_csv(csv_path)
         print(f"\nSaved results to: {csv_path}")
         from cuda_flash_attention_tpu.bench.plots import generate_plots
 
         df = pd.DataFrame([r.as_row() for r in h.results])
-        for path in generate_plots(df, args.output_dir):
+        for path in generate_plots(df, args.output_dir, prefix=prefix):
             print(f"Saved plot: {path}")
 
     n_fail = sum(not r.passed for r in h.results)

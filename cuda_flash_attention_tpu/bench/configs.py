@@ -66,13 +66,26 @@ def create_experiment_configs(mode="forward", precision="fp32", tolerance=1e-3):
 
 
 def create_sequence_length_experiment_configs(mode="forward", precision="fp32",
-                                              tolerance=1e-3):
-    """S in {128..4096} at B=4 H=8 D=64 — test_flash_attention2.py:1431-1459."""
+                                              tolerance=1e-3, extended=False):
+    """S in {128..4096} at B=4 H=8 D=64 — test_flash_attention2.py:1431-1459.
+
+    ``extended=True`` adds the TPU long-context points (8k-32k, B=1, FA2
+    only — the materialized baselines would need an S x S HBM buffer)."""
     seq_lengths = [128, 256, 512, 1024, 2048, 4096]
     if mode == "forward":
         kernel_types = ["fa2-naive", "vanilla-attn", "fa2"]
     else:
         kernel_types = ["fa2"]
+    extra = []
+    if extended:
+        extra = [
+            TestConfig(
+                name=f"LongCtx-S{s}-FA2", batch_size=1, num_heads=8,
+                seq_len=s, head_dim=64, kernel_type="fa2", test_mode=mode,
+                precision=precision, tolerance=tolerance,
+            )
+            for s in (8192, 16384, 32768)
+        ]
     return [
         TestConfig(
             name=f"SeqLen-S{s}-{kt.upper()}", batch_size=4, num_heads=8,
@@ -81,4 +94,4 @@ def create_sequence_length_experiment_configs(mode="forward", precision="fp32",
         )
         for s in seq_lengths
         for kt in kernel_types
-    ]
+    ] + extra

@@ -35,8 +35,13 @@ from cuda_flash_attention_tpu.ops.metrics import (
 from cuda_flash_attention_tpu.ops.reference import (
     reference_attention_grads,
     vanilla_attention,
+    vanilla_attention_chunked,
     vanilla_attention_with_lse,
 )
+
+# Above this score-matrix footprint the oracle runs Q-chunked (S=32k would
+# otherwise materialize a 34 GB S x S buffer).
+_ORACLE_CHUNK_BYTES = 1 << 30
 from cuda_flash_attention_tpu.utils.timing import benchmark, device_benchmark
 
 
@@ -111,7 +116,12 @@ class Harness:
 
     def run_forward(self, cfg: TestConfig) -> TestResult:
         q, k, v = _make_qkv(cfg)
-        o_ref = vanilla_attention(q, k, v)
+        score_bytes = 4 * cfg.batch_size * cfg.num_heads * cfg.seq_len ** 2
+        oracle = (
+            vanilla_attention_chunked
+            if score_bytes > _ORACLE_CHUNK_BYTES else vanilla_attention
+        )
+        o_ref = oracle(q, k, v)
         fn = jax.jit(
             lambda q, k, v: run_flash_attention(
                 cfg.kernel_type, "forward", cfg.precision, q, k, v
@@ -121,7 +131,7 @@ class Harness:
         m = compute_metrics(o, o_ref)
         t = device_benchmark(fn, q, k, v, warmup=self.warmup)
         t_oracle = (
-            device_benchmark(jax.jit(vanilla_attention), q, k, v, warmup=1)
+            device_benchmark(jax.jit(oracle), q, k, v, warmup=1)
             if self.time_oracle else float("nan")
         )
         flops = attention_flops(

@@ -8,7 +8,10 @@ from __future__ import annotations
 import os
 
 
-def generate_plots(df, output_dir: str) -> list[str]:
+def generate_plots(df, output_dir: str, prefix: str = "") -> list[str]:
+    """`prefix` distinguishes artifact sets (e.g. "backward_") so modes
+    don't overwrite each other — reference parity: forward and backward
+    experiments keep separate committed PNGs/CSVs."""
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
@@ -49,7 +52,7 @@ def generate_plots(df, output_dir: str) -> list[str]:
         ax.grid(alpha=0.3)
     fig.suptitle("Kernel comparison (TPU)")
     fig.tight_layout()
-    path = os.path.join(output_dir, "kernel_comparison.png")
+    path = os.path.join(output_dir, f"{prefix}kernel_comparison.png")
     fig.savefig(path, dpi=120)
     plt.close(fig)
     written.append(path)
@@ -71,7 +74,7 @@ def generate_plots(df, output_dir: str) -> list[str]:
         axes[0].set_yscale("log")
         fig.suptitle("Sequence-length scaling (TPU)")
         fig.tight_layout()
-        path = os.path.join(output_dir, "seqlen_scaling.png")
+        path = os.path.join(output_dir, f"{prefix}seqlen_scaling.png")
         fig.savefig(path, dpi=120)
         plt.close(fig)
         written.append(path)

@@ -95,10 +95,12 @@ def get_kernel(method: ComputeType, mode: ModeType,
     if method == ComputeType.FLASH_ATTENTION_2_NAIVE:
         return _baseline(naive_fa2_attention, "fa2-naive")
 
-    # FA2
+    # FA2 — force_kernel pins the Pallas kernel: the dispatch layer is the
+    # RunFlashAttention analog and must run the requested kernel, not the
+    # public API's small-shape XLA rerouting.
     if mode == ModeType.FORWARD:
         return lambda q, k, v, **kw: flash_attention_with_lse(
-            q, k, v, tile_dtype=tile_dtype, **kw
+            q, k, v, tile_dtype=tile_dtype, force_kernel=True, **kw
         )
     if mode == ModeType.BACKWARD:
         return lambda q, k, v, o, lse, do=None, **kw: fa2_backward(
@@ -106,7 +108,9 @@ def get_kernel(method: ComputeType, mode: ModeType,
         )
 
     def _fwd_bwd(q, k, v, do=None, **kw):
-        o, lse = flash_attention_with_lse(q, k, v, tile_dtype=tile_dtype, **kw)
+        o, lse = flash_attention_with_lse(
+            q, k, v, tile_dtype=tile_dtype, force_kernel=True, **kw
+        )
         dq, dk, dv = fa2_backward(q, k, v, o, lse, do, tile_dtype=tile_dtype, **kw)
         return o, lse, dq, dk, dv
 

@@ -40,6 +40,35 @@ __all__ = [
     "fa2_backward",
 ]
 
+# Measured on v5e (plots/experiment_results.csv): below this score-matrix
+# footprint the fully-XLA materialized path beats the Pallas kernel at fp32
+# (per-cell launch overhead + block padding dominate; XLA's fused
+# matmul+softmax has neither), and above it the streaming kernel wins on HBM
+# traffic.  Reduced-precision tiles always use the kernel (bf16 MXU pass
+# shifts the crossover far left).
+_XLA_SCORE_BYTES_MAX = 128 * 1024 ** 2
+
+
+def _use_xla_path(q, k, tile_dtype, force_kernel) -> bool:
+    if force_kernel or tile_dtype is not None:
+        return False
+    score_bytes = 4 * q.shape[0] * q.shape[1] * q.shape[2] * k.shape[2]
+    return score_bytes <= _XLA_SCORE_BYTES_MAX
+
+
+def _xla_attention(q, k, v, causal, sm_scale, with_lse):
+    from cuda_flash_attention_tpu.ops.reference import (
+        vanilla_attention,
+        vanilla_attention_with_lse,
+    )
+
+    groups = q.shape[1] // k.shape[1]
+    if groups > 1:
+        k = jnp.repeat(k, groups, axis=1)
+        v = jnp.repeat(v, groups, axis=1)
+    fn = vanilla_attention_with_lse if with_lse else vanilla_attention
+    return fn(q, k, v, causal=causal, sm_scale=sm_scale)
+
 
 def _fit_block(requested: int, padded_len: int) -> int:
     """Largest multiple of MIN_BLOCK that divides padded_len and is <= requested."""
@@ -167,6 +196,7 @@ def flash_attention(
     sm_scale: float | None = None,
     block_sizes: BlockSizes | None = None,
     tile_dtype=None,
+    force_kernel: bool = False,
     interpret=None,
 ):
     """Differentiable FlashAttention-2. Returns O with q's shape/dtype.
@@ -179,7 +209,13 @@ def flash_attention(
     (bf16/fp16) inside the kernel before the MXU matmuls while all softmax
     statistics stay fp32 (reference keeps fp16 SHM tiles,
     kernel_fa2_optimized_f16.cu:74-161).
+
+    Small fp32 shapes dispatch to the fused-XLA path (same numerics, faster
+    below the streaming crossover); ``force_kernel=True`` pins the Pallas
+    kernel (the benchmark harness does, to measure the kernel itself).
     """
+    if _use_xla_path(q, k, tile_dtype, force_kernel):
+        return _xla_attention(q, k, v, causal, sm_scale, with_lse=False)
     q_pad, k_pad, v_pad, sm_scale, block_sizes, q_len, kv_len = _normalize(
         q, k, v, sm_scale, block_sizes
     )
@@ -197,12 +233,15 @@ def flash_attention_with_lse(
     sm_scale: float | None = None,
     block_sizes: BlockSizes | None = None,
     tile_dtype=None,
+    force_kernel: bool = False,
     interpret=None,
 ):
     """FA2 forward returning (O, logsumexp[B, H, Sq] fp32) — the
     save-for-backward contract the CLI persists as logsumexp.bin
     (/root/reference/src/main.cpp:110-113). Not differentiable; use
     `flash_attention` for autodiff."""
+    if _use_xla_path(q, k, tile_dtype, force_kernel):
+        return _xla_attention(q, k, v, causal, sm_scale, with_lse=True)
     q_pad, k_pad, v_pad, sm_scale, block_sizes, q_len, kv_len = _normalize(
         q, k, v, sm_scale, block_sizes
     )

@@ -88,6 +88,55 @@ def vanilla_attention(
     return o
 
 
+@functools.partial(
+    jax.jit, static_argnames=("causal", "sm_scale", "chunk")
+)
+def vanilla_attention_chunked(
+    q, k, v, *, causal: bool = False, sm_scale: float | None = None,
+    chunk: int = 512,
+):
+    """Oracle attention for long contexts: scores materialized only per
+    Q-chunk ([chunk, S_kv] instead of [S_q, S_kv]), so S=32k fits in HBM.
+    Same numerics/precision as `vanilla_attention` (HIGHEST, fp32 softmax)."""
+    if sm_scale is None:
+        sm_scale = 1.0 / (q.shape[-1] ** 0.5)
+    b, h, sq, d = q.shape
+    pad = (-sq) % chunk
+    if pad:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    nc = q.shape[2] // chunk
+    qc = q.reshape(b, h, nc, chunk, d).transpose(2, 0, 1, 3, 4)
+    precision = jax.lax.Precision.HIGHEST
+    kv_len = k.shape[2]
+
+    def one_chunk(args):
+        qi, idx = args
+        s = jnp.einsum(
+            "bhqd,bhkd->bhqk", qi.astype(jnp.float32), k.astype(jnp.float32),
+            preferred_element_type=jnp.float32, precision=precision,
+        ) * jnp.float32(sm_scale)
+        if causal:
+            row = (
+                jax.lax.broadcasted_iota(jnp.int32, (chunk, kv_len), 0)
+                + idx * chunk
+            )
+            col = jax.lax.broadcasted_iota(jnp.int32, (chunk, kv_len), 1)
+            s = jnp.where(col <= row, s, -jnp.inf)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
+        p = jnp.exp(s - m_safe)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jnp.einsum(
+            "bhqk,bhkd->bhqd", p, v.astype(jnp.float32),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        return o / l
+
+    oc = jax.lax.map(one_chunk, (qc, jnp.arange(nc)))
+    o = oc.transpose(1, 2, 0, 3, 4).reshape(b, h, nc * chunk, d)
+    return o[:, :, :sq, :].astype(q.dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("causal", "sm_scale"))
 def reference_attention_grads(q, k, v, do=None, *, causal=False, sm_scale=None):
     """Oracle gradients (dQ, dK, dV) via jax autodiff.
