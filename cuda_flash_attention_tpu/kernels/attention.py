@@ -30,7 +30,13 @@ from cuda_flash_attention_tpu.kernels.common import (
 from cuda_flash_attention_tpu.kernels.fa2_backward import (
     fa2_backward_dkv_aligned,
     fa2_backward_dq_aligned,
+    fa2_backward_fused_aligned,
 )
+
+# The fused backward emits dq as per-KV-slice partials (num_kv_blocks x dq
+# memory); above this slice count the two-kernel path's recompute is cheaper
+# than the partial-buffer HBM traffic.
+_FUSED_BWD_MAX_KV_SLICES = 8
 from cuda_flash_attention_tpu.kernels.fa2_forward import fa2_forward_aligned
 
 __all__ = [
@@ -62,6 +68,8 @@ def _xla_attention(q, k, v, causal, sm_scale, with_lse):
         vanilla_attention_with_lse,
     )
 
+    _validate_shapes(q, k, v)
+
     groups = q.shape[1] // k.shape[1]
     if groups > 1:
         k = jnp.repeat(k, groups, axis=1)
@@ -81,7 +89,7 @@ def _fit_block(requested: int, padded_len: int) -> int:
     return best
 
 
-def _normalize(q, k, v, sm_scale, block_sizes):
+def _validate_shapes(q, k, v):
     if q.ndim != 4 or k.ndim != 4 or v.ndim != 4:
         raise ValueError(
             f"q/k/v must be [batch, heads, seq, head_dim]; got {q.shape}, "
@@ -98,6 +106,10 @@ def _normalize(q, k, v, sm_scale, block_sizes):
             f"GQA requires query heads ({q.shape[1]}) to be a multiple of "
             f"KV heads ({k.shape[1]})"
         )
+
+
+def _normalize(q, k, v, sm_scale, block_sizes):
+    _validate_shapes(q, k, v)
     if sm_scale is None:
         sm_scale = 1.0 / (q.shape[-1] ** 0.5)
     if block_sizes is None:
@@ -160,6 +172,16 @@ def _fa2_bwd(kv_len, causal, sm_scale, block_sizes, tile_dtype, interpret,
         jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
     )
     kv_groups = q.shape[1] // k.shape[1]
+    bq_dkv = _fit_block(block_sizes.block_q_dkv, q.shape[2])
+    bk_dkv = _fit_block(block_sizes.block_k_dkv, k.shape[2])
+    if k.shape[2] // bk_dkv <= _FUSED_BWD_MAX_KV_SLICES:
+        return fa2_backward_fused_aligned(
+            q, k, v, do, lse_rep, di_rep,
+            causal=causal, sm_scale=sm_scale,
+            block_q=bq_dkv, block_k=bk_dkv,
+            kv_len=kv_len, tile_dtype=tile_dtype, kv_groups=kv_groups,
+            interpret=interpret,
+        )
     dq = fa2_backward_dq_aligned(
         q, k, v, do, lse_rep, di_rep,
         causal=causal, sm_scale=sm_scale,
@@ -171,8 +193,7 @@ def _fa2_bwd(kv_len, causal, sm_scale, block_sizes, tile_dtype, interpret,
     dk, dv = fa2_backward_dkv_aligned(
         q, k, v, do, lse_rep, di_rep,
         causal=causal, sm_scale=sm_scale,
-        block_q=_fit_block(block_sizes.block_q_dkv, q.shape[2]),
-        block_k=_fit_block(block_sizes.block_k_dkv, k.shape[2]),
+        block_q=bq_dkv, block_k=bk_dkv,
         kv_len=kv_len, tile_dtype=tile_dtype, kv_groups=kv_groups,
         interpret=interpret,
     )
@@ -279,22 +300,32 @@ def fa2_backward(
         jnp.sum(o_pad.astype(jnp.float32) * do_pad.astype(jnp.float32), axis=-1)
     )
     kv_groups = q_pad.shape[1] // k_pad.shape[1]
-    dq = fa2_backward_dq_aligned(
-        q_pad, k_pad, v_pad, do_pad, lse_rep, di_rep,
-        causal=causal, sm_scale=sm_scale,
-        block_q=_fit_block(block_sizes.block_q_dq, q_pad.shape[2]),
-        block_k=_fit_block(block_sizes.block_k_dq, k_pad.shape[2]),
-        kv_len=kv_len, tile_dtype=tile_dtype, kv_groups=kv_groups,
-        interpret=interpret,
-    )
-    dk, dv = fa2_backward_dkv_aligned(
-        q_pad, k_pad, v_pad, do_pad, lse_rep, di_rep,
-        causal=causal, sm_scale=sm_scale,
-        block_q=_fit_block(block_sizes.block_q_dkv, q_pad.shape[2]),
-        block_k=_fit_block(block_sizes.block_k_dkv, k_pad.shape[2]),
-        kv_len=kv_len, tile_dtype=tile_dtype, kv_groups=kv_groups,
-        interpret=interpret,
-    )
+    bq_dkv = _fit_block(block_sizes.block_q_dkv, q_pad.shape[2])
+    bk_dkv = _fit_block(block_sizes.block_k_dkv, k_pad.shape[2])
+    if k_pad.shape[2] // bk_dkv <= _FUSED_BWD_MAX_KV_SLICES:
+        dq, dk, dv = fa2_backward_fused_aligned(
+            q_pad, k_pad, v_pad, do_pad, lse_rep, di_rep,
+            causal=causal, sm_scale=sm_scale,
+            block_q=bq_dkv, block_k=bk_dkv,
+            kv_len=kv_len, tile_dtype=tile_dtype, kv_groups=kv_groups,
+            interpret=interpret,
+        )
+    else:
+        dq = fa2_backward_dq_aligned(
+            q_pad, k_pad, v_pad, do_pad, lse_rep, di_rep,
+            causal=causal, sm_scale=sm_scale,
+            block_q=_fit_block(block_sizes.block_q_dq, q_pad.shape[2]),
+            block_k=_fit_block(block_sizes.block_k_dq, k_pad.shape[2]),
+            kv_len=kv_len, tile_dtype=tile_dtype, kv_groups=kv_groups,
+            interpret=interpret,
+        )
+        dk, dv = fa2_backward_dkv_aligned(
+            q_pad, k_pad, v_pad, do_pad, lse_rep, di_rep,
+            causal=causal, sm_scale=sm_scale,
+            block_q=bq_dkv, block_k=bk_dkv,
+            kv_len=kv_len, tile_dtype=tile_dtype, kv_groups=kv_groups,
+            interpret=interpret,
+        )
     return (
         dq[:, :, :q_len, :],
         dk[:, :, :kv_len, :],

@@ -94,6 +94,92 @@ def _build_mask(q_idx, kv_idx, block_q, block_k, *, causal, mask_kv_tail, kv_len
     return mask
 
 
+def _fa2_bwd_fused_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
+    dk_ref, dv_ref, dq_part_ref,
+    dk_scr, dv_scr,
+    *,
+    sm_scale, causal, mask_value, kv_len,
+    block_q, block_k, num_q_blocks, tile_dtype, mask_kv_tail, kv_groups,
+):
+    """dK/dV accumulation + per-KV-slice dQ partial in ONE recompute.
+
+    The standalone dQ kernel re-derives S and dP from scratch — 2 of its 3
+    matmuls duplicate work this kernel already does.  Emitting
+    dq_part[kv_slice] here (each grid cell owns its output block; an XLA
+    sum over the kv_slice axis finishes dQ) trades that recompute for one
+    extra dq-sized HBM round trip per KV slice — a large net win whenever
+    the sequence has more than one KV block.  This is also the
+    deterministic replacement for the reference's cross-block atomicAdd dQ
+    (f-attn2-backward.cu:269-300): partial sums land in disjoint memory and
+    reduce in a fixed order."""
+    kv_idx = pl.program_id(2)
+    inner = pl.program_id(3)
+    q_idx = inner % num_q_blocks
+
+    @pl.when(inner == 0)
+    def _init():
+        dk_scr[...] = jnp.zeros(dk_scr.shape, jnp.float32)
+        dv_scr[...] = jnp.zeros(dv_scr.shape, jnp.float32)
+
+    if causal:
+        should_run = below_or_on_diag(q_idx, block_q, kv_idx, block_k)
+    else:
+        should_run = True
+
+    @pl.when(should_run)
+    def _run():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
+        lse = lse_ref[0, 0]
+        di = di_ref[0, 0]
+        mask = _build_mask(
+            q_idx, kv_idx, block_q, block_k,
+            causal=causal, mask_kv_tail=mask_kv_tail, kv_len=kv_len,
+        )
+        p, ds = _compute_p_ds(
+            q, k, v, do, lse, di,
+            sm_scale=sm_scale, mask=mask, mask_value=mask_value,
+            tile_dtype=tile_dtype,
+        )
+        do_c = tile_cast(do, tile_dtype)
+        q_c = tile_cast(q, tile_dtype)
+        k_c = tile_cast(k, tile_dtype)
+        p_c = tile_cast(p, tile_dtype).astype(do_c.dtype)
+        ds_c = tile_cast(ds, tile_dtype).astype(q_c.dtype)
+        precision = matmul_precision(p_c.dtype)
+        dv_scr[...] += lax.dot_general(
+            p_c, do_c, _TRANS_A_DIMS,
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        dk_scr[...] += lax.dot_general(
+            ds_c, q_c, _TRANS_A_DIMS,
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        # dQ partial for this (kv block, q block): dS @ K — S and dP were
+        # already in registers, so this is the only extra MXU pass.
+        dq_part_ref[0, 0, 0] = lax.dot(
+            ds_c, k_c,
+            preferred_element_type=jnp.float32, precision=precision,
+        ).astype(dq_part_ref.dtype)
+
+    if causal:
+        @pl.when(jnp.logical_not(should_run))
+        def _zero_dq():
+            # Every (kv, q) cell owns a dq_part block; skipped above-diagonal
+            # cells must still zero theirs for the reduction.
+            dq_part_ref[0, 0, 0] = jnp.zeros(
+                dq_part_ref.shape[3:], dq_part_ref.dtype
+            )
+
+    @pl.when(inner == kv_groups * num_q_blocks - 1)
+    def _store():
+        dk_ref[0, 0] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
+
+
 def _fa2_bwd_dkv_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
     dk_ref, dv_ref,
@@ -290,6 +376,99 @@ def fa2_backward_dkv_aligned(
         debug=debug,
     )(q, k, v, do, lse_rep, di_rep)
     return dk, dv
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "causal", "sm_scale", "block_q", "block_k", "kv_len",
+        "tile_dtype", "kv_groups", "interpret", "debug",
+    ),
+)
+def fa2_backward_fused_aligned(
+    q, k, v, do, lse_rep, di_rep,
+    *,
+    causal: bool,
+    sm_scale: float,
+    block_q: int,
+    block_k: int,
+    kv_len: int,
+    tile_dtype=None,
+    kv_groups: int = 1,
+    interpret=None,
+    debug: bool = False,
+):
+    """One-kernel backward: returns (dQ, dK, dV).  dK/dV accumulate in VMEM
+    scratch over the inner (group, Q-block) sweep; dQ comes out as per-KV-
+    slice partials reduced by XLA (see _fa2_bwd_fused_kernel docstring)."""
+    batch, heads, q_len, head_dim = q.shape
+    kv_heads = k.shape[1]
+    assert kv_heads * kv_groups == heads
+    kv_len_pad = k.shape[2]
+    num_q_blocks = q_len // block_q
+    num_kv_blocks = kv_len_pad // block_k
+    grid = (batch, kv_heads, num_kv_blocks, kv_groups * num_q_blocks)
+
+    def qo_index_map(b, hk, ki, inner):
+        g = inner // num_q_blocks
+        qi = inner % num_q_blocks
+        if causal:
+            qi = lax.select(below_or_on_diag(qi, block_q, ki, block_k), qi, 0)
+        return (b, hk * kv_groups + g, qi, 0)
+
+    def kv_index_map(b, hk, ki, inner):
+        return (b, hk, ki, 0)
+
+    def dq_part_index_map(b, hk, ki, inner):
+        # No causal clamp: every cell owns (and writes) its partial block.
+        g = inner // num_q_blocks
+        qi = inner % num_q_blocks
+        return (b, hk * kv_groups + g, ki, qi, 0)
+
+    kernel = functools.partial(
+        _fa2_bwd_fused_kernel,
+        sm_scale=sm_scale,
+        causal=causal,
+        mask_value=DEFAULT_MASK_VALUE,
+        kv_len=kv_len,
+        block_q=block_q,
+        block_k=block_k,
+        num_q_blocks=num_q_blocks,
+        tile_dtype=tile_dtype,
+        mask_kv_tail=(kv_len != kv_len_pad),
+        kv_groups=kv_groups,
+    )
+    qo_spec = pl.BlockSpec((1, 1, block_q, head_dim), qo_index_map)
+    kv_spec = pl.BlockSpec((1, 1, block_k, head_dim), kv_index_map)
+    stat_spec = pl.BlockSpec((1, 1, block_q, NUM_LANES), qo_index_map)
+    dk, dv, dq_part = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[qo_spec, kv_spec, kv_spec, qo_spec, stat_spec, stat_spec],
+        out_specs=(
+            pl.BlockSpec((1, 1, block_k, head_dim), kv_index_map),
+            pl.BlockSpec((1, 1, block_k, head_dim), kv_index_map),
+            pl.BlockSpec((1, 1, 1, block_q, head_dim), dq_part_index_map),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_k, head_dim), jnp.float32),
+            pltpu.VMEM((block_k, head_dim), jnp.float32),
+        ],
+        out_shape=(
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+            jax.ShapeDtypeStruct(
+                (batch, heads, num_kv_blocks, q_len, head_dim), jnp.float32
+            ),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=resolve_interpret(interpret),
+        debug=debug,
+    )(q, k, v, do, lse_rep, di_rep)
+    dq = jnp.sum(dq_part, axis=2).astype(q.dtype)
+    return dq, dk, dv
 
 
 @functools.partial(

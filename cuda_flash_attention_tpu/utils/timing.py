@@ -77,7 +77,15 @@ def device_benchmark(fn, *args, iters: int = 16, warmup: int = 1,
             # constant-folded and the whole body hoisted out of the loop.
             dep = (acc.ravel()[0] * 1e-30).astype(args[0].dtype)
             out = fn(args[0] + dep, *args[1:])
-            return jax.tree.leaves(out)[0]
+            leaves = jax.tree.leaves(out)
+            acc_new = leaves[0]
+            # EVERY output leaf must feed the carry, or XLA dead-codes the
+            # unused outputs inside the loop and the measurement silently
+            # times a subset of the kernel (e.g. dq without dk/dv).
+            for leaf in leaves[1:]:
+                extra = (leaf.ravel()[0].astype(jnp.float32) * 1e-30)
+                acc_new = acc_new + extra.astype(acc_new.dtype)
+            return acc_new
 
         return lax.fori_loop(0, n, body, init)
 
