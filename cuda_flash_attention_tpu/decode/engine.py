@@ -147,7 +147,15 @@ class DecodeEngine:
     def submit(self, prompt: list[int], max_new_tokens: int = 32,
                eos_id: int | None = None) -> Request:
         """Queue a request; admitted as soon as a slot frees up."""
-        req = Request(self._next_uid, list(prompt), max_new_tokens, eos_id)
+        prompt = list(prompt)
+        if not prompt:
+            raise ValueError("empty prompt")
+        if len(prompt) + max_new_tokens > self.pages_per_seq * self.page_size:
+            raise ValueError(
+                f"prompt+generation ({len(prompt)}+{max_new_tokens}) exceeds "
+                f"max_seq_len {self.pages_per_seq * self.page_size}"
+            )
+        req = Request(self._next_uid, prompt, max_new_tokens, eos_id)
         self._next_uid += 1
         self._pending.append(req)
         self._admit()
@@ -158,11 +166,26 @@ class DecodeEngine:
                 and self._slot_req[i] is None]
 
     def _admit(self):
-        for slot in self._free_slots():
-            if not self._pending:
-                break
-            req = self._pending.popleft()
-            self._prefill_into_slot(req, slot)
+        """Admit pending requests: same-length-bucket requests prefill as
+        ONE batched forward (continuous batching's admission path)."""
+        free = self._free_slots()
+        take: list[Request] = []
+        while self._pending and len(take) < len(free):
+            take.append(self._pending.popleft())
+        if not take:
+            return
+        # Bucket quantum covers both the FA2 block grid (128) and the page
+        # size, so the prefill KV slice is always a page multiple within the
+        # padded prompt.
+        quantum = max(128, self.page_size)
+        buckets: dict[int, list[Request]] = {}
+        for r in take:
+            buckets.setdefault(
+                _cdiv(len(r.prompt), quantum) * quantum, []
+            ).append(r)
+        for pad_len, reqs in buckets.items():
+            slots = [free.pop(0) for _ in reqs]
+            self._prefill_batch(reqs, slots, pad_len)
 
     def _sample(self, logits):
         self._key, sub = jax.random.split(self._key)
@@ -170,44 +193,47 @@ class DecodeEngine:
             logits, sub, temperature=self.temperature, top_k=self.top_k
         )
 
-    def _prefill_into_slot(self, req: Request, slot: int):
-        prompt_len = len(req.prompt)
-        if prompt_len == 0:
-            raise ValueError("empty prompt")
-        if prompt_len + req.max_new_tokens > self.pages_per_seq * self.page_size:
-            raise ValueError(
-                f"prompt+generation ({prompt_len}+{req.max_new_tokens}) exceeds "
-                f"max_seq_len {self.pages_per_seq * self.page_size}"
-            )
-        # Bucket prompt to a 128 multiple for the FA2 kernel; causal masking
-        # makes the padded tail's logits irrelevant and its K/V is never
-        # attended (lengths gate) and gets overwritten by decode appends.
-        pad_len = _cdiv(prompt_len, 128) * 128
-        tokens = np.zeros((1, pad_len), dtype=np.int32)
-        tokens[0, :prompt_len] = req.prompt
+    def _prefill_batch(self, reqs: list[Request], slots: list[int],
+                       pad_len: int):
+        """One batched causal forward for all requests in a length bucket;
+        prompts are padded to `pad_len` (a 128 multiple for the FA2 kernel) —
+        the padded tail's logits are irrelevant under causal masking, its
+        K/V is never attended (lengths gate) and decode appends overwrite it."""
+        tokens = np.zeros((len(reqs), pad_len), dtype=np.int32)
+        for i, r in enumerate(reqs):
+            tokens[i, :len(r.prompt)] = r.prompt
         logits, kv = self._prefill_fn(self.params, jnp.asarray(tokens))
 
-        n_pages = _cdiv(prompt_len, self.page_size)
-        page_ids = self.allocator.alloc(n_pages)
-        self._slot_pages[slot] = page_ids
-        self.page_table[slot, :] = 0
-        self.page_table[slot, :n_pages] = page_ids
-        ids_dev = jnp.asarray(page_ids, jnp.int32)
-        kv_len = n_pages * self.page_size  # page-multiple cut of the prompt
-        for li in range(self.cfg.n_layers):
-            k, v = kv[li]
-            self.caches[li] = self._write_fn(
-                self.caches[li], k[0, :kv_len], v[0, :kv_len], ids_dev
-            )
+        last_idx = jnp.asarray(
+            [len(r.prompt) - 1 for r in reqs], jnp.int32
+        )
+        last_logits = jnp.take_along_axis(
+            logits, last_idx[:, None, None], axis=1
+        )[:, 0, :]
+        firsts = np.asarray(self._sample(last_logits))
 
-        first = int(np.asarray(self._sample(logits[:, prompt_len - 1, :]))[0])
-        req.generated.append(first)
-        req.slot = slot
-        self._slot_req[slot] = req
-        self.lengths[slot] = prompt_len
-        self.active[slot] = True
-        self.last_token[slot] = first
-        self._maybe_finish(req, first)
+        for i, (req, slot) in enumerate(zip(reqs, slots)):
+            prompt_len = len(req.prompt)
+            n_pages = _cdiv(prompt_len, self.page_size)
+            page_ids = self.allocator.alloc(n_pages)
+            self._slot_pages[slot] = page_ids
+            self.page_table[slot, :] = 0
+            self.page_table[slot, :n_pages] = page_ids
+            ids_dev = jnp.asarray(page_ids, jnp.int32)
+            kv_len = n_pages * self.page_size
+            for li in range(self.cfg.n_layers):
+                k, v = kv[li]
+                self.caches[li] = self._write_fn(
+                    self.caches[li], k[i, :kv_len], v[i, :kv_len], ids_dev
+                )
+            first = int(firsts[i])
+            req.generated.append(first)
+            req.slot = slot
+            self._slot_req[slot] = req
+            self.lengths[slot] = prompt_len
+            self.active[slot] = True
+            self.last_token[slot] = first
+            self._maybe_finish(req, first)
 
     def _ensure_page(self, slot: int):
         """Grow the slot's page list so position lengths[slot] is writable."""

@@ -43,8 +43,7 @@ from cuda_flash_attention_tpu.kernels.common import (
     pad_to_block,
 )
 from cuda_flash_attention_tpu.kernels.fa2_backward import (
-    fa2_backward_dkv_aligned,
-    fa2_backward_dq_aligned,
+    fa2_backward_fused_aligned,
 )
 from cuda_flash_attention_tpu.parallel.mesh import CTX_AXIS, DATA_AXIS, MODEL_AXIS
 
@@ -161,30 +160,25 @@ def _ring_bwd(axis_name, axis_size, causal, sm_scale, tile_dtype, interpret,
 
     kw = dict(sm_scale=sm_scale, kv_len=kv_len, tile_dtype=tile_dtype,
               kv_groups=q.shape[1] // k.shape[1], interpret=interpret)
-    bq_dq = _fit_block(bs.block_q_dq, q_pad.shape[2])
-    bk_dq = _fit_block(bs.block_k_dq, k_pad.shape[2])
     bq_dkv = _fit_block(bs.block_q_dkv, q_pad.shape[2])
     bk_dkv = _fit_block(bs.block_k_dkv, k_pad.shape[2])
 
-    def dq_partial(k_blk, is_causal):
-        return fa2_backward_dq_aligned(
-            q_pad, k_blk[0], k_blk[1], do_pad, lse_rep, di_rep,
-            causal=is_causal, block_q=bq_dq, block_k=bk_dq, **kw,
-        )
-
-    def dkv_partial(k_blk, is_causal):
-        return fa2_backward_dkv_aligned(
-            q_pad, k_blk[0], k_blk[1], do_pad, lse_rep, di_rep,
+    def grads_step(kv, is_causal):
+        # Fused backward: one recompute of (S, dP) per ring step yields dQ
+        # partials AND the traveling dK/dV contribution (fa2_backward.py).
+        dq_i, dk_i, dv_i = fa2_backward_fused_aligned(
+            q_pad, kv[0], kv[1], do_pad, lse_rep, di_rep,
             causal=is_causal, block_q=bq_dkv, block_k=bk_dkv, **kw,
         )
+        return dq_i, (dk_i, dv_i)
 
     def grads_full(args):
         kv, _, _ = args
-        return dq_partial(kv, False), dkv_partial(kv, False)
+        return grads_step(kv, False)
 
     def grads_diag(args):
         kv, _, _ = args
-        return dq_partial(kv, True), dkv_partial(kv, True)
+        return grads_step(kv, True)
 
     def grads_skip(args):
         kv, _, _ = args

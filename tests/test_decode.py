@@ -202,6 +202,33 @@ def test_engine_continuous_batching_queues():
     assert all(r.done and len(r.generated) == 3 for r in reqs)
 
 
+def test_engine_batched_prefill_matches_sequential():
+    """Same-bucket requests prefill as one batch; generations must equal the
+    one-at-a-time admission path."""
+    cfg, params, eng = _engine(cache_dtype=jnp.bfloat16)
+    prompts = [[5, 17, 100], [42, 7, 9, 11]]
+    batched = [r.generated for r in eng.run(prompts, max_new_tokens=3)]
+
+    cfg2, params2, eng2 = _engine(cache_dtype=jnp.bfloat16)
+    seq = []
+    for p in prompts:  # admit one at a time (forces B=1 prefill)
+        seq.append(eng2.run([p], max_new_tokens=3)[0].generated)
+    assert batched == seq
+
+
+def test_engine_fp8_cache():
+    cfg, params, eng = _engine(cache_dtype=jnp.float8_e4m3fn)
+    reqs = eng.run([[5, 7, 11]], max_new_tokens=4)
+    assert reqs[0].done and len(reqs[0].generated) == 4
+    assert all(0 <= t < cfg.vocab_size for t in reqs[0].generated)
+
+
+def test_engine_rejects_oversized_request():
+    cfg, params, eng = _engine()
+    with pytest.raises(ValueError, match="exceeds"):
+        eng.submit(list(range(500)), max_new_tokens=100)  # 600 > 512
+
+
 def test_engine_greedy_matches_full_forward():
     """Greedy decode through the paged int8 path must match greedy decode
     via repeated full forwards (token-level parity gate, loose only through
