@@ -45,9 +45,11 @@ class BlockSizes:
     TPU blocks (multiples of 128 along sequence dims).
     """
 
-    block_q: int = 512
+    # Defaults are the v5e sweep optima at S=2048 D=64 (fp32 and bf16 agree
+    # on the forward; the fused backward prefers a taller Q block).
+    block_q: int = 1024
     block_k: int = 1024
-    block_q_dkv: int = 256
+    block_q_dkv: int = 512
     block_k_dkv: int = 1024
     block_q_dq: int = 512
     block_k_dq: int = 2048
