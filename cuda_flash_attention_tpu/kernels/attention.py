@@ -62,7 +62,8 @@ def _use_xla_path(q, k, tile_dtype, force_kernel) -> bool:
     return score_bytes <= _XLA_SCORE_BYTES_MAX
 
 
-def _xla_attention(q, k, v, causal, sm_scale, with_lse):
+def _xla_attention(q, k, v, causal, sm_scale, with_lse,
+                   q_segment_ids=None, kv_segment_ids=None):
     from cuda_flash_attention_tpu.ops.reference import (
         vanilla_attention,
         vanilla_attention_with_lse,
@@ -75,7 +76,47 @@ def _xla_attention(q, k, v, causal, sm_scale, with_lse):
         k = jnp.repeat(k, groups, axis=1)
         v = jnp.repeat(v, groups, axis=1)
     fn = vanilla_attention_with_lse if with_lse else vanilla_attention
-    return fn(q, k, v, causal=causal, sm_scale=sm_scale)
+    return fn(q, k, v, causal=causal, sm_scale=sm_scale,
+              q_segment_ids=q_segment_ids, kv_segment_ids=kv_segment_ids)
+
+
+def _validate_segments(q_segment_ids, kv_segment_ids, q, k):
+    if (q_segment_ids is None) != (kv_segment_ids is None):
+        raise ValueError(
+            "q_segment_ids and kv_segment_ids must be given together"
+        )
+    if q_segment_ids is None:
+        return
+    if q_segment_ids.shape != (q.shape[0], q.shape[2]):
+        raise ValueError(
+            f"q_segment_ids must be [batch, q_len]="
+            f"{(q.shape[0], q.shape[2])}; got {q_segment_ids.shape}"
+        )
+    if kv_segment_ids.shape != (k.shape[0], k.shape[2]):
+        raise ValueError(
+            f"kv_segment_ids must be [batch, kv_len]="
+            f"{(k.shape[0], k.shape[2])}; got {kv_segment_ids.shape}"
+        )
+
+
+def _pack_segments(q_segment_ids, kv_segment_ids, q, k):
+    """Pad segment ids to the block grid as
+    (q_seg [B, Sq_pad, 1], kv_seg [B, 1, Skv_pad]) int32.  Padded q rows get
+    -1 and padded kv columns -2: distinct from each other and (by contract)
+    from user ids, so padding never attends or is attended."""
+    if q_segment_ids is None:
+        return None
+    q_pad = round_up(q.shape[2], MIN_BLOCK) - q.shape[2]
+    kv_pad = round_up(k.shape[2], MIN_BLOCK) - k.shape[2]
+    q_seg = jnp.pad(
+        q_segment_ids.astype(jnp.int32), ((0, 0), (0, q_pad)),
+        constant_values=-1,
+    )[:, :, None]
+    kv_seg = jnp.pad(
+        kv_segment_ids.astype(jnp.int32), ((0, 0), (0, kv_pad)),
+        constant_values=-2,
+    )[:, None, :]
+    return q_seg, kv_seg
 
 
 def _fit_block(requested: int, padded_len: int) -> int:
@@ -133,20 +174,24 @@ def _replicate_lanes(x):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
-def _fa2(q, k, v, kv_len, causal, sm_scale, block_sizes, tile_dtype, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def _fa2(q, k, v, segs, kv_len, causal, sm_scale, block_sizes, tile_dtype,
+         interpret):
+    """segs: None or (q_seg [B, Sq_pad, 1], kv_seg [B, 1, Skv_pad]) int32."""
     o, _ = _fa2_fwd_impl(
-        q, k, v, kv_len, causal, sm_scale, block_sizes, tile_dtype, interpret
+        q, k, v, segs, kv_len, causal, sm_scale, block_sizes, tile_dtype,
+        interpret,
     )
     return o
 
 
-def _fa2_fwd_impl(q, k, v, kv_len, causal, sm_scale, block_sizes, tile_dtype,
-                  interpret=None):
+def _fa2_fwd_impl(q, k, v, segs, kv_len, causal, sm_scale, block_sizes,
+                  tile_dtype, interpret=None):
     block_q = _fit_block(block_sizes.block_q, q.shape[2])
     block_k = _fit_block(block_sizes.block_k, k.shape[2])
+    q_seg, kv_seg = segs if segs is not None else (None, None)
     return fa2_forward_aligned(
-        q, k, v,
+        q, k, v, q_seg, kv_seg,
         causal=causal, sm_scale=sm_scale,
         block_q=block_q, block_k=block_k,
         kv_len=kv_len, tile_dtype=tile_dtype,
@@ -154,17 +199,18 @@ def _fa2_fwd_impl(q, k, v, kv_len, causal, sm_scale, block_sizes, tile_dtype,
     )
 
 
-def _fa2_fwd(q, k, v, kv_len, causal, sm_scale, block_sizes, tile_dtype,
+def _fa2_fwd(q, k, v, segs, kv_len, causal, sm_scale, block_sizes, tile_dtype,
              interpret):
     o, lse_rep = _fa2_fwd_impl(
-        q, k, v, kv_len, causal, sm_scale, block_sizes, tile_dtype, interpret
+        q, k, v, segs, kv_len, causal, sm_scale, block_sizes, tile_dtype,
+        interpret,
     )
-    return o, (q, k, v, o, lse_rep)
+    return o, (q, k, v, segs, o, lse_rep)
 
 
 def _fa2_bwd(kv_len, causal, sm_scale, block_sizes, tile_dtype, interpret,
              residuals, do):
-    q, k, v, o, lse_rep = residuals
+    q, k, v, segs, o, lse_rep = residuals
     # D_i = rowsum(dO * O): the reference runs a separate reduction kernel
     # (f-attn2-backward.cu:342-380); on TPU this is a single fused XLA
     # elementwise-multiply + lane reduction — no custom kernel wins here.
@@ -174,14 +220,20 @@ def _fa2_bwd(kv_len, causal, sm_scale, block_sizes, tile_dtype, interpret,
     kv_groups = q.shape[1] // k.shape[1]
     bq_dkv = _fit_block(block_sizes.block_q_dkv, q.shape[2])
     bk_dkv = _fit_block(block_sizes.block_k_dkv, k.shape[2])
-    if k.shape[2] // bk_dkv <= _FUSED_BWD_MAX_KV_SLICES:
-        return fa2_backward_fused_aligned(
-            q, k, v, do, lse_rep, di_rep,
+    dsegs = None if segs is None else (None, None)
+    # Segments are only wired through the fused kernel; the two-kernel
+    # fallback is the long-sequence path where the partial buffer would be
+    # too big anyway.
+    if segs is not None or k.shape[2] // bk_dkv <= _FUSED_BWD_MAX_KV_SLICES:
+        q_seg, kv_seg = segs if segs is not None else (None, None)
+        dq, dk, dv = fa2_backward_fused_aligned(
+            q, k, v, do, lse_rep, di_rep, q_seg, kv_seg,
             causal=causal, sm_scale=sm_scale,
             block_q=bq_dkv, block_k=bk_dkv,
             kv_len=kv_len, tile_dtype=tile_dtype, kv_groups=kv_groups,
             interpret=interpret,
         )
+        return dq, dk, dv, dsegs
     dq = fa2_backward_dq_aligned(
         q, k, v, do, lse_rep, di_rep,
         causal=causal, sm_scale=sm_scale,
@@ -197,7 +249,7 @@ def _fa2_bwd(kv_len, causal, sm_scale, block_sizes, tile_dtype, interpret,
         kv_len=kv_len, tile_dtype=tile_dtype, kv_groups=kv_groups,
         interpret=interpret,
     )
-    return dq, dk, dv
+    return dq, dk, dv, dsegs
 
 
 _fa2.defvjp(_fa2_fwd, _fa2_bwd)
@@ -217,6 +269,8 @@ def flash_attention(
     sm_scale: float | None = None,
     block_sizes: BlockSizes | None = None,
     tile_dtype=None,
+    q_segment_ids=None,   # [B, Sq] int32 — sequence-packing segment ids
+    kv_segment_ids=None,  # [B, Skv] int32
     force_kernel: bool = False,
     interpret=None,
 ):
@@ -225,6 +279,11 @@ def flash_attention(
     GQA is kernel-native: k/v may carry fewer heads than q (q heads must be
     a multiple, ordered kv-head-major); each query head streams its KV head
     directly from HBM — no repeated-KV materialization.
+
+    Segment ids enable sequence packing / padding masks: position i attends
+    to j only when q_segment_ids[b, i] == kv_segment_ids[b, j] (composable
+    with ``causal``). Use negative ids ≤ -3 for user-level padding; -1/-2
+    are reserved for block padding.
 
     ``tile_dtype`` is the SHM_PRECISION analog: Q/K/V/P tiles are cast to it
     (bf16/fp16) inside the kernel before the MXU matmuls while all softmax
@@ -235,13 +294,18 @@ def flash_attention(
     below the streaming crossover); ``force_kernel=True`` pins the Pallas
     kernel (the benchmark harness does, to measure the kernel itself).
     """
+    _validate_segments(q_segment_ids, kv_segment_ids, q, k)
     if _use_xla_path(q, k, tile_dtype, force_kernel):
-        return _xla_attention(q, k, v, causal, sm_scale, with_lse=False)
+        return _xla_attention(
+            q, k, v, causal, sm_scale, with_lse=False,
+            q_segment_ids=q_segment_ids, kv_segment_ids=kv_segment_ids,
+        )
+    segs = _pack_segments(q_segment_ids, kv_segment_ids, q, k)
     q_pad, k_pad, v_pad, sm_scale, block_sizes, q_len, kv_len = _normalize(
         q, k, v, sm_scale, block_sizes
     )
     o = _fa2(
-        q_pad, k_pad, v_pad, kv_len, causal, sm_scale, block_sizes,
+        q_pad, k_pad, v_pad, segs, kv_len, causal, sm_scale, block_sizes,
         tile_dtype, interpret,
     )
     return o[:, :, :q_len, :]
@@ -254,6 +318,8 @@ def flash_attention_with_lse(
     sm_scale: float | None = None,
     block_sizes: BlockSizes | None = None,
     tile_dtype=None,
+    q_segment_ids=None,
+    kv_segment_ids=None,
     force_kernel: bool = False,
     interpret=None,
 ):
@@ -261,14 +327,19 @@ def flash_attention_with_lse(
     save-for-backward contract the CLI persists as logsumexp.bin
     (/root/reference/src/main.cpp:110-113). Not differentiable; use
     `flash_attention` for autodiff."""
+    _validate_segments(q_segment_ids, kv_segment_ids, q, k)
     if _use_xla_path(q, k, tile_dtype, force_kernel):
-        return _xla_attention(q, k, v, causal, sm_scale, with_lse=True)
+        return _xla_attention(
+            q, k, v, causal, sm_scale, with_lse=True,
+            q_segment_ids=q_segment_ids, kv_segment_ids=kv_segment_ids,
+        )
+    segs = _pack_segments(q_segment_ids, kv_segment_ids, q, k)
     q_pad, k_pad, v_pad, sm_scale, block_sizes, q_len, kv_len = _normalize(
         q, k, v, sm_scale, block_sizes
     )
     o, lse_rep = _fa2_fwd_impl(
-        q_pad, k_pad, v_pad, kv_len, causal, sm_scale, block_sizes, tile_dtype,
-        interpret,
+        q_pad, k_pad, v_pad, segs, kv_len, causal, sm_scale, block_sizes,
+        tile_dtype, interpret,
     )
     return o[:, :, :q_len, :], lse_rep[:, :, :q_len, 0]
 

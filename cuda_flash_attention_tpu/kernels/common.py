@@ -71,6 +71,40 @@ def below_or_on_diag(q_idx, block_q: int, kv_idx, block_k: int):
     return ((q_idx + 1) * block_q - 1) >= (kv_idx * block_k)
 
 
+def build_block_mask(
+    q_idx, kv_idx, block_q: int, block_k: int, *,
+    causal: bool, mask_kv_tail: bool, kv_len: int,
+    q_seg=None,   # [block_q, 1] int32 or None
+    kv_seg=None,  # [1, block_k] int32 or None
+):
+    """Boolean keep-mask for one (q_idx, kv_idx) tile, or None if nothing
+    masks. Combines the ragged-KV tail check, the causal triangle, and
+    segment equality (sequence packing: token i attends to j only when
+    their segment ids match)."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    mask = None
+    if mask_kv_tail:
+        col_ids = lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+        mask = (kv_idx * block_k + col_ids) < kv_len
+    if causal:
+        row_ids = (
+            lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+            + q_idx * block_q
+        )
+        col_ids = (
+            lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+            + kv_idx * block_k
+        )
+        causal_mask = col_ids <= row_ids
+        mask = causal_mask if mask is None else jnp.logical_and(mask, causal_mask)
+    if q_seg is not None:
+        seg_mask = q_seg == kv_seg  # [block_q, block_k] via broadcast
+        mask = seg_mask if mask is None else jnp.logical_and(mask, seg_mask)
+    return mask
+
+
 def pad_to_block(x: jax.Array, axis: int, block: int):
     """Zero-pad `axis` of x up to a multiple of `block`."""
     size = x.shape[axis]

@@ -41,6 +41,7 @@ from cuda_flash_attention_tpu.kernels.common import (
     NUM_LANES,
     TRANS_B_DIMS,
     below_or_on_diag,
+    build_block_mask,
     matmul_precision,
     resolve_interpret,
     tile_cast,
@@ -65,6 +66,10 @@ def _compute_p_ds(q, k, v, do, lse, di, *, sm_scale, mask, mask_value, tile_dtyp
     # P = exp(S - lse): rows already normalized because lse = log(l) + m.
     # lse/di are lane-replicated; a single-lane broadcast beats a lane-tile.
     p = jnp.exp(s - lse[:, :1])
+    if mask is not None:
+        # Exact zero on masked entries: fully-masked rows (segment ids) have
+        # a garbage lse, and exp(s - lse) there would pollute dK/dV sums.
+        p = jnp.where(mask, p, 0.0)
     do_c = tile_cast(do, tile_dtype)
     dp = lax.dot_general(
         do_c, tile_cast(v, tile_dtype), TRANS_B_DIMS,
@@ -77,30 +82,11 @@ def _compute_p_ds(q, k, v, do, lse, di, *, sm_scale, mask, mask_value, tile_dtyp
     return p, ds
 
 
-def _build_mask(q_idx, kv_idx, block_q, block_k, *, causal, mask_kv_tail, kv_len):
-    mask = None
-    if mask_kv_tail:
-        col_ids = lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-        mask = (kv_idx * block_k + col_ids) < kv_len
-    if causal:
-        row_ids = (
-            lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0) + q_idx * block_q
-        )
-        col_ids = (
-            lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + kv_idx * block_k
-        )
-        causal_mask = col_ids <= row_ids
-        mask = causal_mask if mask is None else jnp.logical_and(mask, causal_mask)
-    return mask
-
-
 def _fa2_bwd_fused_kernel(
-    q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
-    dk_ref, dv_ref, dq_part_ref,
-    dk_scr, dv_scr,
-    *,
+    *refs,
     sm_scale, causal, mask_value, kv_len,
     block_q, block_k, num_q_blocks, tile_dtype, mask_kv_tail, kv_groups,
+    has_segments,
 ):
     """dK/dV accumulation + per-KV-slice dQ partial in ONE recompute.
 
@@ -113,6 +99,13 @@ def _fa2_bwd_fused_kernel(
     deterministic replacement for the reference's cross-block atomicAdd dQ
     (f-attn2-backward.cu:269-300): partial sums land in disjoint memory and
     reduce in a fixed order."""
+    if has_segments:
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, qseg_ref, kvseg_ref,
+         dk_ref, dv_ref, dq_part_ref, dk_scr, dv_scr) = refs
+    else:
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
+         dk_ref, dv_ref, dq_part_ref, dk_scr, dv_scr) = refs
+        qseg_ref = kvseg_ref = None
     kv_idx = pl.program_id(2)
     inner = pl.program_id(3)
     q_idx = inner % num_q_blocks
@@ -135,9 +128,11 @@ def _fa2_bwd_fused_kernel(
         do = do_ref[0, 0]
         lse = lse_ref[0, 0]
         di = di_ref[0, 0]
-        mask = _build_mask(
+        mask = build_block_mask(
             q_idx, kv_idx, block_q, block_k,
             causal=causal, mask_kv_tail=mask_kv_tail, kv_len=kv_len,
+            q_seg=qseg_ref[0] if has_segments else None,
+            kv_seg=kvseg_ref[0] if has_segments else None,
         )
         p, ds = _compute_p_ds(
             q, k, v, do, lse, di,
@@ -213,7 +208,7 @@ def _fa2_bwd_dkv_kernel(
         do = do_ref[0, 0]
         lse = lse_ref[0, 0]
         di = di_ref[0, 0]
-        mask = _build_mask(
+        mask = build_block_mask(
             q_idx, kv_idx, block_q, block_k,
             causal=causal, mask_kv_tail=mask_kv_tail, kv_len=kv_len,
         )
@@ -271,7 +266,7 @@ def _fa2_bwd_dq_kernel(
         do = do_ref[0, 0]
         lse = lse_ref[0, 0]
         di = di_ref[0, 0]
-        mask = _build_mask(
+        mask = build_block_mask(
             q_idx, kv_idx, block_q, block_k,
             causal=causal, mask_kv_tail=mask_kv_tail, kv_len=kv_len,
         )
@@ -387,6 +382,8 @@ def fa2_backward_dkv_aligned(
 )
 def fa2_backward_fused_aligned(
     q, k, v, do, lse_rep, di_rep,
+    q_seg=None,   # [B, Sq_pad, 1] int32
+    kv_seg=None,  # [B, 1, Skv_pad] int32
     *,
     causal: bool,
     sm_scale: float,
@@ -425,6 +422,7 @@ def fa2_backward_fused_aligned(
         qi = inner % num_q_blocks
         return (b, hk * kv_groups + g, ki, qi, 0)
 
+    has_segments = q_seg is not None
     kernel = functools.partial(
         _fa2_bwd_fused_kernel,
         sm_scale=sm_scale,
@@ -437,14 +435,36 @@ def fa2_backward_fused_aligned(
         tile_dtype=tile_dtype,
         mask_kv_tail=(kv_len != kv_len_pad),
         kv_groups=kv_groups,
+        has_segments=has_segments,
     )
     qo_spec = pl.BlockSpec((1, 1, block_q, head_dim), qo_index_map)
     kv_spec = pl.BlockSpec((1, 1, block_k, head_dim), kv_index_map)
     stat_spec = pl.BlockSpec((1, 1, block_q, NUM_LANES), qo_index_map)
+    in_specs = [qo_spec, kv_spec, kv_spec, qo_spec, stat_spec, stat_spec]
+    inputs = [q, k, v, do, lse_rep, di_rep]
+    if has_segments:
+        def qseg_index_map(b, hk, ki, inner):
+            g = inner // num_q_blocks
+            qi = inner % num_q_blocks
+            if causal:
+                qi = lax.select(
+                    below_or_on_diag(qi, block_q, ki, block_k), qi, 0
+                )
+            del g
+            return (b, qi, 0)
+
+        def kvseg_index_map(b, hk, ki, inner):
+            return (b, 0, ki)
+
+        in_specs += [
+            pl.BlockSpec((1, block_q, 1), qseg_index_map),
+            pl.BlockSpec((1, 1, block_k), kvseg_index_map),
+        ]
+        inputs += [q_seg, kv_seg]
     dk, dv, dq_part = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[qo_spec, kv_spec, kv_spec, qo_spec, stat_spec, stat_spec],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((1, 1, block_k, head_dim), kv_index_map),
             pl.BlockSpec((1, 1, block_k, head_dim), kv_index_map),
@@ -466,7 +486,7 @@ def fa2_backward_fused_aligned(
         ),
         interpret=resolve_interpret(interpret),
         debug=debug,
-    )(q, k, v, do, lse_rep, di_rep)
+    )(*inputs)
     dq = jnp.sum(dq_part, axis=2).astype(q.dtype)
     return dq, dk, dv
 

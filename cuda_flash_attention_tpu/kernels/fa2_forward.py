@@ -41,6 +41,7 @@ from cuda_flash_attention_tpu.kernels.common import (
     NUM_LANES,
     TRANS_B_DIMS,
     below_or_on_diag,
+    build_block_mask,
     matmul_precision,
     resolve_interpret,
     tile_cast,
@@ -48,15 +49,7 @@ from cuda_flash_attention_tpu.kernels.common import (
 
 
 def _fa2_fwd_kernel(
-    q_ref,  # [1, 1, block_q, D]
-    k_ref,  # [1, 1, block_k, D]
-    v_ref,  # [1, 1, block_k, D]
-    o_ref,  # [1, 1, block_q, D]
-    lse_ref,  # [1, 1, block_q, NUM_LANES] (lane-replicated)
-    m_scr,  # [block_q, NUM_LANES] f32
-    l_scr,  # [block_q, NUM_LANES] f32
-    acc_scr,  # [block_q, D] f32
-    *,
+    *refs,
     sm_scale: float,
     causal: bool,
     mask_value: float,
@@ -66,7 +59,17 @@ def _fa2_fwd_kernel(
     num_kv_blocks: int,
     tile_dtype,
     mask_kv_tail: bool,
+    has_segments: bool,
 ):
+    if has_segments:
+        (q_ref, k_ref, v_ref, qseg_ref, kvseg_ref,
+         o_ref, lse_ref, m_scr, l_scr, acc_scr) = refs
+    else:
+        q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr = refs
+        qseg_ref = kvseg_ref = None
+    # Ref shapes: q/o [1,1,block_q,D]; k/v [1,1,block_k,D];
+    # lse [1,1,block_q,NUM_LANES]; qseg [1,block_q,1]; kvseg [1,1,block_k];
+    # scratch m/l [block_q,NUM_LANES] f32, acc [block_q,D] f32.
     q_idx = pl.program_id(2)
     kv_idx = pl.program_id(3)
     head_dim = q_ref.shape[-1]
@@ -94,21 +97,12 @@ def _fa2_fwd_kernel(
         if sm_scale != 1.0:
             s *= sm_scale
 
-        mask = None
-        if mask_kv_tail:
-            col_ids = lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-            mask = (kv_idx * block_k + col_ids) < kv_len
-        if causal:
-            row_ids = (
-                lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
-                + q_idx * block_q
-            )
-            col_ids = (
-                lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-                + kv_idx * block_k
-            )
-            causal_mask = col_ids <= row_ids
-            mask = causal_mask if mask is None else jnp.logical_and(mask, causal_mask)
+        mask = build_block_mask(
+            q_idx, kv_idx, block_q, block_k,
+            causal=causal, mask_kv_tail=mask_kv_tail, kv_len=kv_len,
+            q_seg=qseg_ref[0] if has_segments else None,
+            kv_seg=kvseg_ref[0] if has_segments else None,
+        )
         if mask is not None:
             s += jnp.where(mask, 0.0, mask_value)
 
@@ -120,6 +114,11 @@ def _fa2_fwd_kernel(
         # Single-lane broadcast (m_next[:, :1]) instead of a materialized
         # lane-tile: saves a (block_q, block_k) VPU copy per KV step.
         p = jnp.exp(s - m_next[:, :1])
+        if mask is not None:
+            # Exact zero for masked entries: for causal/tail masks exp
+            # already underflows to 0, but a FULLY-masked row (possible with
+            # segment ids) would otherwise normalize the mask value itself.
+            p = jnp.where(mask, p, 0.0)
         l_next = alpha * l_prev + jnp.sum(p, axis=1)[:, None]
         m_scr[...] = m_next
         l_scr[...] = l_next
@@ -153,6 +152,8 @@ def fa2_forward_aligned(
     q,  # [B, Hq, Sq_pad, D], Sq_pad % block_q == 0
     k,  # [B, Hq // kv_groups, Skv_pad, D], Skv_pad % block_k == 0
     v,
+    q_seg=None,   # [B, Sq_pad, 1] int32 (sequence-packing segment ids)
+    kv_seg=None,  # [B, 1, Skv_pad] int32
     *,
     causal: bool,
     sm_scale: float,
@@ -188,6 +189,7 @@ def fa2_forward_aligned(
             ki = lax.select(below_or_on_diag(qi, block_q, ki, block_k), ki, 0)
         return (b, h // kv_groups, ki, 0)
 
+    has_segments = q_seg is not None
     kernel = functools.partial(
         _fa2_fwd_kernel,
         sm_scale=sm_scale,
@@ -199,7 +201,31 @@ def fa2_forward_aligned(
         num_kv_blocks=num_kv_blocks,
         tile_dtype=tile_dtype,
         mask_kv_tail=(kv_len != kv_len_pad),
+        has_segments=has_segments,
     )
+
+    in_specs = [
+        pl.BlockSpec((1, 1, block_q, head_dim), q_index_map),
+        pl.BlockSpec((1, 1, block_k, head_dim), kv_index_map),
+        pl.BlockSpec((1, 1, block_k, head_dim), kv_index_map),
+    ]
+    inputs = [q, k, v]
+    if has_segments:
+        def qseg_index_map(b, h, qi, ki):
+            return (b, qi, 0)
+
+        def kvseg_index_map(b, h, qi, ki):
+            if causal:
+                ki = lax.select(
+                    below_or_on_diag(qi, block_q, ki, block_k), ki, 0
+                )
+            return (b, 0, ki)
+
+        in_specs += [
+            pl.BlockSpec((1, block_q, 1), qseg_index_map),
+            pl.BlockSpec((1, 1, block_k), kvseg_index_map),
+        ]
+        inputs += [q_seg, kv_seg]
 
     out_shape = (
         jax.ShapeDtypeStruct(q.shape, q.dtype),
@@ -208,11 +234,7 @@ def fa2_forward_aligned(
     o, lse_rep = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, block_q, head_dim), q_index_map),
-            pl.BlockSpec((1, 1, block_k, head_dim), kv_index_map),
-            pl.BlockSpec((1, 1, block_k, head_dim), kv_index_map),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((1, 1, block_q, head_dim), q_index_map),
             pl.BlockSpec((1, 1, block_q, NUM_LANES), q_index_map),
@@ -239,5 +261,5 @@ def fa2_forward_aligned(
         ),
         interpret=resolve_interpret(interpret),
         debug=debug,
-    )(q, k, v)
+    )(*inputs)
     return o, lse_rep

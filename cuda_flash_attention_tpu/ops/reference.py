@@ -20,7 +20,8 @@ import jax
 import jax.numpy as jnp
 
 
-def _attention_core(q, k, v, *, causal, sm_scale, compute_dtype):
+def _attention_core(q, k, v, *, causal, sm_scale, compute_dtype,
+                    q_segment_ids=None, kv_segment_ids=None):
     """Materialized softmax(QK^T * scale) V with logsumexp, in compute_dtype."""
     orig_dtype = q.dtype
     q = q.astype(compute_dtype)
@@ -40,6 +41,11 @@ def _attention_core(q, k, v, *, causal, sm_scale, compute_dtype):
         row = jax.lax.broadcasted_iota(jnp.int32, (q_len, kv_len), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (q_len, kv_len), 1)
         s = jnp.where(col <= row, s, -jnp.inf)
+    if q_segment_ids is not None:
+        seg = (
+            q_segment_ids[:, None, :, None] == kv_segment_ids[:, None, None, :]
+        )  # [B, 1, Sq, Skv]
+        s = jnp.where(seg, s, -jnp.inf)
     m = jnp.max(s, axis=-1, keepdims=True)
     # Guard fully-masked rows (can only happen for causal with padded rows).
     m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
@@ -49,8 +55,11 @@ def _attention_core(q, k, v, *, causal, sm_scale, compute_dtype):
         "bhqk,bhkd->bhqd", p, v,
         preferred_element_type=compute_dtype, precision=precision,
     )
-    o = o / l
-    lse = (jnp.log(l) + m_safe)[..., 0]
+    # Fully-masked rows (possible with segment ids): O = 0, not NaN —
+    # matching the kernels' l == 0 guard.
+    l_safe = jnp.where(l == 0.0, 1.0, l)
+    o = o / l_safe
+    lse = (jnp.log(l_safe) + m_safe)[..., 0]
     return o.astype(orig_dtype), lse.astype(jnp.float32)
 
 
@@ -63,6 +72,8 @@ def vanilla_attention_with_lse(
     causal: bool = False,
     sm_scale: float | None = None,
     compute_dtype=jnp.float32,
+    q_segment_ids=None,   # [B, Sq] int32
+    kv_segment_ids=None,  # [B, Skv] int32
 ):
     """Reference attention returning (O, logsumexp).
 
@@ -72,18 +83,21 @@ def vanilla_attention_with_lse(
     if sm_scale is None:
         sm_scale = 1.0 / (q.shape[-1] ** 0.5)
     return _attention_core(
-        q, k, v, causal=causal, sm_scale=float(sm_scale), compute_dtype=compute_dtype
+        q, k, v, causal=causal, sm_scale=float(sm_scale),
+        compute_dtype=compute_dtype,
+        q_segment_ids=q_segment_ids, kv_segment_ids=kv_segment_ids,
     )
 
 
 @functools.partial(jax.jit, static_argnames=("causal", "sm_scale", "compute_dtype"))
 def vanilla_attention(
     q, k, v, *, causal: bool = False, sm_scale: float | None = None,
-    compute_dtype=jnp.float32,
+    compute_dtype=jnp.float32, q_segment_ids=None, kv_segment_ids=None,
 ):
     """Reference attention returning only O — the materialized perf floor."""
     o, _ = vanilla_attention_with_lse(
-        q, k, v, causal=causal, sm_scale=sm_scale, compute_dtype=compute_dtype
+        q, k, v, causal=causal, sm_scale=sm_scale, compute_dtype=compute_dtype,
+        q_segment_ids=q_segment_ids, kv_segment_ids=kv_segment_ids,
     )
     return o
 
