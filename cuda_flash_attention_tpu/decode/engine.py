@@ -68,6 +68,7 @@ class DecodeEngine:
         cache_dtype=jnp.int8,
         temperature: float = 0.0,
         top_k: int = 0,
+        top_p: float = 1.0,
         seed: int = 0,
         mesh=None,
         interpret=None,
@@ -80,6 +81,7 @@ class DecodeEngine:
         self.pages_per_seq = _cdiv(max_seq_len, page_size)
         self.temperature = temperature
         self.top_k = top_k
+        self.top_p = top_p
         self.interpret = interpret
         if num_pages is None:
             num_pages = max_seqs * self.pages_per_seq + 1  # +1 null page
@@ -190,7 +192,8 @@ class DecodeEngine:
     def _sample(self, logits):
         self._key, sub = jax.random.split(self._key)
         return sample_tokens(
-            logits, sub, temperature=self.temperature, top_k=self.top_k
+            logits, sub, temperature=self.temperature, top_k=self.top_k,
+            top_p=self.top_p,
         )
 
     def _prefill_batch(self, reqs: list[Request], slots: list[int],

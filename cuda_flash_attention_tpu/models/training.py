@@ -111,6 +111,14 @@ def train_loop(
     for i in range(num_steps):
         tokens = next(data_iter)
         state, metrics = step_fn(state, tokens)
+        # Failure detection (SURVEY.md §5 — the reference's NaN/Inf gate,
+        # test_flash_attention2.py:1018-1020, applied to training): abort
+        # before a poisoned step contaminates the checkpoint chain.
+        if not jnp.isfinite(metrics["loss"]):
+            raise FloatingPointError(
+                f"non-finite loss at step {int(metrics['step'])}; "
+                "restore the last checkpoint to resume"
+            )
         if log_every and (i + 1) % log_every == 0:
             print(
                 f"step {int(metrics['step'])}: loss={float(metrics['loss']):.4f} "

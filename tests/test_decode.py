@@ -246,3 +246,22 @@ def test_engine_greedy_matches_full_forward():
         full.append(nxt)
         toks.append(nxt)
     assert req.generated == full, f"paged {req.generated} vs full {full}"
+
+
+def test_top_p_sampling_respects_nucleus():
+    from cuda_flash_attention_tpu.decode.sampling import sample_tokens
+
+    # One dominant token (p~0.97): top_p=0.5 must always pick it.
+    logits = jnp.asarray([[10.0, 3.0, 2.0, 1.0, 0.0]])
+    for i in range(8):
+        t = sample_tokens(
+            logits, jax.random.PRNGKey(i), temperature=1.0, top_p=0.5
+        )
+        assert int(t[0]) == 0
+    # top_p=1.0 with flat logits samples everything eventually.
+    flat = jnp.zeros((1, 4))
+    seen = {
+        int(sample_tokens(flat, jax.random.PRNGKey(i), temperature=1.0)[0])
+        for i in range(40)
+    }
+    assert len(seen) >= 3
