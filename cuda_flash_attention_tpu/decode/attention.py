@@ -44,28 +44,38 @@ from cuda_flash_attention_tpu.kernels.common import (
 )
 
 
+# Batched-over-heads contractions: contract D (last dim), batch over the
+# leading KV-head dim.
+_BATCHED_QKT = (((2,), (2,)), ((0,), (0,)))   # [H,g,D] x [H,p,D] -> [H,g,p]
+_BATCHED_PV = (((2,), (1,)), ((0,), (0,)))    # [H,g,p] x [H,p,D] -> [H,g,D]
+
+
 def _decode_kernel(
     # scalar prefetch
     page_table_ref,  # [num_seqs, pages_per_seq] int32 (SMEM)
     lengths_ref,     # [num_seqs] int32 (SMEM)
     # inputs
-    q_ref,   # [1, 1, group, D]
-    k_ref,   # [1, 1, page_size, D]   cache dtype
-    ks_ref,  # [1, 1, 1, page_size]   f32
-    v_ref,   # [1, 1, page_size, D]
-    vs_ref,  # [1, 1, 1, page_size]
+    q_ref,   # [1, Hkv, group, D]
+    k_ref,   # [Hkv, 1, page_size, D]   cache dtype
+    ks_ref,  # [Hkv, 1, 1, page_size]   f32
+    v_ref,   # [Hkv, 1, page_size, D]
+    vs_ref,  # [Hkv, 1, 1, page_size]
     # outputs
-    o_ref,   # [1, 1, group, D]
+    o_ref,   # [1, Hkv, group, D]
     # scratch
-    m_scr, l_scr, acc_scr,
+    m_scr, l_scr, acc_scr,  # [Hkv, group, NUM_LANES] x2, [Hkv, group, D]
     *,
     sm_scale: float,
     page_size: int,
     pages_per_seq: int,
     compute_dtype,
 ):
+    """All KV heads of one sequence in ONE grid cell: they share the same
+    physical page, so batching them trades n_kv_heads grid launches for one
+    batched MXU contraction — the per-cell overhead dominates decode at
+    large batch."""
     seq = pl.program_id(0)
-    p = pl.program_id(2)
+    p = pl.program_id(1)
     length = lengths_ref[seq]
 
     @pl.when(p == 0)
@@ -76,45 +86,45 @@ def _decode_kernel(
 
     @pl.when(p * page_size < length)
     def _run():
-        group = q_ref.shape[2]
-        q = q_ref[0, 0].astype(compute_dtype)       # [group, D]
-        k = k_ref[0, 0].astype(compute_dtype)       # [page_size, D]
+        hkv, group = q_ref.shape[1], q_ref.shape[2]
+        q = q_ref[0].astype(compute_dtype)          # [Hkv, group, D]
+        k = k_ref[:, 0].astype(compute_dtype)       # [Hkv, page_size, D]
         s = lax.dot_general(
-            q, k, TRANS_B_DIMS,
+            q, k, _BATCHED_QKT,
             preferred_element_type=jnp.float32,
             precision=matmul_precision(q.dtype),
-        )  # [group, page_size]
-        s *= ks_ref[0, 0] * sm_scale  # fold K's per-token scales into S cols
+        )  # [Hkv, group, page_size]
+        s *= ks_ref[:, 0] * sm_scale  # [Hkv, 1, page_size] broadcast
 
         # Mask the tail of the last active page (positions >= length).
         col = p * page_size + lax.broadcasted_iota(
-            jnp.int32, (group, page_size), 1
+            jnp.int32, (hkv, group, page_size), 2
         )
         s += jnp.where(col < length, 0.0, DEFAULT_MASK_VALUE)
 
         m_prev = m_scr[...]
         l_prev = l_scr[...]
-        m_curr = jnp.max(s, axis=1)[:, None]
+        m_curr = jnp.max(s, axis=2)[..., None]      # [Hkv, group, 1]
         m_next = jnp.maximum(m_prev, m_curr)
         alpha = jnp.exp(m_prev - m_next)
-        prob = jnp.exp(s - m_next[:, :1])
-        l_scr[...] = alpha * l_prev + jnp.sum(prob, axis=1)[:, None]
+        prob = jnp.exp(s - m_next[..., :1])
+        l_scr[...] = alpha * l_prev + jnp.sum(prob, axis=2)[..., None]
         m_scr[...] = m_next
 
-        v = v_ref[0, 0].astype(compute_dtype)
-        prob_scaled = (prob * vs_ref[0, 0]).astype(compute_dtype)  # V scales
-        pv = lax.dot(
-            prob_scaled, v,
+        v = v_ref[:, 0].astype(compute_dtype)       # [Hkv, page_size, D]
+        prob_scaled = (prob * vs_ref[:, 0]).astype(compute_dtype)
+        pv = lax.dot_general(
+            prob_scaled, v, _BATCHED_PV,
             preferred_element_type=jnp.float32,
             precision=matmul_precision(v.dtype),
-        )
-        acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
+        )  # [Hkv, group, D]
+        acc_scr[...] = acc_scr[...] * alpha[..., :1] + pv
 
     @pl.when(p == pages_per_seq - 1)
     def _store():
         l = l_scr[...]
         l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)  # inactive slot -> zeros
-        o_ref[0, 0] = (acc_scr[...] * l_inv[:, :1]).astype(o_ref.dtype)
+        o_ref[0] = (acc_scr[...] * l_inv[..., :1]).astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -143,18 +153,14 @@ def paged_decode_attention(
     # Query heads sharing a KV head sit together: [seqs, kv_heads, group, D].
     q4 = q.reshape(num_seqs, n_kv_heads, group, head_dim)
 
-    def q_map(s, h, p, pt_ref, len_ref):
-        return (s, h, 0, 0)
+    def q_map(s, p, pt_ref, len_ref):
+        return (s, 0, 0, 0)
 
-    def page_map(s, h, p, pt_ref, len_ref):
+    def page_map(s, p, pt_ref, len_ref):
         # Clamp dead pages (p beyond length) to the null page 0 so the
         # prefetch DMA doesn't touch cold HBM.
         live = p * page_size < len_ref[s]
-        return (h, lax.select(live, pt_ref[s, p], 0), 0, 0)
-
-    def scale_map(s, h, p, pt_ref, len_ref):
-        live = p * page_size < len_ref[s]
-        return (h, lax.select(live, pt_ref[s, p], 0), 0, 0)
+        return (0, lax.select(live, pt_ref[s, p], 0), 0, 0)
 
     kernel = functools.partial(
         _decode_kernel,
@@ -166,19 +172,19 @@ def paged_decode_attention(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(num_seqs, n_kv_heads, pages_per_seq),
+        grid=(num_seqs, pages_per_seq),
         in_specs=[
-            pl.BlockSpec((1, 1, group, head_dim), q_map),
-            pl.BlockSpec((1, 1, page_size, head_dim), page_map),
-            pl.BlockSpec((1, 1, 1, page_size), scale_map),
-            pl.BlockSpec((1, 1, page_size, head_dim), page_map),
-            pl.BlockSpec((1, 1, 1, page_size), scale_map),
+            pl.BlockSpec((1, n_kv_heads, group, head_dim), q_map),
+            pl.BlockSpec((n_kv_heads, 1, page_size, head_dim), page_map),
+            pl.BlockSpec((n_kv_heads, 1, 1, page_size), page_map),
+            pl.BlockSpec((n_kv_heads, 1, page_size, head_dim), page_map),
+            pl.BlockSpec((n_kv_heads, 1, 1, page_size), page_map),
         ],
-        out_specs=pl.BlockSpec((1, 1, group, head_dim), q_map),
+        out_specs=pl.BlockSpec((1, n_kv_heads, group, head_dim), q_map),
         scratch_shapes=[
-            pltpu.VMEM((group, NUM_LANES), jnp.float32),
-            pltpu.VMEM((group, NUM_LANES), jnp.float32),
-            pltpu.VMEM((group, head_dim), jnp.float32),
+            pltpu.VMEM((n_kv_heads, group, NUM_LANES), jnp.float32),
+            pltpu.VMEM((n_kv_heads, group, NUM_LANES), jnp.float32),
+            pltpu.VMEM((n_kv_heads, group, head_dim), jnp.float32),
         ],
     )
 
@@ -192,7 +198,7 @@ def paged_decode_attention(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(q4.shape, q.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=resolve_interpret(interpret),
     )(page_table, lengths, q4, pages.k_pages, k_scales,

@@ -265,3 +265,18 @@ def test_top_p_sampling_respects_nucleus():
         for i in range(40)
     }
     assert len(seen) >= 3
+
+
+def test_engine_with_int8_weights():
+    """Weight-only int8 serving: quantized params flow through the same
+    engine (prefill + decode) and generate valid tokens."""
+    from cuda_flash_attention_tpu.quant import quantize_transformer_params
+
+    cfg = TransformerConfig.tiny()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    q_params = quantize_transformer_params(params, jnp.int8)
+    eng = DecodeEngine(q_params, cfg, max_seqs=2, max_seq_len=512,
+                       page_size=PAGE, cache_dtype=jnp.int8)
+    reqs = eng.run([[5, 17, 100, 42]], max_new_tokens=4)
+    assert reqs[0].done and len(reqs[0].generated) == 4
+    assert all(0 <= t < cfg.vocab_size for t in reqs[0].generated)
