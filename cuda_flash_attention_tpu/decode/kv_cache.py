@@ -103,15 +103,18 @@ def append_token_kv(
     positions,   # [num_seqs] int32 — write position (current length)
     active,      # [num_seqs] bool — inactive slots must not clobber pages
 ) -> KVPages:
-    """Single-token decode append for every slot, as one scatter per tensor."""
+    """Single-token decode append for every slot, as one scatter per tensor.
+
+    Inactive slots' writes are redirected to the reserved null page 0 (the
+    allocator never hands it out) — cheaper than the gather + select needed
+    to make them true no-ops, and page 0 is never attended (lengths gate)."""
     page_size = pages.page_size
     page_idx = positions // page_size
-    offsets = positions % page_size
+    offsets = jnp.where(active, positions % page_size, 0)
     num_seqs = k_new.shape[0]
-    page_ids = page_table[jnp.arange(num_seqs), page_idx]  # [num_seqs]
-    # Route inactive slots' writes to a dead offset in page 0? No — page 0 is
-    # a real page. Instead keep the write but make it a no-op by writing back
-    # the existing values.
+    page_ids = jnp.where(
+        active, page_table[jnp.arange(num_seqs), page_idx], 0
+    )  # [num_seqs]
     dtype = pages.k_pages.dtype
     kq, ks = _quantize_rows(k_new, dtype)  # [S, Hkv, D], [S, Hkv]
     vq, vs = _quantize_rows(v_new, dtype)
@@ -120,25 +123,11 @@ def append_token_kv(
     ks = ks.T  # [Hkv, S]
     vs = vs.T
 
-    old_k = pages.k_pages[:, page_ids, offsets, :]
-    old_v = pages.v_pages[:, page_ids, offsets, :]
-    old_ks = pages.k_scales[:, page_ids, offsets]
-    old_vs = pages.v_scales[:, page_ids, offsets]
-    sel = active[None, :, None]
-    sel_s = active[None, :]
     return KVPages(
-        k_pages=pages.k_pages.at[:, page_ids, offsets, :].set(
-            jnp.where(sel, kq, old_k)
-        ),
-        k_scales=pages.k_scales.at[:, page_ids, offsets].set(
-            jnp.where(sel_s, ks, old_ks)
-        ),
-        v_pages=pages.v_pages.at[:, page_ids, offsets, :].set(
-            jnp.where(sel, vq, old_v)
-        ),
-        v_scales=pages.v_scales.at[:, page_ids, offsets].set(
-            jnp.where(sel_s, vs, old_vs)
-        ),
+        k_pages=pages.k_pages.at[:, page_ids, offsets, :].set(kq),
+        k_scales=pages.k_scales.at[:, page_ids, offsets].set(ks),
+        v_pages=pages.v_pages.at[:, page_ids, offsets, :].set(vq),
+        v_scales=pages.v_scales.at[:, page_ids, offsets].set(vs),
     )
 
 
