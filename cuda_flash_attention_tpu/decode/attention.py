@@ -5,10 +5,12 @@ No reference counterpart (the reference is a training-shape kernel library,
 SURVEY.md §2); this is the serving-path kernel the north star requires.
 TPU-first design:
 
-  * grid = (num_seqs, n_kv_heads, pages_per_seq) with the page dim
-    "arbitrary": Pallas prefetches page p+1's K/V block from HBM while the
-    MXU works on page p — the pipelined-DMA pattern that makes the
-    bandwidth-bound decode hit HBM speed-of-light.
+  * grid = (num_seqs, pages_per_seq) with the page dim "arbitrary": Pallas
+    prefetches page p+1's K/V block from HBM while the MXU works on page p —
+    the pipelined-DMA pattern that makes the bandwidth-bound decode hit HBM
+    speed-of-light.  ALL KV heads of a sequence ride in one grid cell
+    (they share the physical page) as batched MXU contractions — per-cell
+    launch overhead, not FLOPs, dominates decode.
   * `pltpu.PrefetchScalarGridSpec`: the page table and sequence lengths are
     scalar-prefetched so the BlockSpec index maps can compute *data-dependent*
     HBM addresses (physical page id = page_table[seq, p]) ahead of the DMA —

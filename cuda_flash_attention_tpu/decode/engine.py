@@ -12,9 +12,10 @@ Serving layer with no reference counterpart (SURVEY.md §2 — the north star's
     steps without recompilation: the device program's shapes are fixed at
     (max_seqs, pages_per_seq); inactive slots ride along masked.
 
-Prefill runs per-request through the training-shape FA2 kernel (prompt
-lengths bucketed to 128 so compiles are cached), then the prompt's K/V is
-quantized and scattered into freshly allocated pages.
+Prefill batches same-length-bucket admissions into ONE forward through the
+training-shape FA2 kernel (prompt lengths bucketed so compiles are cached),
+then each prompt's K/V is quantized and scattered into freshly allocated
+pages.
 """
 
 from __future__ import annotations
@@ -163,6 +164,27 @@ class DecodeEngine:
         self._admit()
         return req
 
+    def submit_many(self, prompts, max_new_tokens: int = 32,
+                    eos_id: int | None = None) -> list[Request]:
+        """Enqueue several requests BEFORE admitting, so same-length-bucket
+        prompts prefill as one batched forward (submit() admits eagerly,
+        which would prefill them one by one)."""
+        reqs = []
+        for p in prompts:
+            p = list(p)
+            if not p:
+                raise ValueError("empty prompt")
+            if len(p) + max_new_tokens > self.pages_per_seq * self.page_size:
+                raise ValueError(
+                    f"prompt+generation ({len(p)}+{max_new_tokens}) exceeds "
+                    f"max_seq_len {self.pages_per_seq * self.page_size}"
+                )
+            reqs.append(Request(self._next_uid, p, max_new_tokens, eos_id))
+            self._next_uid += 1
+            self._pending.append(reqs[-1])
+        self._admit()
+        return reqs
+
     def _free_slots(self):
         return [i for i in range(self.max_seqs) if not self.active[i]
                 and self._slot_req[i] is None]
@@ -305,9 +327,9 @@ class DecodeEngine:
 
     def run(self, prompts, max_new_tokens: int = 32, eos_id: int | None = None,
             max_steps: int = 10000):
-        """Convenience: submit all prompts, step until done, return requests
-        in submission order."""
-        reqs = [self.submit(p, max_new_tokens, eos_id) for p in prompts]
+        """Convenience: submit all prompts (batch-admitted), step until done,
+        return requests in submission order."""
+        reqs = self.submit_many(prompts, max_new_tokens, eos_id)
         steps = 0
         while (any(not r.done for r in reqs) or self._pending) and steps < max_steps:
             self.step()

@@ -26,6 +26,11 @@ def sample_tokens(
     """Sample one token per row. temperature<=0 -> greedy; top_k>0 restricts
     to the k most likely tokens; top_p<1 restricts to the smallest nucleus
     whose probability mass reaches p (static-shaped: sort + cumsum)."""
+    if not 0.0 < top_p <= 1.0:
+        raise ValueError(
+            f"top_p must be in (0, 1]; got {top_p} (use temperature=0 for "
+            "greedy decoding)"
+        )
     if temperature <= 0.0:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     logits = logits / temperature

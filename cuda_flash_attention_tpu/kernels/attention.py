@@ -101,20 +101,21 @@ def _validate_segments(q_segment_ids, kv_segment_ids, q, k):
 
 def _pack_segments(q_segment_ids, kv_segment_ids, q, k):
     """Pad segment ids to the block grid as
-    (q_seg [B, Sq_pad, 1], kv_seg [B, 1, Skv_pad]) int32.  Padded q rows get
-    -1 and padded kv columns -2: distinct from each other and (by contract)
-    from user ids, so padding never attends or is attended."""
+    (q_seg [B, Sq_pad, 1], kv_seg [B, 1, Skv_pad]) int32.
+
+    The pad VALUE is irrelevant — there is NO sentinel contract on user ids:
+    padded KV columns are masked by the kv_len tail check regardless of
+    segment, padded Q rows' outputs are sliced off, and their gradient
+    contributions vanish because dO is zero-padded (ds = p * (0 - 0) = 0)."""
     if q_segment_ids is None:
         return None
     q_pad = round_up(q.shape[2], MIN_BLOCK) - q.shape[2]
     kv_pad = round_up(k.shape[2], MIN_BLOCK) - k.shape[2]
     q_seg = jnp.pad(
-        q_segment_ids.astype(jnp.int32), ((0, 0), (0, q_pad)),
-        constant_values=-1,
+        q_segment_ids.astype(jnp.int32), ((0, 0), (0, q_pad))
     )[:, :, None]
     kv_seg = jnp.pad(
-        kv_segment_ids.astype(jnp.int32), ((0, 0), (0, kv_pad)),
-        constant_values=-2,
+        kv_segment_ids.astype(jnp.int32), ((0, 0), (0, kv_pad))
     )[:, None, :]
     return q_seg, kv_seg
 
@@ -221,11 +222,8 @@ def _fa2_bwd(kv_len, causal, sm_scale, block_sizes, tile_dtype, interpret,
     bq_dkv = _fit_block(block_sizes.block_q_dkv, q.shape[2])
     bk_dkv = _fit_block(block_sizes.block_k_dkv, k.shape[2])
     dsegs = None if segs is None else (None, None)
-    # Segments are only wired through the fused kernel; the two-kernel
-    # fallback is the long-sequence path where the partial buffer would be
-    # too big anyway.
-    if segs is not None or k.shape[2] // bk_dkv <= _FUSED_BWD_MAX_KV_SLICES:
-        q_seg, kv_seg = segs if segs is not None else (None, None)
+    q_seg, kv_seg = segs if segs is not None else (None, None)
+    if k.shape[2] // bk_dkv <= _FUSED_BWD_MAX_KV_SLICES:
         dq, dk, dv = fa2_backward_fused_aligned(
             q, k, v, do, lse_rep, di_rep, q_seg, kv_seg,
             causal=causal, sm_scale=sm_scale,
@@ -235,7 +233,7 @@ def _fa2_bwd(kv_len, causal, sm_scale, block_sizes, tile_dtype, interpret,
         )
         return dq, dk, dv, dsegs
     dq = fa2_backward_dq_aligned(
-        q, k, v, do, lse_rep, di_rep,
+        q, k, v, do, lse_rep, di_rep, q_seg, kv_seg,
         causal=causal, sm_scale=sm_scale,
         block_q=_fit_block(block_sizes.block_q_dq, q.shape[2]),
         block_k=_fit_block(block_sizes.block_k_dq, k.shape[2]),
@@ -243,7 +241,7 @@ def _fa2_bwd(kv_len, causal, sm_scale, block_sizes, tile_dtype, interpret,
         interpret=interpret,
     )
     dk, dv = fa2_backward_dkv_aligned(
-        q, k, v, do, lse_rep, di_rep,
+        q, k, v, do, lse_rep, di_rep, q_seg, kv_seg,
         causal=causal, sm_scale=sm_scale,
         block_q=bq_dkv, block_k=bk_dkv,
         kv_len=kv_len, tile_dtype=tile_dtype, kv_groups=kv_groups,
@@ -282,8 +280,8 @@ def flash_attention(
 
     Segment ids enable sequence packing / padding masks: position i attends
     to j only when q_segment_ids[b, i] == kv_segment_ids[b, j] (composable
-    with ``causal``). Use negative ids ≤ -3 for user-level padding; -1/-2
-    are reserved for block padding.
+    with ``causal``). Any int32 ids work; give padding tokens an id that
+    matches no real tokens (their O rows are zeros).
 
     ``tile_dtype`` is the SHM_PRECISION analog: Q/K/V/P tiles are cast to it
     (bf16/fp16) inside the kernel before the MXU matmuls while all softmax

@@ -176,13 +176,18 @@ def _fa2_bwd_fused_kernel(
 
 
 def _fa2_bwd_dkv_kernel(
-    q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
-    dk_ref, dv_ref,
-    dk_scr, dv_scr,
-    *,
+    *refs,
     sm_scale, causal, mask_value, kv_len,
     block_q, block_k, num_q_blocks, tile_dtype, mask_kv_tail, kv_groups,
+    has_segments,
 ):
+    if has_segments:
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, qseg_ref, kvseg_ref,
+         dk_ref, dv_ref, dk_scr, dv_scr) = refs
+    else:
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
+         dk_ref, dv_ref, dk_scr, dv_scr) = refs
+        qseg_ref = kvseg_ref = None
     kv_idx = pl.program_id(2)
     # Innermost dim sweeps (query-head group g, Q block qi): dK/dV for one
     # KV head accumulate contributions from ALL query heads in its group
@@ -211,6 +216,8 @@ def _fa2_bwd_dkv_kernel(
         mask = build_block_mask(
             q_idx, kv_idx, block_q, block_k,
             causal=causal, mask_kv_tail=mask_kv_tail, kv_len=kv_len,
+            q_seg=qseg_ref[0] if has_segments else None,
+            kv_seg=kvseg_ref[0] if has_segments else None,
         )
         p, ds = _compute_p_ds(
             q, k, v, do, lse, di,
@@ -239,13 +246,18 @@ def _fa2_bwd_dkv_kernel(
 
 
 def _fa2_bwd_dq_kernel(
-    q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
-    dq_ref,
-    dq_scr,
-    *,
+    *refs,
     sm_scale, causal, mask_value, kv_len,
     block_q, block_k, num_kv_blocks, tile_dtype, mask_kv_tail,
+    has_segments,
 ):
+    if has_segments:
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, qseg_ref, kvseg_ref,
+         dq_ref, dq_scr) = refs
+    else:
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
+         dq_ref, dq_scr) = refs
+        qseg_ref = kvseg_ref = None
     q_idx = pl.program_id(2)
     kv_idx = pl.program_id(3)
 
@@ -269,6 +281,8 @@ def _fa2_bwd_dq_kernel(
         mask = build_block_mask(
             q_idx, kv_idx, block_q, block_k,
             causal=causal, mask_kv_tail=mask_kv_tail, kv_len=kv_len,
+            q_seg=qseg_ref[0] if has_segments else None,
+            kv_seg=kvseg_ref[0] if has_segments else None,
         )
         _, ds = _compute_p_ds(
             q, k, v, do, lse, di,
@@ -296,6 +310,8 @@ def _fa2_bwd_dq_kernel(
 )
 def fa2_backward_dkv_aligned(
     q, k, v, do, lse_rep, di_rep,
+    q_seg=None,   # [B, Sq_pad, 1] int32
+    kv_seg=None,  # [B, 1, Skv_pad] int32
     *,
     causal: bool,
     sm_scale: float,
@@ -332,6 +348,7 @@ def fa2_backward_dkv_aligned(
     def kv_index_map(b, hk, ki, inner):
         return (b, hk, ki, 0)
 
+    has_segments = q_seg is not None
     kernel = functools.partial(
         _fa2_bwd_dkv_kernel,
         sm_scale=sm_scale,
@@ -344,14 +361,34 @@ def fa2_backward_dkv_aligned(
         tile_dtype=tile_dtype,
         mask_kv_tail=(kv_len != kv_len_pad),
         kv_groups=kv_groups,
+        has_segments=has_segments,
     )
     qo_spec = pl.BlockSpec((1, 1, block_q, head_dim), qo_index_map)
     kv_spec = pl.BlockSpec((1, 1, block_k, head_dim), kv_index_map)
     stat_spec = pl.BlockSpec((1, 1, block_q, NUM_LANES), qo_index_map)
+    in_specs = [qo_spec, kv_spec, kv_spec, qo_spec, stat_spec, stat_spec]
+    inputs = [q, k, v, do, lse_rep, di_rep]
+    if has_segments:
+        def qseg_index_map(b, hk, ki, inner):
+            qi = inner % num_q_blocks
+            if causal:
+                qi = lax.select(
+                    below_or_on_diag(qi, block_q, ki, block_k), qi, 0
+                )
+            return (b, qi, 0)
+
+        def kvseg_index_map(b, hk, ki, inner):
+            return (b, 0, ki)
+
+        in_specs += [
+            pl.BlockSpec((1, block_q, 1), qseg_index_map),
+            pl.BlockSpec((1, 1, block_k), kvseg_index_map),
+        ]
+        inputs += [q_seg, kv_seg]
     dk, dv = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[qo_spec, kv_spec, kv_spec, qo_spec, stat_spec, stat_spec],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((1, 1, block_k, head_dim), kv_index_map),
             pl.BlockSpec((1, 1, block_k, head_dim), kv_index_map),
@@ -369,7 +406,7 @@ def fa2_backward_dkv_aligned(
         ),
         interpret=resolve_interpret(interpret),
         debug=debug,
-    )(q, k, v, do, lse_rep, di_rep)
+    )(*inputs)
     return dk, dv
 
 
@@ -500,6 +537,8 @@ def fa2_backward_fused_aligned(
 )
 def fa2_backward_dq_aligned(
     q, k, v, do, lse_rep, di_rep,
+    q_seg=None,   # [B, Sq_pad, 1] int32
+    kv_seg=None,  # [B, 1, Skv_pad] int32
     *,
     causal: bool,
     sm_scale: float,
@@ -528,6 +567,7 @@ def fa2_backward_dq_aligned(
             ki = lax.select(below_or_on_diag(qi, block_q, ki, block_k), ki, 0)
         return (b, h // kv_groups, ki, 0)
 
+    has_segments = q_seg is not None
     kernel = functools.partial(
         _fa2_bwd_dq_kernel,
         sm_scale=sm_scale,
@@ -539,14 +579,33 @@ def fa2_backward_dq_aligned(
         num_kv_blocks=num_kv_blocks,
         tile_dtype=tile_dtype,
         mask_kv_tail=(kv_len != kv_len_pad),
+        has_segments=has_segments,
     )
     qo_spec = pl.BlockSpec((1, 1, block_q, head_dim), qo_index_map)
     kv_spec = pl.BlockSpec((1, 1, block_k, head_dim), kv_index_map)
     stat_spec = pl.BlockSpec((1, 1, block_q, NUM_LANES), qo_index_map)
+    in_specs = [qo_spec, kv_spec, kv_spec, qo_spec, stat_spec, stat_spec]
+    inputs = [q, k, v, do, lse_rep, di_rep]
+    if has_segments:
+        def qseg_index_map(b, h, qi, ki):
+            return (b, qi, 0)
+
+        def kvseg_index_map(b, h, qi, ki):
+            if causal:
+                ki = lax.select(
+                    below_or_on_diag(qi, block_q, ki, block_k), ki, 0
+                )
+            return (b, 0, ki)
+
+        in_specs += [
+            pl.BlockSpec((1, block_q, 1), qseg_index_map),
+            pl.BlockSpec((1, 1, block_k), kvseg_index_map),
+        ]
+        inputs += [q_seg, kv_seg]
     dq = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[qo_spec, kv_spec, kv_spec, qo_spec, stat_spec, stat_spec],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, block_q, head_dim), qo_index_map),
         scratch_shapes=[pltpu.VMEM((block_q, head_dim), jnp.float32)],
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
@@ -555,5 +614,5 @@ def fa2_backward_dq_aligned(
         ),
         interpret=resolve_interpret(interpret),
         debug=debug,
-    )(q, k, v, do, lse_rep, di_rep)
+    )(*inputs)
     return dq

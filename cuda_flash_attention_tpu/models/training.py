@@ -108,9 +108,7 @@ def train_loop(
     state = init_train_state(params, optimizer)
     step_fn = jax.jit(make_optax_train_step(cfg, optimizer, mesh=mesh))
 
-    for i in range(num_steps):
-        tokens = next(data_iter)
-        state, metrics = step_fn(state, tokens)
+    def _check_finite(metrics):
         # Failure detection (SURVEY.md §5 — the reference's NaN/Inf gate,
         # test_flash_attention2.py:1018-1020, applied to training): abort
         # before a poisoned step contaminates the checkpoint chain.
@@ -119,14 +117,26 @@ def train_loop(
                 f"non-finite loss at step {int(metrics['step'])}; "
                 "restore the last checkpoint to resume"
             )
+
+    metrics = None
+    for i in range(num_steps):
+        tokens = next(data_iter)
+        state, metrics = step_fn(state, tokens)
+        # Finiteness is checked only at log/checkpoint boundaries: a
+        # per-step check would force a device->host sync every iteration
+        # and serialize the async dispatch pipeline.
         if log_every and (i + 1) % log_every == 0:
+            _check_finite(metrics)
             print(
                 f"step {int(metrics['step'])}: loss={float(metrics['loss']):.4f} "
                 f"gnorm={float(metrics['grad_norm']):.3f}"
             )
         if checkpoint_dir and checkpoint_every and (i + 1) % checkpoint_every == 0:
+            _check_finite(metrics)
             save_checkpoint(
                 checkpoint_dir, state.params, state.opt_state,
                 step=int(state.step),
             )
+    if metrics is not None:
+        _check_finite(metrics)
     return state

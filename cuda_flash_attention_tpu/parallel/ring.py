@@ -43,6 +43,8 @@ from cuda_flash_attention_tpu.kernels.common import (
     pad_to_block,
 )
 from cuda_flash_attention_tpu.kernels.fa2_backward import (
+    fa2_backward_dkv_aligned,
+    fa2_backward_dq_aligned,
     fa2_backward_fused_aligned,
 )
 from cuda_flash_attention_tpu.parallel.mesh import CTX_AXIS, DATA_AXIS, MODEL_AXIS
@@ -163,10 +165,25 @@ def _ring_bwd(axis_name, axis_size, causal, sm_scale, tile_dtype, interpret,
     bq_dkv = _fit_block(bs.block_q_dkv, q_pad.shape[2])
     bk_dkv = _fit_block(bs.block_k_dkv, k_pad.shape[2])
 
+    # Fused backward only while its per-KV-slice dQ partial buffer stays
+    # bounded (same guard as attention.py); long per-device shards fall back
+    # to the two-kernel pair.
+    use_fused = (k_pad.shape[2] // bk_dkv) <= 8
+
     def grads_step(kv, is_causal):
-        # Fused backward: one recompute of (S, dP) per ring step yields dQ
-        # partials AND the traveling dK/dV contribution (fa2_backward.py).
-        dq_i, dk_i, dv_i = fa2_backward_fused_aligned(
+        if use_fused:
+            # One recompute of (S, dP) per ring step yields dQ partials AND
+            # the traveling dK/dV contribution (fa2_backward.py).
+            dq_i, dk_i, dv_i = fa2_backward_fused_aligned(
+                q_pad, kv[0], kv[1], do_pad, lse_rep, di_rep,
+                causal=is_causal, block_q=bq_dkv, block_k=bk_dkv, **kw,
+            )
+            return dq_i, (dk_i, dv_i)
+        dq_i = fa2_backward_dq_aligned(
+            q_pad, kv[0], kv[1], do_pad, lse_rep, di_rep,
+            causal=is_causal, block_q=bq_dkv, block_k=bk_dkv, **kw,
+        )
+        dk_i, dv_i = fa2_backward_dkv_aligned(
             q_pad, kv[0], kv[1], do_pad, lse_rep, di_rep,
             causal=is_causal, block_q=bq_dkv, block_k=bk_dkv, **kw,
         )

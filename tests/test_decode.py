@@ -203,11 +203,20 @@ def test_engine_continuous_batching_queues():
 
 
 def test_engine_batched_prefill_matches_sequential():
-    """Same-bucket requests prefill as one batch; generations must equal the
-    one-at-a-time admission path."""
+    """Same-bucket requests prefill as one GENUINE batch (asserted via a
+    prefill-size probe); generations must equal one-at-a-time admission."""
     cfg, params, eng = _engine(cache_dtype=jnp.bfloat16)
     prompts = [[5, 17, 100], [42, 7, 9, 11]]
+    batch_sizes = []
+    orig = eng._prefill_batch
+
+    def probe(reqs, slots, pad_len):
+        batch_sizes.append(len(reqs))
+        return orig(reqs, slots, pad_len)
+
+    eng._prefill_batch = probe
     batched = [r.generated for r in eng.run(prompts, max_new_tokens=3)]
+    assert max(batch_sizes) == 2, f"never batched: {batch_sizes}"
 
     cfg2, params2, eng2 = _engine(cache_dtype=jnp.bfloat16)
     seq = []
@@ -280,3 +289,11 @@ def test_engine_with_int8_weights():
     reqs = eng.run([[5, 17, 100, 42]], max_new_tokens=4)
     assert reqs[0].done and len(reqs[0].generated) == 4
     assert all(0 <= t < cfg.vocab_size for t in reqs[0].generated)
+
+
+def test_top_p_validation():
+    from cuda_flash_attention_tpu.decode.sampling import sample_tokens
+
+    with pytest.raises(ValueError, match="top_p"):
+        sample_tokens(jnp.zeros((1, 4)), jax.random.PRNGKey(0),
+                      temperature=1.0, top_p=0.0)
