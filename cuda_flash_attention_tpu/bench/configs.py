@@ -77,7 +77,9 @@ def create_sequence_length_experiment_configs(mode="forward", precision="fp32",
     else:
         kernel_types = ["fa2"]
     extra = []
-    if extended:
+    if extended and mode == "forward":
+        # Backward extended points would need a chunked GRADIENT oracle; the
+        # forward harness already switches to the chunked oracle above 1 GB.
         extra = [
             TestConfig(
                 name=f"LongCtx-S{s}-FA2", batch_size=1, num_heads=8,

@@ -74,6 +74,12 @@ class DecodeEngine:
         mesh=None,
         interpret=None,
     ):
+        if page_size % 128 != 0:
+            raise ValueError(
+                f"page_size must be a multiple of 128 (the TPU lane width; "
+                f"the decode kernel's scale blocks are lane-major); got "
+                f"{page_size}"
+            )
         self.params = params
         self.cfg = cfg
         self.mesh = mesh
@@ -288,13 +294,22 @@ class DecodeEngine:
     def step(self) -> list[Request]:
         """One decode step for every active slot; returns newly finished
         requests (their slots are freed and pending requests admitted)."""
-        # Retire slots whose request finished on the previous step/prefill.
+        # Retire slots whose request finished on the previous step/prefill;
+        # loop because an admitted request may finish AT prefill (EOS on the
+        # first sampled token, or max_new_tokens=1) — it must retire before
+        # the decode step, or it would generate past its limit.
         finished = []
-        for slot in range(self.max_seqs):
-            req = self._slot_req[slot]
-            if req is not None and req.done:
-                finished.append(self._retire(slot))
-        self._admit()
+        while True:
+            for slot in range(self.max_seqs):
+                req = self._slot_req[slot]
+                if req is not None and req.done:
+                    finished.append(self._retire(slot))
+            self._admit()
+            if not any(
+                self._slot_req[s] is not None and self._slot_req[s].done
+                for s in range(self.max_seqs)
+            ):
+                break
         if not self.active.any():
             return finished
 

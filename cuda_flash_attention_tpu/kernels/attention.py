@@ -120,15 +120,8 @@ def _pack_segments(q_segment_ids, kv_segment_ids, q, k):
     return q_seg, kv_seg
 
 
-def _fit_block(requested: int, padded_len: int) -> int:
-    """Largest multiple of MIN_BLOCK that divides padded_len and is <= requested."""
-    best = MIN_BLOCK
-    b = MIN_BLOCK
-    while b <= min(requested, padded_len):
-        if padded_len % b == 0:
-            best = b
-        b += MIN_BLOCK
-    return best
+# Shared with the ring/quant wrappers (kernels/common.py is the home).
+from cuda_flash_attention_tpu.kernels.common import fit_block as _fit_block  # noqa: E402
 
 
 def _validate_shapes(q, k, v):

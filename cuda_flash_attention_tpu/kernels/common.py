@@ -65,6 +65,19 @@ class BlockSizes:
         return cls()
 
 
+def fit_block(requested: int, padded_len: int) -> int:
+    """Largest multiple of MIN_BLOCK that divides padded_len and is <=
+    requested — how every kernel wrapper snaps its configured block size to
+    an actual (padded) sequence length."""
+    best = MIN_BLOCK
+    b = MIN_BLOCK
+    while b <= min(requested, padded_len):
+        if padded_len % b == 0:
+            best = b
+        b += MIN_BLOCK
+    return best
+
+
 def below_or_on_diag(q_idx, block_q: int, kv_idx, block_k: int):
     """True if the (q_idx, kv_idx) tile intersects or is below the diagonal —
     the causal tile-skip predicate."""

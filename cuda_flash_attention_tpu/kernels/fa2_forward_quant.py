@@ -37,6 +37,8 @@ from cuda_flash_attention_tpu.kernels.common import (
     NUM_LANES,
     TRANS_B_DIMS,
     below_or_on_diag,
+    build_block_mask,
+    fit_block,
     matmul_precision,
     pad_to_block,
     resolve_interpret,
@@ -92,21 +94,10 @@ def _fa2_fwd_quant_kernel(
         k_scale = k_scale_ref[0, 0]  # [1, block_k]
         s *= k_scale * sm_scale
 
-        mask = None
-        if mask_kv_tail:
-            col_ids = lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-            mask = (kv_idx * block_k + col_ids) < kv_len
-        if causal:
-            row_ids = (
-                lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
-                + q_idx * block_q
-            )
-            col_ids = (
-                lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-                + kv_idx * block_k
-            )
-            causal_mask = col_ids <= row_ids
-            mask = causal_mask if mask is None else jnp.logical_and(mask, causal_mask)
+        mask = build_block_mask(
+            q_idx, kv_idx, block_q, block_k,
+            causal=causal, mask_kv_tail=mask_kv_tail, kv_len=kv_len,
+        )
         if mask is not None:
             s += jnp.where(mask, 0.0, mask_value)
 
@@ -245,16 +236,6 @@ def fa2_forward_quant_aligned(
 # ---------------------------------------------------------------------------
 
 
-def _fit_block(requested: int, padded_len: int) -> int:
-    best = MIN_BLOCK
-    b = MIN_BLOCK
-    while b <= min(requested, padded_len):
-        if padded_len % b == 0:
-            best = b
-        b += MIN_BLOCK
-    return best
-
-
 def flash_attention_quantized_kv(
     q,                      # [B, H, Sq, D]
     k_q: QuantizedTensor,   # values [B, H, Skv, D], scales [B, H, Skv, 1]
@@ -287,8 +268,8 @@ def flash_attention_quantized_kv(
     o, _ = fa2_forward_quant_aligned(
         q_pad, k_vals, k_scales, v_vals, v_scales,
         causal=causal, sm_scale=float(sm_scale),
-        block_q=_fit_block(block_q, q_pad.shape[2]),
-        block_k=_fit_block(block_k, k_vals.shape[2]),
+        block_q=fit_block(block_q, q_pad.shape[2]),
+        block_k=fit_block(block_k, k_vals.shape[2]),
         kv_len=kv_len, compute_dtype=compute_dtype, interpret=interpret,
     )
     return o[:, :, :q_len, :]

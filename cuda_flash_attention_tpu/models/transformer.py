@@ -168,8 +168,18 @@ def gqa_flash_attention(q, k, v, *, cfg: TransformerConfig, mesh=None,
     q: [B, Hq, S, D]; k/v: [B, Hkv, S, D].  GQA is kernel-native: the FA2
     BlockSpec index maps route query head h to KV head h // group, so KV is
     read from HBM exactly once regardless of the group size (no repeated-KV
-    materialization — the bandwidth win GQA exists for)."""
+    materialization — the bandwidth win GQA exists for).
+
+    Exception: a mesh whose model axis does not divide the KV head count
+    (tp > Hkv) can't shard unexpanded KV, so KV is broadcast to the query
+    head count there — correctness over bandwidth for that topology."""
     tile = cfg.attn_tile_dtype
+    if mesh is not None and MODEL_AXIS in mesh.axis_names:
+        tp = mesh.shape[MODEL_AXIS]
+        if k.shape[1] % tp != 0:
+            groups = q.shape[1] // k.shape[1]
+            k = jnp.repeat(k, groups, axis=1)
+            v = jnp.repeat(v, groups, axis=1)
     if mesh is None:
         return flash_attention(q, k, v, causal=causal, tile_dtype=tile)
     if CTX_AXIS in mesh.axis_names and mesh.shape[CTX_AXIS] > 1:

@@ -33,6 +33,7 @@ from jax import lax
 from jax.sharding import PartitionSpec as P
 
 from cuda_flash_attention_tpu.kernels.attention import (
+    _FUSED_BWD_MAX_KV_SLICES,
     _fit_block,
     _replicate_lanes,
     flash_attention_with_lse,
@@ -168,7 +169,7 @@ def _ring_bwd(axis_name, axis_size, causal, sm_scale, tile_dtype, interpret,
     # Fused backward only while its per-KV-slice dQ partial buffer stays
     # bounded (same guard as attention.py); long per-device shards fall back
     # to the two-kernel pair.
-    use_fused = (k_pad.shape[2] // bk_dkv) <= 8
+    use_fused = (k_pad.shape[2] // bk_dkv) <= _FUSED_BWD_MAX_KV_SLICES
 
     def grads_step(kv, is_causal):
         if use_fused:

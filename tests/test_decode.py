@@ -297,3 +297,22 @@ def test_top_p_validation():
     with pytest.raises(ValueError, match="top_p"):
         sample_tokens(jnp.zeros((1, 4)), jax.random.PRNGKey(0),
                       temperature=1.0, top_p=0.0)
+
+
+def test_engine_respects_max_new_tokens_one():
+    """A request that finishes AT prefill (max_new_tokens=1) must not get an
+    extra decode token when it is admitted inside step()'s admission pass."""
+    cfg = TransformerConfig.tiny()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    eng = DecodeEngine(params, cfg, max_seqs=1, max_seq_len=512,
+                       page_size=PAGE, cache_dtype=jnp.bfloat16)
+    reqs = eng.run([[1, 2, 3], [4, 5, 6]], max_new_tokens=1)
+    assert [len(r.generated) for r in reqs] == [1, 1], \
+        [r.generated for r in reqs]
+
+
+def test_engine_rejects_bad_page_size():
+    cfg = TransformerConfig.tiny()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    with pytest.raises(ValueError, match="page_size"):
+        DecodeEngine(params, cfg, page_size=96)
