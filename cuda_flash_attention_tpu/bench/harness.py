@@ -107,6 +107,11 @@ class Harness:
         self.stop_on_failure = stop_on_failure
         self.warmup = warmup
         self.iters = iters
+        # Forwarded to every device_benchmark call; iters=None keeps the
+        # timer's own adaptive default.
+        self._bench_kw = {"warmup": warmup}
+        if iters is not None:
+            self._bench_kw["iters"] = iters
         self.oracle_iters = oracle_iters
         self.time_oracle = time_oracle
         self.verbose = verbose
@@ -129,7 +134,7 @@ class Harness:
         )
         o = fn(q, k, v)
         m = compute_metrics(o, o_ref)
-        t = device_benchmark(fn, q, k, v, warmup=self.warmup)
+        t = device_benchmark(fn, q, k, v, **self._bench_kw)
         t_oracle = (
             device_benchmark(jax.jit(oracle), q, k, v, warmup=1)
             if self.time_oracle else float("nan")
@@ -171,7 +176,7 @@ class Harness:
             [np.asarray(x).ravel() for x in (dq_ref, dk_ref, dv_ref)]
         )
         m = compute_metrics(got, ref)
-        t = device_benchmark(fn, q, k, v, o_ref, lse_ref, warmup=self.warmup)
+        t = device_benchmark(fn, q, k, v, o_ref, lse_ref, **self._bench_kw)
         t_oracle = (
             device_benchmark(
                 jax.jit(lambda q, k, v: reference_attention_grads(q, k, v)),
@@ -218,7 +223,7 @@ class Harness:
         )
         m_bwd = compute_metrics(got, ref)
         passed = m_fwd.passes(cfg.tolerance) and m_bwd.passes(cfg.tolerance)
-        t = device_benchmark(fn, q, k, v, warmup=self.warmup)
+        t = device_benchmark(fn, q, k, v, **self._bench_kw)
         flops = attention_flops(
             cfg.batch_size, cfg.num_heads, cfg.seq_len, cfg.seq_len,
             cfg.head_dim, mode="both",  # 3.5x fwd (= fwd + 2.5x fwd, :633-635)

@@ -92,7 +92,22 @@ class DecodeEngine:
         self.interpret = interpret
         if num_pages is None:
             num_pages = max_seqs * self.pages_per_seq + 1  # +1 null page
+        self.num_pages = num_pages
         self.allocator = PageAllocator(num_pages)
+        if mesh is not None:
+            from cuda_flash_attention_tpu.parallel.mesh import MODEL_AXIS
+
+            tp = (
+                mesh.shape[MODEL_AXIS]
+                if MODEL_AXIS in mesh.axis_names else 1
+            )
+            if tp > 1 and (cfg.n_kv_heads % tp or cfg.n_heads % tp):
+                raise ValueError(
+                    f"the '{MODEL_AXIS}' mesh axis ({tp}) must divide both "
+                    f"n_kv_heads ({cfg.n_kv_heads}) and n_heads "
+                    f"({cfg.n_heads}) for tensor-parallel serving: KV pages "
+                    f"are head-sharded and must stay device-local"
+                )
         self.caches = [
             init_kv_pages(
                 cfg.n_kv_heads, num_pages, page_size, cfg.head_dim, cache_dtype
@@ -116,13 +131,20 @@ class DecodeEngine:
         self.last_token = np.zeros((max_seqs,), dtype=np.int32)
         self._slot_req: list[Request | None] = [None] * max_seqs
         self._slot_pages: list[list[int]] = [[] for _ in range(max_seqs)]
+        # Worst-case page need per occupied slot (admission reservation):
+        # ceil((prompt + max_new) / page_size).  _admit only takes a request
+        # when the allocator can cover every active slot's remaining growth
+        # PLUS the newcomer's worst case, so _ensure_page/_prefill never hit
+        # MemoryError mid-serving (requests queue instead).
+        self._slot_worst: list[int] = [0] * max_seqs
         self._pending: deque[Request] = deque()
         self._next_uid = 0
         self._key = jax.random.PRNGKey(seed)
 
         self._decode_fn = jax.jit(
             functools.partial(
-                self._device_step, cfg=cfg, interpret=interpret, mesh=mesh
+                self._device_step, cfg=cfg, interpret=interpret, mesh=mesh,
+                temperature=temperature, top_k=top_k, top_p=top_p,
             ),
             static_argnames=(),
             donate_argnums=(1,),  # caches are updated in place
@@ -142,21 +164,24 @@ class DecodeEngine:
     @staticmethod
     def _device_step(params, caches, tokens, positions, page_table, active,
                      key, *, cfg, interpret, mesh=None,
-                     temperature=0.0, top_k=0):
+                     temperature=0.0, top_k=0, top_p=1.0):
+        """One fused decode step: embed + append-KV + paged attention +
+        SAMPLING, all in a single device program — steady-state decode costs
+        exactly one host sync per token (the sampled-token readback)."""
         logits, new_caches = decode_step(
             params, tokens, positions, caches, page_table, active, cfg,
             mesh=mesh, interpret=interpret,
         )
-        return logits, new_caches
+        next_tokens = sample_tokens(
+            logits, key, temperature=temperature, top_k=top_k, top_p=top_p,
+        )
+        return next_tokens, new_caches
 
     # ------------------------------------------------------------------
     # Scheduler (host)
     # ------------------------------------------------------------------
 
-    def submit(self, prompt: list[int], max_new_tokens: int = 32,
-               eos_id: int | None = None) -> Request:
-        """Queue a request; admitted as soon as a slot frees up."""
-        prompt = list(prompt)
+    def _validate_request(self, prompt: list[int], max_new_tokens: int):
         if not prompt:
             raise ValueError("empty prompt")
         if len(prompt) + max_new_tokens > self.pages_per_seq * self.page_size:
@@ -164,6 +189,19 @@ class DecodeEngine:
                 f"prompt+generation ({len(prompt)}+{max_new_tokens}) exceeds "
                 f"max_seq_len {self.pages_per_seq * self.page_size}"
             )
+        worst = _cdiv(len(prompt) + max_new_tokens, self.page_size)
+        if worst > self.num_pages - 1:  # page 0 is the reserved null page
+            raise ValueError(
+                f"request needs up to {worst} KV pages but the cache has "
+                f"only {self.num_pages - 1} allocatable pages — raise "
+                f"num_pages or shorten prompt/max_new_tokens"
+            )
+
+    def submit(self, prompt: list[int], max_new_tokens: int = 32,
+               eos_id: int | None = None) -> Request:
+        """Queue a request; admitted as soon as a slot frees up."""
+        prompt = list(prompt)
+        self._validate_request(prompt, max_new_tokens)
         req = Request(self._next_uid, prompt, max_new_tokens, eos_id)
         self._next_uid += 1
         self._pending.append(req)
@@ -178,13 +216,7 @@ class DecodeEngine:
         reqs = []
         for p in prompts:
             p = list(p)
-            if not p:
-                raise ValueError("empty prompt")
-            if len(p) + max_new_tokens > self.pages_per_seq * self.page_size:
-                raise ValueError(
-                    f"prompt+generation ({len(p)}+{max_new_tokens}) exceeds "
-                    f"max_seq_len {self.pages_per_seq * self.page_size}"
-                )
+            self._validate_request(p, max_new_tokens)
             reqs.append(Request(self._next_uid, p, max_new_tokens, eos_id))
             self._next_uid += 1
             self._pending.append(reqs[-1])
@@ -195,12 +227,27 @@ class DecodeEngine:
         return [i for i in range(self.max_seqs) if not self.active[i]
                 and self._slot_req[i] is None]
 
+    def _worst_pages(self, req: Request) -> int:
+        return _cdiv(len(req.prompt) + req.max_new_tokens, self.page_size)
+
     def _admit(self):
         """Admit pending requests: same-length-bucket requests prefill as
-        ONE batched forward (continuous batching's admission path)."""
+        ONE batched forward (continuous batching's admission path).
+        Admission is gated on BOTH free slots and the page budget (FIFO:
+        head-of-line blocks until capacity frees up)."""
         free = self._free_slots()
+        # Pages already promised to active slots but not yet allocated.
+        outstanding = sum(
+            max(0, self._slot_worst[s] - len(self._slot_pages[s]))
+            for s in range(self.max_seqs)
+        )
+        budget = self.allocator.available - outstanding
         take: list[Request] = []
         while self._pending and len(take) < len(free):
+            worst = self._worst_pages(self._pending[0])
+            if worst > budget:
+                break
+            budget -= worst
             take.append(self._pending.popleft())
         if not take:
             return
@@ -261,6 +308,7 @@ class DecodeEngine:
             req.generated.append(first)
             req.slot = slot
             self._slot_req[slot] = req
+            self._slot_worst[slot] = self._worst_pages(req)
             self.lengths[slot] = prompt_len
             self.active[slot] = True
             self.last_token[slot] = first
@@ -289,6 +337,7 @@ class DecodeEngine:
         self.lengths[slot] = 0
         self.active[slot] = False
         self._slot_req[slot] = None
+        self._slot_worst[slot] = 0
         return req
 
     def step(self) -> list[Request]:
@@ -318,7 +367,7 @@ class DecodeEngine:
                 self._ensure_page(slot)
 
         self._key, sub = jax.random.split(self._key)
-        logits, self.caches = self._decode_fn(
+        next_tokens_dev, self.caches = self._decode_fn(
             self.params,
             self.caches,
             jnp.asarray(self.last_token),
@@ -327,7 +376,7 @@ class DecodeEngine:
             jnp.asarray(self.active),
             sub,
         )
-        next_tokens = np.asarray(self._sample(logits))
+        next_tokens = np.asarray(next_tokens_dev)
 
         for slot in range(self.max_seqs):
             if not self.active[slot]:

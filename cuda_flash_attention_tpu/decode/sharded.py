@@ -74,8 +74,9 @@ def tp_paged_decode_attention(
     n_heads = q.shape[1]
     if n_kv_heads % tp or n_heads % tp:
         raise ValueError(
-            f"n_kv_heads={n_kv_heads} and n_heads={n_heads} must divide the "
-            f"model-axis size {tp}"
+            f"the model-axis size {tp} must divide both n_kv_heads="
+            f"{n_kv_heads} and n_heads={n_heads} (KV pages are head-sharded "
+            f"and must stay device-local)"
         )
     interpret = mesh_interpret_default(mesh)
     q_spec = P(None, model_axis, None)

@@ -32,12 +32,25 @@ from cuda_flash_attention_tpu.kernels.fa2_backward import (
     fa2_backward_dq_aligned,
     fa2_backward_fused_aligned,
 )
+from cuda_flash_attention_tpu.kernels.fa2_forward import fa2_forward_aligned
 
 # The fused backward emits dq as per-KV-slice partials (num_kv_blocks x dq
 # memory); above this slice count the two-kernel path's recompute is cheaper
 # than the partial-buffer HBM traffic.
 _FUSED_BWD_MAX_KV_SLICES = 8
-from cuda_flash_attention_tpu.kernels.fa2_forward import fa2_forward_aligned
+# ... and above this dq-partials footprint (B*H*slices*S*D fp32) the fused
+# path is rejected outright — slice count alone ignores live memory and can
+# OOM large-batch training that the two-kernel path handles fine.
+_FUSED_BWD_MAX_DQPART_BYTES = 1 << 30
+
+
+def _use_fused_bwd(q, k, bk_dkv: int) -> bool:
+    num_slices = k.shape[2] // bk_dkv
+    if num_slices > _FUSED_BWD_MAX_KV_SLICES:
+        return False
+    dq_part_bytes = 4 * q.shape[0] * q.shape[1] * num_slices * q.shape[2] * q.shape[3]
+    return dq_part_bytes <= _FUSED_BWD_MAX_DQPART_BYTES
+
 
 __all__ = [
     "BlockSizes",
@@ -56,7 +69,9 @@ _XLA_SCORE_BYTES_MAX = 128 * 1024 ** 2
 
 
 def _use_xla_path(q, k, tile_dtype, force_kernel) -> bool:
-    if force_kernel or tile_dtype is not None:
+    # The crossover was measured for fp32 I/O only; reduced-precision inputs
+    # (bf16 q/k/v) take the kernel's native-MXU fast path unconditionally.
+    if force_kernel or tile_dtype is not None or q.dtype != jnp.float32:
         return False
     score_bytes = 4 * q.shape[0] * q.shape[1] * q.shape[2] * k.shape[2]
     return score_bytes <= _XLA_SCORE_BYTES_MAX
@@ -216,7 +231,7 @@ def _fa2_bwd(kv_len, causal, sm_scale, block_sizes, tile_dtype, interpret,
     bk_dkv = _fit_block(block_sizes.block_k_dkv, k.shape[2])
     dsegs = None if segs is None else (None, None)
     q_seg, kv_seg = segs if segs is not None else (None, None)
-    if k.shape[2] // bk_dkv <= _FUSED_BWD_MAX_KV_SLICES:
+    if _use_fused_bwd(q, k, bk_dkv):
         dq, dk, dv = fa2_backward_fused_aligned(
             q, k, v, do, lse_rep, di_rep, q_seg, kv_seg,
             causal=causal, sm_scale=sm_scale,
@@ -364,7 +379,7 @@ def fa2_backward(
     kv_groups = q_pad.shape[1] // k_pad.shape[1]
     bq_dkv = _fit_block(block_sizes.block_q_dkv, q_pad.shape[2])
     bk_dkv = _fit_block(block_sizes.block_k_dkv, k_pad.shape[2])
-    if k_pad.shape[2] // bk_dkv <= _FUSED_BWD_MAX_KV_SLICES:
+    if _use_fused_bwd(q_pad, k_pad, bk_dkv):
         dq, dk, dv = fa2_backward_fused_aligned(
             q_pad, k_pad, v_pad, do_pad, lse_rep, di_rep,
             causal=causal, sm_scale=sm_scale,
