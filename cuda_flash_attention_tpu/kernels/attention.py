@@ -158,12 +158,12 @@ def _validate_shapes(q, k, v):
         )
 
 
-def _normalize(q, k, v, sm_scale, block_sizes):
+def _normalize(q, k, v, sm_scale, block_sizes, causal=False):
     _validate_shapes(q, k, v)
     if sm_scale is None:
         sm_scale = 1.0 / (q.shape[-1] ** 0.5)
     if block_sizes is None:
-        block_sizes = BlockSizes.default()
+        block_sizes = BlockSizes.default(causal)
     q_len, kv_len = q.shape[2], k.shape[2]
     q_pad = pad_to_block(q, 2, MIN_BLOCK)
     k_pad = pad_to_block(k, 2, MIN_BLOCK)
@@ -172,10 +172,10 @@ def _normalize(q, k, v, sm_scale, block_sizes):
 
 
 def _replicate_lanes(x):
-    """[B, H, S] -> lane-replicated [B, H, S, NUM_LANES] fp32."""
-    return jnp.broadcast_to(
-        x.astype(jnp.float32)[..., None], (*x.shape, NUM_LANES)
-    )
+    """[B, H, S] -> width-1 stat column [B, H, S, 1] fp32 (the kernels read
+    stats as [:, :1]; materializing lane-replicated copies costs an HBM pass
+    per stat tensor at training scale)."""
+    return x.astype(jnp.float32)[..., None]
 
 
 # ---------------------------------------------------------------------------
@@ -308,7 +308,7 @@ def flash_attention(
         )
     segs = _pack_segments(q_segment_ids, kv_segment_ids, q, k)
     q_pad, k_pad, v_pad, sm_scale, block_sizes, q_len, kv_len = _normalize(
-        q, k, v, sm_scale, block_sizes
+        q, k, v, sm_scale, block_sizes, causal
     )
     o = _fa2(
         q_pad, k_pad, v_pad, segs, kv_len, causal, sm_scale, block_sizes,
@@ -341,7 +341,7 @@ def flash_attention_with_lse(
         )
     segs = _pack_segments(q_segment_ids, kv_segment_ids, q, k)
     q_pad, k_pad, v_pad, sm_scale, block_sizes, q_len, kv_len = _normalize(
-        q, k, v, sm_scale, block_sizes
+        q, k, v, sm_scale, block_sizes, causal
     )
     o, lse_rep = _fa2_fwd_impl(
         q_pad, k_pad, v_pad, segs, kv_len, causal, sm_scale, block_sizes,
@@ -368,7 +368,7 @@ def fa2_backward(
     if do is None:
         do = jnp.ones_like(o)
     q_pad, k_pad, v_pad, sm_scale, block_sizes, q_len, kv_len = _normalize(
-        q, k, v, sm_scale, block_sizes
+        q, k, v, sm_scale, block_sizes, causal
     )
     o_pad = pad_to_block(o, 2, MIN_BLOCK)
     do_pad = pad_to_block(do, 2, MIN_BLOCK)

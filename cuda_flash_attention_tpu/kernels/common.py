@@ -20,6 +20,11 @@ import jax.numpy as jnp
 NUM_LANES = 128
 NUM_SUBLANES = 8
 MIN_BLOCK = 128
+# exp2-domain softmax constants: exp(x) = exp2(x * LOG2E). The VPU's native
+# transcendental is exp2; folding LOG2E into the Q scale removes a
+# [block_q, block_k] multiply per KV tile.
+LOG2E = 1.4426950408889634
+LN2 = 0.6931471805599453
 # -inf would produce NaN via exp(-inf - (-inf)) on fully-masked rows; a large
 # finite negative keeps the online softmax NaN-free (same reasoning as the
 # reference's -FLT_MAX row padding, kernel_fa2_optimized.cu:183-184).
@@ -45,12 +50,15 @@ class BlockSizes:
     TPU blocks (multiples of 128 along sequence dims).
     """
 
-    # Defaults are the v5e sweep optima at S=2048 D=64 (fp32 and bf16 agree
-    # on the forward; the fused backward prefers a taller Q block).
+    # Defaults are the v5e profiler-sweep optima at S=2048 D=64 (fp32 and
+    # bf16 agree on the forward; the fused backward prefers a taller Q
+    # block).  Non-causal forward wants the whole KV in one block (fewer
+    # online-softmax rescale steps); causal wants KV blocks small enough for
+    # the above-diagonal tile-skip to pay — `default(causal)` picks per-case.
     block_q: int = 1024
-    block_k: int = 1024
+    block_k: int = 2048
     block_q_dkv: int = 512
-    block_k_dkv: int = 1024
+    block_k_dkv: int = 2048
     block_q_dq: int = 512
     block_k_dq: int = 2048
 
@@ -61,7 +69,11 @@ class BlockSizes:
                 raise ValueError(f"{f.name}={v} must be a multiple of {MIN_BLOCK}")
 
     @classmethod
-    def default(cls) -> "BlockSizes":
+    def default(cls, causal: bool = False) -> "BlockSizes":
+        if causal:
+            # Smaller KV blocks keep the above-diagonal tile-skip effective
+            # (a whole-KV block can never be skipped).
+            return cls(block_q=1024, block_k=1024, block_k_dkv=1024)
         return cls()
 
 

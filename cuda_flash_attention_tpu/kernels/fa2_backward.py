@@ -38,6 +38,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from cuda_flash_attention_tpu.kernels.common import (
     DEFAULT_MASK_VALUE,
+    LN2,
+    LOG2E,
     NUM_LANES,
     TRANS_B_DIMS,
     below_or_on_diag,
@@ -52,20 +54,30 @@ _TRANS_A_DIMS = (((0,), (0,)), ((), ()))
 
 
 def _compute_p_ds(q, k, v, do, lse, di, *, sm_scale, mask, mask_value, tile_dtype):
-    """Shared recompute: P from logsumexp, then dS. Returns (p, ds) in fp32."""
-    q = tile_cast(q, tile_dtype)
+    """Shared recompute: P from logsumexp, then the UNSCALED dS.
+
+    VPU economy (same scheme as the forward): sm_scale*log2(e) is folded into
+    the Q tile ([block_q, D] multiply) so the per-tile [block_q, block_k]
+    score scaling disappears and exp becomes the VPU-native exp2; dS is left
+    unscaled — callers fold sm_scale into their STORE epilogue instead
+    (dq *= sm_scale; dk *= LN2 because its Q operand carries the extra LOG2E):
+        dq = sm_scale * (ds_u @ k)        = sm_scale * dq_accum
+        dk = sm_scale * (ds_u^T @ q_raw)  = LN2 * (ds_u^T @ q_scaled)-accum
+    Returns (p, ds_unscaled, q_scaled) in compute precision."""
+    c = sm_scale * LOG2E
+    q_s = q.astype(jnp.float32) * c
+    q_s = q_s.astype(q.dtype) if tile_dtype is None else tile_cast(q_s, tile_dtype)
     k = tile_cast(k, tile_dtype)
-    precision = matmul_precision(q.dtype)
+    precision = matmul_precision(q_s.dtype)
     s = lax.dot_general(
-        q, k, TRANS_B_DIMS, preferred_element_type=jnp.float32, precision=precision
-    )
-    if sm_scale != 1.0:
-        s *= sm_scale
+        q_s, k, TRANS_B_DIMS, preferred_element_type=jnp.float32,
+        precision=precision,
+    )  # log2-domain scores
     if mask is not None:
         s += jnp.where(mask, 0.0, mask_value)
-    # P = exp(S - lse): rows already normalized because lse = log(l) + m.
+    # P = exp2(S2 - lse*log2e): rows already normalized (lse = log(l) + m).
     # lse/di are lane-replicated; a single-lane broadcast beats a lane-tile.
-    p = jnp.exp(s - lse[:, :1])
+    p = jnp.exp2(s - (lse[:, :1] * LOG2E))
     if mask is not None:
         # Exact zero on masked entries: fully-masked rows (segment ids) have
         # a garbage lse, and exp(s - lse) there would pollute dK/dV sums.
@@ -77,16 +89,14 @@ def _compute_p_ds(q, k, v, do, lse, di, *, sm_scale, mask, mask_value, tile_dtyp
         precision=matmul_precision(do_c.dtype),
     )
     ds = p * (dp - di[:, :1])
-    if sm_scale != 1.0:
-        ds *= sm_scale
-    return p, ds
+    return p, ds, q_s
 
 
 def _fa2_bwd_fused_kernel(
     *refs,
     sm_scale, causal, mask_value, kv_len,
     block_q, block_k, num_q_blocks, tile_dtype, mask_kv_tail, kv_groups,
-    has_segments,
+    has_segments, scale_dq_in_kernel=False,
 ):
     """dK/dV accumulation + per-KV-slice dQ partial in ONE recompute.
 
@@ -134,31 +144,38 @@ def _fa2_bwd_fused_kernel(
             q_seg=qseg_ref[0] if has_segments else None,
             kv_seg=kvseg_ref[0] if has_segments else None,
         )
-        p, ds = _compute_p_ds(
+        p, ds, q_s = _compute_p_ds(
             q, k, v, do, lse, di,
             sm_scale=sm_scale, mask=mask, mask_value=mask_value,
             tile_dtype=tile_dtype,
         )
         do_c = tile_cast(do, tile_dtype)
-        q_c = tile_cast(q, tile_dtype)
         k_c = tile_cast(k, tile_dtype)
         p_c = tile_cast(p, tile_dtype).astype(do_c.dtype)
-        ds_c = tile_cast(ds, tile_dtype).astype(q_c.dtype)
+        ds_c = tile_cast(ds, tile_dtype).astype(q_s.dtype)
         precision = matmul_precision(p_c.dtype)
         dv_scr[...] += lax.dot_general(
             p_c, do_c, _TRANS_A_DIMS,
             preferred_element_type=jnp.float32, precision=precision,
         )
+        # q_s carries sm_scale*LOG2E; the store epilogue divides it back out.
         dk_scr[...] += lax.dot_general(
-            ds_c, q_c, _TRANS_A_DIMS,
+            ds_c, q_s, _TRANS_A_DIMS,
             preferred_element_type=jnp.float32, precision=precision,
         )
         # dQ partial for this (kv block, q block): dS @ K — S and dP were
-        # already in registers, so this is the only extra MXU pass.
-        dq_part_ref[0, 0, 0] = lax.dot(
+        # already in registers, so this is the only extra MXU pass.  Unscaled
+        # (ds is unscaled); with several KV slices the wrapper folds sm_scale
+        # into the XLA partial-sum, but a SINGLE slice is final — scale+cast
+        # here so the wrapper's sum op (a full dq-sized f32 HBM round trip)
+        # disappears.
+        dq_blk = lax.dot(
             ds_c, k_c,
             preferred_element_type=jnp.float32, precision=precision,
-        ).astype(dq_part_ref.dtype)
+        )
+        if scale_dq_in_kernel:
+            dq_blk = dq_blk * sm_scale
+        dq_part_ref[0, 0, 0] = dq_blk.astype(dq_part_ref.dtype)
 
     if causal:
         @pl.when(jnp.logical_not(should_run))
@@ -171,7 +188,9 @@ def _fa2_bwd_fused_kernel(
 
     @pl.when(inner == kv_groups * num_q_blocks - 1)
     def _store():
-        dk_ref[0, 0] = dk_scr[...].astype(dk_ref.dtype)
+        # dk accumulated against q*(sm_scale*LOG2E); true dk = sm_scale *
+        # ds^T q_raw = LN2 * accum — one scalar multiply at store time.
+        dk_ref[0, 0] = (dk_scr[...] * LN2).astype(dk_ref.dtype)
         dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
 
 
@@ -219,29 +238,28 @@ def _fa2_bwd_dkv_kernel(
             q_seg=qseg_ref[0] if has_segments else None,
             kv_seg=kvseg_ref[0] if has_segments else None,
         )
-        p, ds = _compute_p_ds(
+        p, ds, q_s = _compute_p_ds(
             q, k, v, do, lse, di,
             sm_scale=sm_scale, mask=mask, mask_value=mask_value,
             tile_dtype=tile_dtype,
         )
-        # dV += P^T dO ;  dK += dS^T Q   (contract over the Q rows)
+        # dV += P^T dO ;  dK += dS^T Q_scaled   (contract over the Q rows)
         do_c = tile_cast(do, tile_dtype)
-        q_c = tile_cast(q, tile_dtype)
         p_c = tile_cast(p, tile_dtype).astype(do_c.dtype)
-        ds_c = tile_cast(ds, tile_dtype).astype(q_c.dtype)
+        ds_c = tile_cast(ds, tile_dtype).astype(q_s.dtype)
         precision = matmul_precision(p_c.dtype)
         dv_scr[...] += lax.dot_general(
             p_c, do_c, _TRANS_A_DIMS,
             preferred_element_type=jnp.float32, precision=precision,
         )
         dk_scr[...] += lax.dot_general(
-            ds_c, q_c, _TRANS_A_DIMS,
+            ds_c, q_s, _TRANS_A_DIMS,
             preferred_element_type=jnp.float32, precision=precision,
         )
 
     @pl.when(inner == kv_groups * num_q_blocks - 1)
     def _store():
-        dk_ref[0, 0] = dk_scr[...].astype(dk_ref.dtype)
+        dk_ref[0, 0] = (dk_scr[...] * LN2).astype(dk_ref.dtype)
         dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
 
 
@@ -284,7 +302,7 @@ def _fa2_bwd_dq_kernel(
             q_seg=qseg_ref[0] if has_segments else None,
             kv_seg=kvseg_ref[0] if has_segments else None,
         )
-        _, ds = _compute_p_ds(
+        _, ds, _ = _compute_p_ds(
             q, k, v, do, lse, di,
             sm_scale=sm_scale, mask=mask, mask_value=mask_value,
             tile_dtype=tile_dtype,
@@ -298,7 +316,8 @@ def _fa2_bwd_dq_kernel(
 
     @pl.when(kv_idx == num_kv_blocks - 1)
     def _store():
-        dq_ref[0, 0] = dq_scr[...].astype(dq_ref.dtype)
+        # ds was unscaled; fold sm_scale in once at store time.
+        dq_ref[0, 0] = (dq_scr[...] * sm_scale).astype(dq_ref.dtype)
 
 
 @functools.partial(
@@ -323,7 +342,8 @@ def fa2_backward_dkv_aligned(
     interpret=None,
     debug: bool = False,
 ):
-    """dK, dV. lse_rep/di_rep are lane-replicated [B, Hq, Sq_pad, NUM_LANES].
+    """dK, dV. lse_rep/di_rep are stat columns [B, Hq, Sq_pad, 1] fp32
+    (lane-replicated [.., NUM_LANES] also accepted).
 
     With ``kv_groups`` > 1 the grid runs one cell per KV head and sweeps the
     group's query heads in the innermost dim, accumulating the group's dK/dV
@@ -365,7 +385,7 @@ def fa2_backward_dkv_aligned(
     )
     qo_spec = pl.BlockSpec((1, 1, block_q, head_dim), qo_index_map)
     kv_spec = pl.BlockSpec((1, 1, block_k, head_dim), kv_index_map)
-    stat_spec = pl.BlockSpec((1, 1, block_q, NUM_LANES), qo_index_map)
+    stat_spec = pl.BlockSpec((1, 1, block_q, lse_rep.shape[-1]), qo_index_map)
     in_specs = [qo_spec, kv_spec, kv_spec, qo_spec, stat_spec, stat_spec]
     inputs = [q, k, v, do, lse_rep, di_rep]
     if has_segments:
@@ -403,6 +423,9 @@ def fa2_backward_dkv_aligned(
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            # Large-block configs carry ~20+ MB of fp32 score/ds tiles; the
+            # default 16 MB scoped-vmem cap rejects them (v5e has 128 MB).
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=resolve_interpret(interpret),
         debug=debug,
@@ -442,6 +465,7 @@ def fa2_backward_fused_aligned(
     num_q_blocks = q_len // block_q
     num_kv_blocks = kv_len_pad // block_k
     grid = (batch, kv_heads, num_kv_blocks, kv_groups * num_q_blocks)
+    single_slice = num_kv_blocks == 1
 
     def qo_index_map(b, hk, ki, inner):
         g = inner // num_q_blocks
@@ -473,10 +497,11 @@ def fa2_backward_fused_aligned(
         mask_kv_tail=(kv_len != kv_len_pad),
         kv_groups=kv_groups,
         has_segments=has_segments,
+        scale_dq_in_kernel=single_slice,
     )
     qo_spec = pl.BlockSpec((1, 1, block_q, head_dim), qo_index_map)
     kv_spec = pl.BlockSpec((1, 1, block_k, head_dim), kv_index_map)
-    stat_spec = pl.BlockSpec((1, 1, block_q, NUM_LANES), qo_index_map)
+    stat_spec = pl.BlockSpec((1, 1, block_q, lse_rep.shape[-1]), qo_index_map)
     in_specs = [qo_spec, kv_spec, kv_spec, qo_spec, stat_spec, stat_spec]
     inputs = [q, k, v, do, lse_rep, di_rep]
     if has_segments:
@@ -515,16 +540,23 @@ def fa2_backward_fused_aligned(
             jax.ShapeDtypeStruct(k.shape, k.dtype),
             jax.ShapeDtypeStruct(v.shape, v.dtype),
             jax.ShapeDtypeStruct(
-                (batch, heads, num_kv_blocks, q_len, head_dim), jnp.float32
+                (batch, heads, num_kv_blocks, q_len, head_dim),
+                q.dtype if single_slice else jnp.float32,
             ),
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            # Large-block configs carry ~20+ MB of fp32 score/ds tiles; the
+            # default 16 MB scoped-vmem cap rejects them (v5e has 128 MB).
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=resolve_interpret(interpret),
         debug=debug,
     )(*inputs)
-    dq = jnp.sum(dq_part, axis=2).astype(q.dtype)
+    if single_slice:
+        dq = dq_part[:, :, 0]  # already scaled + cast in-kernel; free reshape
+    else:
+        dq = (jnp.sum(dq_part, axis=2) * sm_scale).astype(q.dtype)
     return dq, dk, dv
 
 
@@ -583,7 +615,7 @@ def fa2_backward_dq_aligned(
     )
     qo_spec = pl.BlockSpec((1, 1, block_q, head_dim), qo_index_map)
     kv_spec = pl.BlockSpec((1, 1, block_k, head_dim), kv_index_map)
-    stat_spec = pl.BlockSpec((1, 1, block_q, NUM_LANES), qo_index_map)
+    stat_spec = pl.BlockSpec((1, 1, block_q, lse_rep.shape[-1]), qo_index_map)
     in_specs = [qo_spec, kv_spec, kv_spec, qo_spec, stat_spec, stat_spec]
     inputs = [q, k, v, do, lse_rep, di_rep]
     if has_segments:
@@ -611,6 +643,9 @@ def fa2_backward_dq_aligned(
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            # Large-block configs carry ~20+ MB of fp32 score/ds tiles; the
+            # default 16 MB scoped-vmem cap rejects them (v5e has 128 MB).
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=resolve_interpret(interpret),
         debug=debug,

@@ -12,7 +12,8 @@ kernel_fa2_optimized_f16.cu:21-350 fp16-in-SHM):
                                       (double-buffered) behind the MXU
   SHM tiles + register tiling 4x4     VMEM blocks; QK^T and PV are single MXU
   per thread                          `lax.dot_general` calls per tile
-  warp-shuffle max/sum reductions     VPU lane reductions (jnp.max/sum axis=1)
+  warp-shuffle max/sum reductions     VPU lane max; the SUM rides the PV
+                                      matmul's idle output lanes (see below)
   fp16-in-SHM variant                 `tile_dtype` parameter: blocks cast to
                                       bf16/fp16 before the matmuls, softmax
                                       stats always fp32 (SURVEY.md §7)
@@ -20,10 +21,21 @@ kernel_fa2_optimized_f16.cu:21-350 fp16-in-SHM):
   logsumexp = log(l) + m              identical contract
                                       (kernel_fa2_optimized.cu:339-344)
 
+VPU-economy design (profiler-driven, v5e):
+  * All softmax algebra runs in the exp2 domain: sm_scale*log2(e) is folded
+    into the Q tile ONCE per block ([block_q, D] multiply) instead of
+    scaling S per KV tile ([block_q, block_k]), and p/alpha use the VPU's
+    native exp2 — the reference instead multiplies every S element
+    (kernel_fa2_optimized.cu:169-190).
+  * V-augmentation: at head_dim < 128 the PV matmul's output lanes are half
+    idle on the 128-wide MXU.  V tiles are augmented with a ones column
+    (wrapper-materialized [.., S, 128] with v_aug[..,:,D] = 1), so P @ V_aug
+    produces rowsum(P) in lane D for FREE — the l accumulator lives in the
+    acc scratch's spare lane and the per-tile VPU sum reduction disappears.
+
 The kernel keeps the FA2 deferred-normalization form: the accumulator is
-rescaled only by alpha = exp(m_prev - m_next) per tile and divided by l once
-at the final KV block (one VPU divide per output element instead of two
-multiplies per tile).
+rescaled only by alpha = exp2(m_prev - m_next) per tile and divided by l once
+at the final KV block.
 """
 
 from __future__ import annotations
@@ -38,6 +50,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from cuda_flash_attention_tpu.kernels.common import (
     DEFAULT_MASK_VALUE,
+    LN2,
+    LOG2E,
     NUM_LANES,
     TRANS_B_DIMS,
     below_or_on_diag,
@@ -46,6 +60,30 @@ from cuda_flash_attention_tpu.kernels.common import (
     resolve_interpret,
     tile_cast,
 )
+
+
+def use_fold_rowsum(head_dim: int, tile_dtype, in_dtype) -> bool:
+    """V-aug rowsum is free only when the PV matmul underfills the MXU's
+    output lanes (D < 128) AND the matmul runs a single native bf16 pass —
+    fp32 (and the fp16 storage emulation, which computes in fp32) pays per
+    output lane in the multi-pass emulation, so widening V to 128 lanes
+    would roughly double its PV time."""
+    if head_dim >= NUM_LANES:
+        return False
+    eff = tile_dtype if tile_dtype is not None else in_dtype
+    return jnp.dtype(eff) == jnp.dtype(jnp.bfloat16)
+
+
+def augment_v(v):
+    """[B, H, S, D] -> [B, H, S, NUM_LANES] with a ones column at lane D
+    (zeros above): P @ V_aug computes rowsum(P) in lane D on the otherwise
+    idle MXU output lanes."""
+    b, h, s, d = v.shape
+    ones = jnp.ones((b, h, s, 1), v.dtype)
+    if d + 1 == NUM_LANES:
+        return jnp.concatenate([v, ones], axis=-1)
+    zeros = jnp.zeros((b, h, s, NUM_LANES - d - 1), v.dtype)
+    return jnp.concatenate([v, ones, zeros], axis=-1)
 
 
 def _fa2_fwd_kernel(
@@ -60,16 +98,23 @@ def _fa2_fwd_kernel(
     tile_dtype,
     mask_kv_tail: bool,
     has_segments: bool,
+    fold_rowsum: bool,
 ):
     if has_segments:
         (q_ref, k_ref, v_ref, qseg_ref, kvseg_ref,
-         o_ref, lse_ref, m_scr, l_scr, acc_scr) = refs
+         o_ref, lse_ref, *scratch) = refs
     else:
-        q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr = refs
+        q_ref, k_ref, v_ref, o_ref, lse_ref, *scratch = refs
         qseg_ref = kvseg_ref = None
-    # Ref shapes: q/o [1,1,block_q,D]; k/v [1,1,block_k,D];
+    if fold_rowsum:
+        m_scr, acc_scr = scratch  # acc [block_q, NUM_LANES]; lane D carries l
+        l_scr = None
+    else:
+        m_scr, l_scr, acc_scr = scratch
+    # Ref shapes: q/o [1,1,block_q,D]; k [1,1,block_k,D];
+    # v [1,1,block_k,NUM_LANES] when fold_rowsum else [1,1,block_k,D];
     # lse [1,1,block_q,NUM_LANES]; qseg [1,block_q,1]; kvseg [1,1,block_k];
-    # scratch m/l [block_q,NUM_LANES] f32, acc [block_q,D] f32.
+    # scratch m/l [block_q,NUM_LANES] f32, acc f32.
     q_idx = pl.program_id(2)
     kv_idx = pl.program_id(3)
     head_dim = q_ref.shape[-1]
@@ -77,8 +122,9 @@ def _fa2_fwd_kernel(
     @pl.when(kv_idx == 0)
     def _init():
         m_scr[...] = jnp.full(m_scr.shape, -jnp.inf, jnp.float32)
-        l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
         acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
+        if l_scr is not None:
+            l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
 
     if causal:
         should_run = below_or_on_diag(q_idx, block_q, kv_idx, block_k)
@@ -87,15 +133,20 @@ def _fa2_fwd_kernel(
 
     @pl.when(should_run)
     def _run():
-        q = tile_cast(q_ref[0, 0], tile_dtype)
+        # Fold sm_scale AND the exp->exp2 change of base into Q once per
+        # block: one [block_q, D] multiply replaces a [block_q, block_k]
+        # multiply per KV tile, and downstream exp becomes native exp2.
+        c = sm_scale * LOG2E
+        q = q_ref[0, 0].astype(jnp.float32) * c
+        # Back to the effective matmul dtype (scaling ran in fp32 so bf16
+        # inputs lose nothing beyond their storage rounding).
+        q = q.astype(q_ref.dtype) if tile_dtype is None else tile_cast(q, tile_dtype)
         k = tile_cast(k_ref[0, 0], tile_dtype)
         precision = matmul_precision(q.dtype)
         s = lax.dot_general(
             q, k, TRANS_B_DIMS,
             preferred_element_type=jnp.float32, precision=precision,
-        )  # [block_q, block_k]
-        if sm_scale != 1.0:
-            s *= sm_scale
+        )  # [block_q, block_k], log2-domain scores
 
         mask = build_block_mask(
             q_idx, kv_idx, block_q, block_k,
@@ -106,39 +157,49 @@ def _fa2_fwd_kernel(
         if mask is not None:
             s += jnp.where(mask, 0.0, mask_value)
 
-        m_prev = m_scr[...]  # [block_q, 128] (lane-replicated)
-        l_prev = l_scr[...]
+        m_prev = m_scr[...]  # [block_q, 128] (lane-replicated), log2 units
         m_curr = jnp.max(s, axis=1)[:, None]  # [block_q, 1]
         m_next = jnp.maximum(m_prev, m_curr)  # [block_q, 128]
-        alpha = jnp.exp(m_prev - m_next)
+        alpha = jnp.exp2(m_prev - m_next)
         # Single-lane broadcast (m_next[:, :1]) instead of a materialized
         # lane-tile: saves a (block_q, block_k) VPU copy per KV step.
-        p = jnp.exp(s - m_next[:, :1])
+        p = jnp.exp2(s - m_next[:, :1])
         if mask is not None:
-            # Exact zero for masked entries: for causal/tail masks exp
+            # Exact zero for masked entries: for causal/tail masks exp2
             # already underflows to 0, but a FULLY-masked row (possible with
             # segment ids) would otherwise normalize the mask value itself.
             p = jnp.where(mask, p, 0.0)
-        l_next = alpha * l_prev + jnp.sum(p, axis=1)[:, None]
         m_scr[...] = m_next
-        l_scr[...] = l_next
 
         v = tile_cast(v_ref[0, 0], tile_dtype)
         pv = lax.dot(
             tile_cast(p, tile_dtype).astype(v.dtype), v,
             preferred_element_type=jnp.float32,
             precision=matmul_precision(v.dtype),
-        )  # [block_q, D]
-        acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
+        )  # [block_q, D] or [block_q, NUM_LANES] with rowsum(p) in lane D
+        if fold_rowsum:
+            acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
+        else:
+            l_scr[...] = alpha * l_scr[...] + jnp.sum(p, axis=1)[:, None]
+            acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
 
     @pl.when(kv_idx == num_kv_blocks - 1)
     def _store():
-        l = l_scr[...]
+        if fold_rowsum:
+            l = acc_scr[:, head_dim][:, None]  # [block_q, 1]
+        else:
+            l = l_scr[:, :1]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-        o_ref[0, 0] = (acc_scr[...] * l_inv[:, :1]).astype(o_ref.dtype)
-        # logsumexp contract parity: log(sum exp(s - m)) + m
-        # (/root/reference/kernels/kernel_fa2_optimized.cu:339-344).
-        lse_ref[0, 0] = m_scr[...] + jnp.log(jnp.where(l == 0.0, 1.0, l))
+        o_ref[0, 0] = (acc_scr[:, :head_dim] * l_inv[:, :1]).astype(o_ref.dtype)
+        # logsumexp contract parity: log(sum exp(s - m)) + m in NATURAL log
+        # (/root/reference/kernels/kernel_fa2_optimized.cu:339-344); m_scr is
+        # in log2 units, hence the LN2 change of base.  The stat output is a
+        # width-1 column [block_q, 1] — materializing lane-replicated stats
+        # costs a measurable HBM pass on the backward's scale (profiler:
+        # 2 x 0.18 ms broadcast at B8 H16 S2048).
+        lse_ref[0, 0] = (
+            m_scr[:, :1] * LN2 + jnp.log(jnp.where(l == 0.0, 1.0, l))
+        )
 
 
 @functools.partial(
@@ -165,9 +226,9 @@ def fa2_forward_aligned(
     interpret=None,
     debug: bool = False,
 ):
-    """Block-aligned FA2 forward. Returns (O, lse_rep) where lse_rep is the
-    lane-replicated logsumexp [B, Hq, Sq_pad, NUM_LANES] (fp32) saved as the
-    backward residual.
+    """Block-aligned FA2 forward. Returns (O, lse_col) where lse_col is the
+    logsumexp as a width-1 stat column [B, Hq, Sq_pad, 1] (fp32) saved as
+    the backward residual.
 
     ``kv_groups`` enables kernel-native GQA: query head h reads KV head
     h // kv_groups straight from HBM — no repeated KV materialization, so KV
@@ -178,6 +239,11 @@ def fa2_forward_aligned(
     assert k.shape[1] * kv_groups == heads
     num_kv_blocks = kv_len_pad // block_k
     grid = (batch, heads, q_len // block_q, num_kv_blocks)
+
+    fold_rowsum = use_fold_rowsum(head_dim, tile_dtype, q.dtype)
+    if fold_rowsum:
+        v = augment_v(v)
+    v_width = v.shape[-1]
 
     def q_index_map(b, h, qi, ki):
         return (b, h, qi, 0)
@@ -202,12 +268,13 @@ def fa2_forward_aligned(
         tile_dtype=tile_dtype,
         mask_kv_tail=(kv_len != kv_len_pad),
         has_segments=has_segments,
+        fold_rowsum=fold_rowsum,
     )
 
     in_specs = [
         pl.BlockSpec((1, 1, block_q, head_dim), q_index_map),
         pl.BlockSpec((1, 1, block_k, head_dim), kv_index_map),
-        pl.BlockSpec((1, 1, block_k, head_dim), kv_index_map),
+        pl.BlockSpec((1, 1, block_k, v_width), kv_index_map),
     ]
     inputs = [q, k, v]
     if has_segments:
@@ -229,7 +296,13 @@ def fa2_forward_aligned(
 
     out_shape = (
         jax.ShapeDtypeStruct(q.shape, q.dtype),
-        jax.ShapeDtypeStruct((batch, heads, q_len, NUM_LANES), jnp.float32),
+        jax.ShapeDtypeStruct((batch, heads, q_len, 1), jnp.float32),
+    )
+    scratch_shapes = [pltpu.VMEM((block_q, NUM_LANES), jnp.float32)]
+    if not fold_rowsum:
+        scratch_shapes.append(pltpu.VMEM((block_q, NUM_LANES), jnp.float32))
+    scratch_shapes.append(
+        pltpu.VMEM((block_q, NUM_LANES if fold_rowsum else head_dim), jnp.float32)
     )
     o, lse_rep = pl.pallas_call(
         kernel,
@@ -237,16 +310,15 @@ def fa2_forward_aligned(
         in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((1, 1, block_q, head_dim), q_index_map),
-            pl.BlockSpec((1, 1, block_q, NUM_LANES), q_index_map),
+            pl.BlockSpec((1, 1, block_q, 1), q_index_map),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
-            pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
-            pltpu.VMEM((block_q, head_dim), jnp.float32),
-        ],
+        scratch_shapes=scratch_shapes,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            # Large-block configs carry ~20+ MB of fp32 score/ds tiles; the
+            # default 16 MB scoped-vmem cap rejects them (v5e has 128 MB).
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * batch * heads * q_len * kv_len_pad * head_dim
