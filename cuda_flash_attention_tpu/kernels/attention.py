@@ -26,13 +26,17 @@ from cuda_flash_attention_tpu.kernels.common import (
     BlockSizes,
     pad_to_block,
     round_up,
+    seq_pad_quantum,
 )
 from cuda_flash_attention_tpu.kernels.fa2_backward import (
     fa2_backward_dkv_aligned,
     fa2_backward_dq_aligned,
     fa2_backward_fused_aligned,
 )
-from cuda_flash_attention_tpu.kernels.fa2_forward import fa2_forward_aligned
+from cuda_flash_attention_tpu.kernels.fa2_forward import (
+    fa2_forward_aligned,
+    fa2_forward_small_aligned,
+)
 
 # The fused backward emits dq as per-KV-slice partials (num_kv_blocks x dq
 # memory); above this slice count the two-kernel path's recompute is cheaper
@@ -59,13 +63,14 @@ __all__ = [
     "fa2_backward",
 ]
 
-# Measured on v5e (plots/experiment_results.csv): below this score-matrix
-# footprint the fully-XLA materialized path beats the Pallas kernel at fp32
-# (per-cell launch overhead + block padding dominate; XLA's fused
-# matmul+softmax has neither), and above it the streaming kernel wins on HBM
-# traffic.  Reduced-precision tiles always use the kernel (bf16 MXU pass
-# shifts the crossover far left).
-_XLA_SCORE_BYTES_MAX = 128 * 1024 ** 2
+# Measured on v5e (round-2 profiler sweep): with the lane-packed fp32
+# emulation and the single-KV fast path the Pallas kernel beats the fused-XLA
+# materialized path on every suite config with >= 8 MB of score matrix
+# (Medium-1 and up: 1.2-2.5x).  Only tiny problems (the S=100/S=32 Edge
+# configs, ~0.5-5 MB of scores) remain instruction-issue-bound where XLA's
+# fusion has less fixed overhead — those keep the XLA route.
+# Reduced-precision tiles always use the kernel.
+_XLA_SCORE_BYTES_MAX = 8 * 1024 ** 2
 
 
 def _use_xla_path(q, k, tile_dtype, force_kernel) -> bool:
@@ -124,8 +129,8 @@ def _pack_segments(q_segment_ids, kv_segment_ids, q, k):
     contributions vanish because dO is zero-padded (ds = p * (0 - 0) = 0)."""
     if q_segment_ids is None:
         return None
-    q_pad = round_up(q.shape[2], MIN_BLOCK) - q.shape[2]
-    kv_pad = round_up(k.shape[2], MIN_BLOCK) - k.shape[2]
+    q_pad = round_up(q.shape[2], seq_pad_quantum(q.shape[2], q.dtype)) - q.shape[2]
+    kv_pad = round_up(k.shape[2], seq_pad_quantum(k.shape[2], k.dtype)) - k.shape[2]
     q_seg = jnp.pad(
         q_segment_ids.astype(jnp.int32), ((0, 0), (0, q_pad))
     )[:, :, None]
@@ -165,9 +170,9 @@ def _normalize(q, k, v, sm_scale, block_sizes, causal=False):
     if block_sizes is None:
         block_sizes = BlockSizes.default(causal)
     q_len, kv_len = q.shape[2], k.shape[2]
-    q_pad = pad_to_block(q, 2, MIN_BLOCK)
-    k_pad = pad_to_block(k, 2, MIN_BLOCK)
-    v_pad = pad_to_block(v, 2, MIN_BLOCK)
+    q_pad = pad_to_block(q, 2, seq_pad_quantum(q_len, q.dtype))
+    k_pad = pad_to_block(k, 2, seq_pad_quantum(kv_len, k.dtype))
+    v_pad = pad_to_block(v, 2, seq_pad_quantum(kv_len, v.dtype))
     return q_pad, k_pad, v_pad, float(sm_scale), block_sizes, q_len, kv_len
 
 
@@ -199,6 +204,18 @@ def _fa2_fwd_impl(q, k, v, segs, kv_len, causal, sm_scale, block_sizes,
     block_q = _fit_block(block_sizes.block_q, q.shape[2])
     block_k = _fit_block(block_sizes.block_k, k.shape[2])
     q_seg, kv_seg = segs if segs is not None else (None, None)
+    if (
+        q.shape[2] <= MIN_BLOCK
+        and k.shape[2] == q.shape[2]
+        and k.shape[1] == q.shape[1]
+    ):
+        # Tiny problems (the reference's Edge configs): head-grouped
+        # single-tile kernel amortizes the per-grid-cell overhead.
+        return fa2_forward_small_aligned(
+            q, k, v, q_seg, kv_seg,
+            causal=causal, sm_scale=sm_scale, kv_len=kv_len,
+            tile_dtype=tile_dtype, interpret=interpret,
+        )
     return fa2_forward_aligned(
         q, k, v, q_seg, kv_seg,
         causal=causal, sm_scale=sm_scale,
@@ -370,9 +387,10 @@ def fa2_backward(
     q_pad, k_pad, v_pad, sm_scale, block_sizes, q_len, kv_len = _normalize(
         q, k, v, sm_scale, block_sizes, causal
     )
-    o_pad = pad_to_block(o, 2, MIN_BLOCK)
-    do_pad = pad_to_block(do, 2, MIN_BLOCK)
-    lse_rep = _replicate_lanes(pad_to_block(lse, 2, MIN_BLOCK))
+    quantum = seq_pad_quantum(q_len, q.dtype)
+    o_pad = pad_to_block(o, 2, quantum)
+    do_pad = pad_to_block(do, 2, quantum)
+    lse_rep = _replicate_lanes(pad_to_block(lse, 2, quantum))
     di_rep = _replicate_lanes(
         jnp.sum(o_pad.astype(jnp.float32) * do_pad.astype(jnp.float32), axis=-1)
     )

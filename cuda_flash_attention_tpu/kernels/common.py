@@ -80,7 +80,10 @@ class BlockSizes:
 def fit_block(requested: int, padded_len: int) -> int:
     """Largest multiple of MIN_BLOCK that divides padded_len and is <=
     requested — how every kernel wrapper snaps its configured block size to
-    an actual (padded) sequence length."""
+    an actual (padded) sequence length.  Sub-128 padded lengths (small-S
+    fast path) use a single whole-sequence block."""
+    if padded_len < MIN_BLOCK:
+        return padded_len
     best = MIN_BLOCK
     b = MIN_BLOCK
     while b <= min(requested, padded_len):
@@ -88,6 +91,19 @@ def fit_block(requested: int, padded_len: int) -> int:
             best = b
         b += MIN_BLOCK
     return best
+
+
+def seq_pad_quantum(seq_len: int, dtype) -> int:
+    """Padding quantum for a sequence axis.  Sequences of at least one full
+    block pad to the 128-lane block grid; shorter ones only to the dtype's
+    sublane tile (8/16/32 for 4/2/1-byte types) — S=32 then runs a [32, D]
+    block with ZERO padding waste instead of 16x the score area
+    (the reference handles these via per-element bound checks,
+    /root/reference/kernels/kernel_fa2_optimized.cu:169-190)."""
+    if seq_len >= MIN_BLOCK:
+        return MIN_BLOCK
+    itemsize = jnp.dtype(dtype).itemsize
+    return {4: 8, 2: 16, 1: 32}.get(itemsize, MIN_BLOCK)
 
 
 def below_or_on_diag(q_idx, block_q: int, kv_idx, block_k: int):
@@ -183,6 +199,137 @@ def tile_cast(x, tile_dtype):
     if tile_dtype == jnp.float16:
         return _fp16_storage_round(x.astype(jnp.float32))
     return x.astype(tile_dtype)
+
+
+# ---------------------------------------------------------------------------
+# fp32 MXU emulation with lane packing.
+#
+# The MXU is a 128-wide bf16 systolic array; fp32 matmuls run as multi-pass
+# bf16-chunk emulations.  At head_dim <= 64 every attention matmul leaves
+# half the array idle (contraction or output lanes), so the stock HIGHEST
+# emulation pays ~6 half-filled passes.  These helpers pack the bf16 chunk
+# products into the idle lanes instead:
+#
+#   * contraction-style (QK^T, dO V^T — contract over D):  3-chunk splits
+#     packed pairwise along the contraction lanes -> 3 FULL-width passes
+#     covering all chunk products down to 2^-30 (full fp32 quality).
+#   * output-style (PV, dS K, P^T dO — narrow output):  2-chunk splits with
+#     the rhs chunks side by side in the output lanes -> 2 full passes
+#     computing (a0+a1)(b0+b1), i.e. exact products of 16-bit-mantissa
+#     operands (~1e-6 relative; the fp16-storage path is EXACT since its
+#     values carry 10-bit mantissas).
+#
+# Measured v5e (B2 H8 S512 D64): QK^T 38.6 -> ~16 us, PV 36.7 -> 24.4 us vs
+# XLA's own HIGHEST fusions at 41.3/22.6 us.  Deterministic (fixed order).
+# ---------------------------------------------------------------------------
+
+
+def _split2_bf16(x):
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _split3_bf16(x):
+    hi = x.astype(jnp.bfloat16)
+    r = x - hi.astype(jnp.float32)
+    mid = r.astype(jnp.bfloat16)
+    lo = (r - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
+# Below this row count a matmul is instruction/issue-bound, and the
+# emulation's extra split/concat VPU passes and 3x instruction count cost
+# more than the saved MXU passes — tiny tiles stay on native HIGHEST.
+_EMULATE_MIN_ROWS = 256
+
+
+def _can_pack(width: int) -> bool:
+    return 2 * width <= NUM_LANES
+
+
+def mxu_dot_tb(a, b):
+    """a [m, d] @ b [n, d]^T -> [m, n] fp32 (contraction over the last dim).
+
+    fp32 operands with d <= 64 use the lane-packed 3-pass emulation; other
+    dtypes take the native MXU path."""
+    import jax.lax as lax
+
+    if (a.dtype == jnp.float32 and _can_pack(a.shape[-1])
+            and a.shape[0] >= _EMULATE_MIN_ROWS):
+        a0, a1, a2 = _split3_bf16(a)
+        b0, b1, b2 = _split3_bf16(b)
+        cat = lambda x, y: jnp.concatenate([x, y], axis=-1)  # noqa: E731
+        s = lax.dot_general(cat(a0, a1), cat(b0, b0), TRANS_B_DIMS,
+                            preferred_element_type=jnp.float32)
+        s += lax.dot_general(cat(a0, a1), cat(b1, b1), TRANS_B_DIMS,
+                             preferred_element_type=jnp.float32)
+        s += lax.dot_general(cat(a0, a2), cat(b2, b0), TRANS_B_DIMS,
+                             preferred_element_type=jnp.float32)
+        return s
+    return lax.dot_general(
+        a, b, TRANS_B_DIMS, preferred_element_type=jnp.float32,
+        precision=matmul_precision(a.dtype),
+    )
+
+
+def _packed_out_dot(a, b, dims, exact):
+    """Shared lane-packed out-style emulation.  Two full-width passes cover
+    (a0+a1)(b0+b1); `exact` adds one pass with the residual cross terms
+    (a0 b2 + a2 b0) packed along the CONTRACTION dim — all six significant
+    chunk products, i.e. full fp32 quality at half the HIGHEST pass count."""
+    import jax.lax as lax
+
+    d = b.shape[-1]
+    b0, b1, b2 = _split3_bf16(b)
+    bcat = jnp.concatenate([b0, b1], axis=-1)  # [K, 2d]
+    out = None
+    if exact:
+        a0, a1, a2 = _split3_bf16(a)
+    else:
+        a0, a1 = _split2_bf16(a)
+    for ac in (a0, a1):
+        mm = lax.dot_general(ac, bcat, dims, preferred_element_type=jnp.float32)
+        term = mm[:, :d] + mm[:, d:]
+        out = term if out is None else out + term
+    if exact:
+        # Residual cross terms as two half-width passes: concatenating the
+        # big lhs along the contraction dim costs a [m, 2K] VPU copy that
+        # outweighs the saved MXU pass.
+        out += lax.dot_general(a0, b2, dims, preferred_element_type=jnp.float32)
+        out += lax.dot_general(a2, b0, dims, preferred_element_type=jnp.float32)
+    return out
+
+
+def mxu_dot_out(a, b, exact: bool = False):
+    """a [m, K] @ b [K, d] -> [m, d] fp32 (narrow output, full contraction).
+
+    fp32 with d <= 64: lane-packed emulation (2 passes ~1e-5 relative, or 3
+    with exact=True for full fp32 quality); else native MXU."""
+    import jax.lax as lax
+
+    dims = (((1,), (0,)), ((), ()))
+    if (a.dtype == jnp.float32 and _can_pack(b.shape[-1])
+            and a.shape[0] >= _EMULATE_MIN_ROWS):
+        return _packed_out_dot(a, b, dims, exact=exact)
+    return lax.dot_general(
+        a, b, dims, preferred_element_type=jnp.float32,
+        precision=matmul_precision(a.dtype),
+    )
+
+
+def mxu_dot_ta_out(a, b, exact: bool = False):
+    """a [K, m]^T @ b [K, d] -> [m, d] fp32 (contract dim 0 of both)."""
+    import jax.lax as lax
+
+    dims = (((0,), (0,)), ((), ()))
+    if (a.dtype == jnp.float32 and _can_pack(b.shape[-1])
+            and a.shape[1] >= _EMULATE_MIN_ROWS):
+        return _packed_out_dot(a, b, dims, exact=exact)
+    return lax.dot_general(
+        a, b, dims, preferred_element_type=jnp.float32,
+        precision=matmul_precision(a.dtype),
+    )
 
 
 def matmul_precision(operand_dtype):

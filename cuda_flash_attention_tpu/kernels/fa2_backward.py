@@ -41,10 +41,11 @@ from cuda_flash_attention_tpu.kernels.common import (
     LN2,
     LOG2E,
     NUM_LANES,
-    TRANS_B_DIMS,
     below_or_on_diag,
     build_block_mask,
-    matmul_precision,
+    mxu_dot_out,
+    mxu_dot_ta_out,
+    mxu_dot_tb,
     resolve_interpret,
     tile_cast,
 )
@@ -68,11 +69,7 @@ def _compute_p_ds(q, k, v, do, lse, di, *, sm_scale, mask, mask_value, tile_dtyp
     q_s = q.astype(jnp.float32) * c
     q_s = q_s.astype(q.dtype) if tile_dtype is None else tile_cast(q_s, tile_dtype)
     k = tile_cast(k, tile_dtype)
-    precision = matmul_precision(q_s.dtype)
-    s = lax.dot_general(
-        q_s, k, TRANS_B_DIMS, preferred_element_type=jnp.float32,
-        precision=precision,
-    )  # log2-domain scores
+    s = mxu_dot_tb(q_s, k)  # log2-domain scores
     if mask is not None:
         s += jnp.where(mask, 0.0, mask_value)
     # P = exp2(S2 - lse*log2e): rows already normalized (lse = log(l) + m).
@@ -83,11 +80,7 @@ def _compute_p_ds(q, k, v, do, lse, di, *, sm_scale, mask, mask_value, tile_dtyp
         # a garbage lse, and exp(s - lse) there would pollute dK/dV sums.
         p = jnp.where(mask, p, 0.0)
     do_c = tile_cast(do, tile_dtype)
-    dp = lax.dot_general(
-        do_c, tile_cast(v, tile_dtype), TRANS_B_DIMS,
-        preferred_element_type=jnp.float32,
-        precision=matmul_precision(do_c.dtype),
-    )
+    dp = mxu_dot_tb(do_c, tile_cast(v, tile_dtype))
     ds = p * (dp - di[:, :1])
     return p, ds, q_s
 
@@ -153,26 +146,16 @@ def _fa2_bwd_fused_kernel(
         k_c = tile_cast(k, tile_dtype)
         p_c = tile_cast(p, tile_dtype).astype(do_c.dtype)
         ds_c = tile_cast(ds, tile_dtype).astype(q_s.dtype)
-        precision = matmul_precision(p_c.dtype)
-        dv_scr[...] += lax.dot_general(
-            p_c, do_c, _TRANS_A_DIMS,
-            preferred_element_type=jnp.float32, precision=precision,
-        )
+        dv_scr[...] += mxu_dot_ta_out(p_c, do_c)
         # q_s carries sm_scale*LOG2E; the store epilogue divides it back out.
-        dk_scr[...] += lax.dot_general(
-            ds_c, q_s, _TRANS_A_DIMS,
-            preferred_element_type=jnp.float32, precision=precision,
-        )
+        dk_scr[...] += mxu_dot_ta_out(ds_c, q_s)
         # dQ partial for this (kv block, q block): dS @ K — S and dP were
         # already in registers, so this is the only extra MXU pass.  Unscaled
         # (ds is unscaled); with several KV slices the wrapper folds sm_scale
         # into the XLA partial-sum, but a SINGLE slice is final — scale+cast
         # here so the wrapper's sum op (a full dq-sized f32 HBM round trip)
         # disappears.
-        dq_blk = lax.dot(
-            ds_c, k_c,
-            preferred_element_type=jnp.float32, precision=precision,
-        )
+        dq_blk = mxu_dot_out(ds_c, k_c)
         if scale_dq_in_kernel:
             dq_blk = dq_blk * sm_scale
         dq_part_ref[0, 0, 0] = dq_blk.astype(dq_part_ref.dtype)
@@ -247,15 +230,8 @@ def _fa2_bwd_dkv_kernel(
         do_c = tile_cast(do, tile_dtype)
         p_c = tile_cast(p, tile_dtype).astype(do_c.dtype)
         ds_c = tile_cast(ds, tile_dtype).astype(q_s.dtype)
-        precision = matmul_precision(p_c.dtype)
-        dv_scr[...] += lax.dot_general(
-            p_c, do_c, _TRANS_A_DIMS,
-            preferred_element_type=jnp.float32, precision=precision,
-        )
-        dk_scr[...] += lax.dot_general(
-            ds_c, q_s, _TRANS_A_DIMS,
-            preferred_element_type=jnp.float32, precision=precision,
-        )
+        dv_scr[...] += mxu_dot_ta_out(p_c, do_c)
+        dk_scr[...] += mxu_dot_ta_out(ds_c, q_s)
 
     @pl.when(inner == kv_groups * num_q_blocks - 1)
     def _store():
@@ -308,10 +284,8 @@ def _fa2_bwd_dq_kernel(
             tile_dtype=tile_dtype,
         )
         k_c = tile_cast(k, tile_dtype)
-        dq_scr[...] += lax.dot(
-            tile_cast(ds, tile_dtype).astype(k_c.dtype), k_c,
-            preferred_element_type=jnp.float32,
-            precision=matmul_precision(k_c.dtype),
+        dq_scr[...] += mxu_dot_out(
+            tile_cast(ds, tile_dtype).astype(k_c.dtype), k_c
         )
 
     @pl.when(kv_idx == num_kv_blocks - 1)

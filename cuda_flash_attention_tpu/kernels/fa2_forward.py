@@ -53,10 +53,10 @@ from cuda_flash_attention_tpu.kernels.common import (
     LN2,
     LOG2E,
     NUM_LANES,
-    TRANS_B_DIMS,
     below_or_on_diag,
     build_block_mask,
-    matmul_precision,
+    mxu_dot_out,
+    mxu_dot_tb,
     resolve_interpret,
     tile_cast,
 )
@@ -84,6 +84,103 @@ def augment_v(v):
         return jnp.concatenate([v, ones], axis=-1)
     zeros = jnp.zeros((b, h, s, NUM_LANES - d - 1), v.dtype)
     return jnp.concatenate([v, ones, zeros], axis=-1)
+
+
+def _single_kv_attention(
+    q_raw, k_raw, v_raw, q_seg, kv_seg, *,
+    sm_scale, causal, mask_value, kv_len, block_q, block_k,
+    tile_dtype, mask_kv_tail, fold_rowsum, q_idx, out_dtype,
+    pre_scaled=False, want_lse=True,
+):
+    """Direct (non-online) softmax attention for one [block_q, D] tile whose
+    whole KV fits one [block_k, D] tile.  Returns (o, lse_col) — lse is None
+    when want_lse=False (inference forward; skips the log/store work)."""
+    head_dim = q_raw.shape[-1]
+    if pre_scaled:
+        q = q_raw
+    else:
+        c = sm_scale * LOG2E
+        q = q_raw.astype(jnp.float32) * c
+        q = q.astype(q_raw.dtype) if tile_dtype is None else tile_cast(q, tile_dtype)
+    k = tile_cast(k_raw, tile_dtype)
+    s = mxu_dot_tb(q, k)
+    mask = build_block_mask(
+        q_idx, 0, block_q, block_k,
+        causal=causal, mask_kv_tail=mask_kv_tail, kv_len=kv_len,
+        q_seg=q_seg, kv_seg=kv_seg,
+    )
+    if mask is not None:
+        s += jnp.where(mask, 0.0, mask_value)
+    m = jnp.max(s, axis=1)[:, None]  # [block_q, 1]
+    p = jnp.exp2(s - m)
+    if mask is not None:
+        p = jnp.where(mask, p, 0.0)
+    v = tile_cast(v_raw, tile_dtype)
+    pv = mxu_dot_out(tile_cast(p, tile_dtype).astype(v.dtype), v, exact=True)
+    if fold_rowsum:
+        l = pv[:, head_dim][:, None]
+    else:
+        l = jnp.sum(p, axis=1)[:, None]
+    l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+    o = (pv[:, :head_dim] * l_inv).astype(out_dtype)
+    if not want_lse:
+        return o, None
+    lse = m * LN2 + jnp.log(jnp.where(l == 0.0, 1.0, l))
+    return o, lse
+
+
+def _fa2_fwd_single_kv(
+    q_ref, k_ref, v_ref, qseg_ref, kvseg_ref, o_ref, lse_ref, *,
+    sm_scale, causal, mask_value, kv_len, block_q, block_k,
+    tile_dtype, mask_kv_tail, has_segments, fold_rowsum, q_idx,
+):
+    o, lse = _single_kv_attention(
+        q_ref[0, 0], k_ref[0, 0], v_ref[0, 0],
+        qseg_ref[0] if has_segments else None,
+        kvseg_ref[0] if has_segments else None,
+        sm_scale=sm_scale, causal=causal, mask_value=mask_value,
+        kv_len=kv_len, block_q=block_q, block_k=block_k,
+        tile_dtype=tile_dtype, mask_kv_tail=mask_kv_tail,
+        fold_rowsum=fold_rowsum, q_idx=q_idx, out_dtype=o_ref.dtype,
+    )
+    o_ref[0, 0] = o
+    lse_ref[0, 0] = lse
+
+
+def _fa2_fwd_small_kernel(
+    *refs,
+    sm_scale, causal, mask_value, kv_len, seq_pad, group,
+    tile_dtype, mask_kv_tail, has_segments, fold_rowsum,
+):
+    """Small-shape kernel: one grid cell per (batch, head-group) with `group`
+    heads processed back-to-back — amortizes per-cell grid/DMA overhead when
+    the whole problem is a single tiny tile per head (the reference's
+    Edge-SmallSeq/NonPowerOf2 configs)."""
+    if has_segments:
+        q_ref, k_ref, v_ref, qseg_ref, kvseg_ref, o_ref, lse_ref = refs
+    else:
+        q_ref, k_ref, v_ref, o_ref, lse_ref = refs
+        qseg_ref = kvseg_ref = None
+    # Scale/cast the whole head group in ONE wide VPU op instead of per head.
+    c = sm_scale * LOG2E
+    q_all = q_ref[0].astype(jnp.float32) * c  # [group, seq_pad, D]
+    q_all = (
+        q_all.astype(q_ref.dtype) if tile_dtype is None
+        else tile_cast(q_all, tile_dtype)
+    )
+    for g in range(group):
+        o, lse = _single_kv_attention(
+            q_all[g], k_ref[0, g], v_ref[0, g],
+            qseg_ref[0] if has_segments else None,
+            kvseg_ref[0] if has_segments else None,
+            sm_scale=sm_scale, causal=causal, mask_value=mask_value,
+            kv_len=kv_len, block_q=seq_pad, block_k=seq_pad,
+            tile_dtype=tile_dtype, mask_kv_tail=mask_kv_tail,
+            fold_rowsum=fold_rowsum, q_idx=0, out_dtype=o_ref.dtype,
+            pre_scaled=True,
+        )
+        o_ref[0, g] = o
+        lse_ref[0, g] = lse
 
 
 def _fa2_fwd_kernel(
@@ -119,6 +216,21 @@ def _fa2_fwd_kernel(
     kv_idx = pl.program_id(3)
     head_dim = q_ref.shape[-1]
 
+    if num_kv_blocks == 1:
+        # Single-KV-block fast path: the whole KV fits one tile, so the
+        # online-softmax machinery (running max/l, alpha rescale, scratch
+        # round trips) is pure overhead — direct softmax per cell instead.
+        # This is what makes the kernel beat the fused-XLA materialized path
+        # on the mid-size suite configs.
+        _fa2_fwd_single_kv(
+            q_ref, k_ref, v_ref, qseg_ref, kvseg_ref, o_ref, lse_ref,
+            sm_scale=sm_scale, causal=causal, mask_value=mask_value,
+            kv_len=kv_len, block_q=block_q, block_k=block_k,
+            tile_dtype=tile_dtype, mask_kv_tail=mask_kv_tail,
+            has_segments=has_segments, fold_rowsum=fold_rowsum, q_idx=q_idx,
+        )
+        return
+
     @pl.when(kv_idx == 0)
     def _init():
         m_scr[...] = jnp.full(m_scr.shape, -jnp.inf, jnp.float32)
@@ -142,11 +254,7 @@ def _fa2_fwd_kernel(
         # inputs lose nothing beyond their storage rounding).
         q = q.astype(q_ref.dtype) if tile_dtype is None else tile_cast(q, tile_dtype)
         k = tile_cast(k_ref[0, 0], tile_dtype)
-        precision = matmul_precision(q.dtype)
-        s = lax.dot_general(
-            q, k, TRANS_B_DIMS,
-            preferred_element_type=jnp.float32, precision=precision,
-        )  # [block_q, block_k], log2-domain scores
+        s = mxu_dot_tb(q, k)  # [block_q, block_k], log2-domain scores
 
         mask = build_block_mask(
             q_idx, kv_idx, block_q, block_k,
@@ -172,10 +280,8 @@ def _fa2_fwd_kernel(
         m_scr[...] = m_next
 
         v = tile_cast(v_ref[0, 0], tile_dtype)
-        pv = lax.dot(
-            tile_cast(p, tile_dtype).astype(v.dtype), v,
-            preferred_element_type=jnp.float32,
-            precision=matmul_precision(v.dtype),
+        pv = mxu_dot_out(
+            tile_cast(p, tile_dtype).astype(v.dtype), v, exact=True
         )  # [block_q, D] or [block_q, NUM_LANES] with rowsum(p) in lane D
         if fold_rowsum:
             acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
@@ -200,6 +306,88 @@ def _fa2_fwd_kernel(
         lse_ref[0, 0] = (
             m_scr[:, :1] * LN2 + jnp.log(jnp.where(l == 0.0, 1.0, l))
         )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "causal", "sm_scale", "kv_len", "tile_dtype", "interpret", "debug",
+    ),
+)
+def fa2_forward_small_aligned(
+    q,  # [B, H, S_pad, D], S_pad <= 128 (whole problem is one tile per head)
+    k, v,
+    q_seg=None,   # [B, S_pad, 1] int32
+    kv_seg=None,  # [B, 1, S_pad] int32
+    *,
+    causal: bool,
+    sm_scale: float,
+    kv_len: int,
+    tile_dtype=None,
+    interpret=None,
+    debug: bool = False,
+):
+    """Small-shape forward: grid (B, H/G) with G heads per cell.  At tiny
+    sequence lengths the per-cell grid/DMA overhead dominates; sweeping the
+    group's heads inside one cell keeps the MXU queue fed.  Returns
+    (O, lse_col [B, H, S_pad, 1])."""
+    batch, heads, seq_pad, head_dim = q.shape
+    assert seq_pad <= NUM_LANES and k.shape[2] == seq_pad
+    # Largest divisor of `heads` keeping the cell's Q footprint modest.
+    group = heads
+    max_rows = max(1, 2048 // seq_pad)
+    while group > 1 and group > max_rows:
+        group -= 1
+    while heads % group:
+        group -= 1
+
+    fold_rowsum = use_fold_rowsum(head_dim, tile_dtype, q.dtype)
+    if fold_rowsum:
+        v = augment_v(v)
+    v_width = v.shape[-1]
+
+    def qkv_map(b, hg):
+        return (b, hg, 0, 0)
+
+    has_segments = q_seg is not None
+    kernel = functools.partial(
+        _fa2_fwd_small_kernel,
+        sm_scale=sm_scale, causal=causal, mask_value=DEFAULT_MASK_VALUE,
+        kv_len=kv_len, seq_pad=seq_pad, group=group, tile_dtype=tile_dtype,
+        mask_kv_tail=(kv_len != seq_pad), has_segments=has_segments,
+        fold_rowsum=fold_rowsum,
+    )
+    in_specs = [
+        pl.BlockSpec((1, group, seq_pad, head_dim), qkv_map),
+        pl.BlockSpec((1, group, seq_pad, head_dim), qkv_map),
+        pl.BlockSpec((1, group, seq_pad, v_width), qkv_map),
+    ]
+    inputs = [q, k, v]
+    if has_segments:
+        in_specs += [
+            pl.BlockSpec((1, seq_pad, 1), lambda b, hg: (b, 0, 0)),
+            pl.BlockSpec((1, 1, seq_pad), lambda b, hg: (b, 0, 0)),
+        ]
+        inputs += [q_seg, kv_seg]
+    o, lse = pl.pallas_call(
+        kernel,
+        grid=(batch, heads // group),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((1, group, seq_pad, head_dim), qkv_map),
+            pl.BlockSpec((1, group, seq_pad, 1), qkv_map),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct((batch, heads, seq_pad, 1), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=resolve_interpret(interpret),
+        debug=debug,
+    )(*inputs)
+    return o, lse
 
 
 @functools.partial(
