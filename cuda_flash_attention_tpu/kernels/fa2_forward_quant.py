@@ -33,6 +33,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from cuda_flash_attention_tpu.kernels.common import (
     DEFAULT_MASK_VALUE,
+    LN2,
+    LOG2E,
     MIN_BLOCK,
     NUM_LANES,
     TRANS_B_DIMS,
@@ -53,7 +55,7 @@ def _fa2_fwd_quant_kernel(
     v_ref,        # [1, 1, block_k, D]     int8 / fp8
     v_scale_ref,  # [1, 1, 1, block_k]     f32
     o_ref,        # [1, 1, block_q, D]
-    lse_ref,      # [1, 1, block_q, NUM_LANES]
+    lse_ref,      # [1, 1, block_q, 1]
     m_scr, l_scr, acc_scr,
     *,
     sm_scale: float,
@@ -82,7 +84,11 @@ def _fa2_fwd_quant_kernel(
 
     @pl.when(should_run)
     def _run():
-        q = q_ref[0, 0].astype(compute_dtype)
+        # sm_scale and the exp->exp2 change of base fold into Q once per
+        # block (same scheme as fa2_forward.py); K's per-row dequant scale
+        # cannot (it varies per COLUMN of S), so that one multiply stays.
+        c = sm_scale * LOG2E
+        q = (q_ref[0, 0].astype(jnp.float32) * c).astype(compute_dtype)
         # int8/fp8 -> compute dtype: a VPU convert; the scale itself is folded
         # into S below, so no dequantized K tile is materialized.
         k = k_ref[0, 0].astype(compute_dtype)
@@ -90,9 +96,9 @@ def _fa2_fwd_quant_kernel(
             q, k, TRANS_B_DIMS,
             preferred_element_type=jnp.float32,
             precision=matmul_precision(q.dtype),
-        )  # [block_q, block_k]
+        )  # [block_q, block_k], log2-domain after the column scale
         k_scale = k_scale_ref[0, 0]  # [1, block_k]
-        s *= k_scale * sm_scale
+        s *= k_scale
 
         mask = build_block_mask(
             q_idx, kv_idx, block_q, block_k,
@@ -105,8 +111,8 @@ def _fa2_fwd_quant_kernel(
         l_prev = l_scr[...]
         m_curr = jnp.max(s, axis=1)[:, None]
         m_next = jnp.maximum(m_prev, m_curr)
-        alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - m_next[:, :1])
+        alpha = jnp.exp2(m_prev - m_next)
+        p = jnp.exp2(s - m_next[:, :1])
         l_next = alpha * l_prev + jnp.sum(p, axis=1)[:, None]
         m_scr[...] = m_next
         l_scr[...] = l_next
@@ -124,10 +130,12 @@ def _fa2_fwd_quant_kernel(
 
     @pl.when(kv_idx == num_kv_blocks - 1)
     def _store():
-        l = l_scr[...]
+        l = l_scr[:, :1]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-        o_ref[0, 0] = (acc_scr[...] * l_inv[:, :1]).astype(o_ref.dtype)
-        lse_ref[0, 0] = m_scr[...] + jnp.log(jnp.where(l == 0.0, 1.0, l))
+        o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
+        lse_ref[0, 0] = (
+            m_scr[:, :1] * LN2 + jnp.log(jnp.where(l == 0.0, 1.0, l))
+        )
 
 
 @functools.partial(
@@ -188,7 +196,7 @@ def fa2_forward_quant_aligned(
 
     out_shape = (
         jax.ShapeDtypeStruct(q.shape, q.dtype),
-        jax.ShapeDtypeStruct((batch, heads, q_len, NUM_LANES), jnp.float32),
+        jax.ShapeDtypeStruct((batch, heads, q_len, 1), jnp.float32),
     )
     o, lse_rep = pl.pallas_call(
         kernel,
@@ -202,7 +210,7 @@ def fa2_forward_quant_aligned(
         ],
         out_specs=(
             pl.BlockSpec((1, 1, block_q, head_dim), q_index_map),
-            pl.BlockSpec((1, 1, block_q, NUM_LANES), q_index_map),
+            pl.BlockSpec((1, 1, block_q, 1), q_index_map),
         ),
         scratch_shapes=[
             pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
