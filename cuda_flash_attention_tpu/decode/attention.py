@@ -43,6 +43,7 @@ from cuda_flash_attention_tpu.kernels.common import (
     TRANS_B_DIMS,
     matmul_precision,
     resolve_interpret,
+    storage_cast,
 )
 
 
@@ -90,7 +91,7 @@ def _decode_kernel(
     def _run():
         hkv, group = q_ref.shape[1], q_ref.shape[2]
         q = q_ref[0].astype(compute_dtype)          # [Hkv, group, D]
-        k = k_ref[:, 0].astype(compute_dtype)       # [Hkv, page_size, D]
+        k = storage_cast(k_ref[:, 0], compute_dtype)  # [Hkv, page_size, D]
         s = lax.dot_general(
             q, k, _BATCHED_QKT,
             preferred_element_type=jnp.float32,
@@ -113,7 +114,7 @@ def _decode_kernel(
         l_scr[...] = alpha * l_prev + jnp.sum(prob, axis=2)[..., None]
         m_scr[...] = m_next
 
-        v = v_ref[:, 0].astype(compute_dtype)       # [Hkv, page_size, D]
+        v = storage_cast(v_ref[:, 0], compute_dtype)  # [Hkv, page_size, D]
         prob_scaled = (prob * vs_ref[:, 0]).astype(compute_dtype)
         pv = lax.dot_general(
             prob_scaled, v, _BATCHED_PV,

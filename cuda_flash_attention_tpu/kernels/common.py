@@ -341,6 +341,42 @@ def matmul_precision(operand_dtype):
     return lax.Precision.HIGHEST if operand_dtype == jnp.float32 else None
 
 
+def storage_cast(x, compute_dtype):
+    """VPU-friendly cast from a KV-cache storage dtype to the compute dtype.
+
+    int8/bf16/f32 use the native convert.  fp8 (e4m3fn/e5m2) has NO hardware
+    on v5e and Mosaic's generic convert is ~4x the whole decode kernel's
+    cost (measured: 546 vs 142 us/step) — so fp8 is widened by integer bit
+    surgery instead: place sign/exp/mant into a bf16 pattern and rebias the
+    exponent (e4m3 bias 7 -> bf16 bias 127 = +120), with a select for the
+    subnormal range.  fp8 Inf/NaN payloads decode as large finite values —
+    the KV quantizer never emits them (amax clipping).
+    """
+    from jax import lax
+
+    d = jnp.dtype(x.dtype)
+    if d == jnp.dtype(jnp.float8_e4m3fn):
+        mant_bits, bias = 3, 7
+    elif d == jnp.dtype(jnp.float8_e5m2):
+        mant_bits, bias = 2, 15
+    else:
+        return x.astype(compute_dtype)
+
+    # Build the f32 bit pattern in int32 (Mosaic has no 16-bit int converts):
+    # f32 = s<<31 | (e + (127-bias))<<23 | m<<(23-mant_bits).
+    rebias = 127 - bias
+    b = lax.bitcast_convert_type(x, jnp.uint8).astype(jnp.int32)
+    em = b & 0x7F
+    shift = 23 - mant_bits
+    bits = ((b & 0x80) << 24) | ((em << shift) + (rebias << 23))
+    val = lax.bitcast_convert_type(bits, jnp.float32)
+    # e == 0: fp8 subnormals, value = m * 2^-(bias - 1 + mant_bits).
+    sub = em.astype(jnp.float32) * (2.0 ** -(bias - 1 + mant_bits))
+    sub = jnp.where(b >= 128, -sub, sub)
+    out = jnp.where(em < (1 << mant_bits), sub, val)
+    return out.astype(compute_dtype)
+
+
 def lanes_broadcast(vec, width: int):
     """Broadcast a [rows, NUM_LANES] stat tile to [rows, width]."""
     if width == NUM_LANES:

@@ -44,6 +44,7 @@ from cuda_flash_attention_tpu.kernels.common import (
     matmul_precision,
     pad_to_block,
     resolve_interpret,
+    storage_cast,
 )
 from cuda_flash_attention_tpu.quant.qtensor import QuantizedTensor, quantize_kv
 
@@ -89,9 +90,10 @@ def _fa2_fwd_quant_kernel(
         # cannot (it varies per COLUMN of S), so that one multiply stays.
         c = sm_scale * LOG2E
         q = (q_ref[0, 0].astype(jnp.float32) * c).astype(compute_dtype)
-        # int8/fp8 -> compute dtype: a VPU convert; the scale itself is folded
-        # into S below, so no dequantized K tile is materialized.
-        k = k_ref[0, 0].astype(compute_dtype)
+        # int8/fp8 -> compute dtype: a VPU convert (bit surgery for fp8 —
+        # storage_cast); the scale itself is folded into S below, so no
+        # dequantized K tile is materialized.
+        k = storage_cast(k_ref[0, 0], compute_dtype)
         s = lax.dot_general(
             q, k, TRANS_B_DIMS,
             preferred_element_type=jnp.float32,
@@ -120,7 +122,7 @@ def _fa2_fwd_quant_kernel(
         # Fold V's row scales into P: (P * v_scale) @ V_q == P @ (v_scale * V_q).
         v_scale = v_scale_ref[0, 0]  # [1, block_k]
         p_scaled = (p * v_scale).astype(compute_dtype)
-        v = v_ref[0, 0].astype(compute_dtype)
+        v = storage_cast(v_ref[0, 0], compute_dtype)
         pv = lax.dot(
             p_scaled, v,
             preferred_element_type=jnp.float32,

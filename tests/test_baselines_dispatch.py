@@ -26,7 +26,11 @@ def make_qkv(b, h, s, d, seed=0):
     return tuple(jax.random.uniform(k, (b, h, s, d), jnp.float32) for k in ks)
 
 
-@pytest.mark.parametrize("s", [128, 256, 100], ids=["s128", "s256", "s100"])
+@pytest.mark.parametrize("s", [
+    pytest.param(128, marks=pytest.mark.slow, id="s128"),  # 280 s interpreted
+    pytest.param(256, id="s256"),
+    pytest.param(100, id="s100"),
+])
 def test_fa1_matches_oracle(s):
     q, k, v = make_qkv(1, 2, s, 64)
     o = fa1_attention(q, k, v)

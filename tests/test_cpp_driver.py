@@ -31,6 +31,7 @@ def _binary():
     return BIN
 
 
+@pytest.mark.slow
 def test_cpp_driver_forward(tmp_path):
     binary = _binary()
     b, h, s, d = 1, 2, 128, 64

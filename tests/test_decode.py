@@ -55,7 +55,11 @@ def test_page_allocator_reuse():
         alloc.alloc(1)
 
 
-@pytest.mark.parametrize("dtype", [jnp.int8, jnp.bfloat16, jnp.float32])
+@pytest.mark.parametrize("dtype", [
+    pytest.param(jnp.int8, marks=pytest.mark.slow),
+    jnp.bfloat16,
+    jnp.float32,
+])
 def test_write_then_append_roundtrip(dtype):
     hkv, d = 2, 64
     pages = init_kv_pages(hkv, num_pages=6, page_size=PAGE, head_dim=d, dtype=dtype)
@@ -238,6 +242,7 @@ def test_engine_rejects_oversized_request():
         eng.submit(list(range(500)), max_new_tokens=100)  # 600 > 512
 
 
+@pytest.mark.slow
 def test_engine_greedy_matches_full_forward():
     """Greedy decode through the paged int8 path must match greedy decode
     via repeated full forwards (token-level parity gate, loose only through

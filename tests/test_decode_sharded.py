@@ -48,7 +48,7 @@ def _build_pages(hkv=4, d=64, lengths=(200, 77), dtype=jnp.int8):
     return q, pages, jnp.asarray(page_table), jnp.asarray(lengths, jnp.int32)
 
 
-@pytest.mark.parametrize("tp", [2, 4])
+@pytest.mark.parametrize("tp", [pytest.param(2, marks=pytest.mark.slow), 4])
 def test_tp_paged_decode_matches_local(tp):
     mesh = _cpu_mesh({"data": 1, "model": tp})
     q, pages, page_table, lengths = _build_pages()

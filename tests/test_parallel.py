@@ -80,6 +80,7 @@ def test_ring_attention_2d_mesh_with_heads():
 
 
 @needs8
+@pytest.mark.slow
 def test_ring_attention_differentiable():
     mesh = cpu_test_mesh({"ctx": 4})
     q, k, v = make_qkv(1, 2, 256, 64, seed=4)

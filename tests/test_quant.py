@@ -139,6 +139,7 @@ def test_quantized_matmul_matches_dequantized():
     assert jnp.max(jnp.abs(quantized_matmul(x, w_q) - x @ w)) < 0.05
 
 
+@pytest.mark.slow
 def test_quantized_transformer_forward():
     from cuda_flash_attention_tpu.models import (
         TransformerConfig, forward, init_params,
