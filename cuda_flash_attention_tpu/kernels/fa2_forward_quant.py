@@ -246,7 +246,7 @@ def fa2_forward_quant_aligned(
 # ---------------------------------------------------------------------------
 
 
-def flash_attention_quantized_kv(
+def flash_attention_quantized_kv_with_lse(
     q,                      # [B, H, Sq, D]
     k_q: QuantizedTensor,   # values [B, H, Skv, D], scales [B, H, Skv, 1]
     v_q: QuantizedTensor,
@@ -258,12 +258,9 @@ def flash_attention_quantized_kv(
     compute_dtype=jnp.bfloat16,
     interpret=None,
 ):
-    """FA2 forward over a quantized KV cache (inference path; returns O).
-
-    `k_q`/`v_q` come from `quant.quantize_kv` (per-token scales).  HBM reads
-    of K/V are 1 byte per element; dequantization is fused into the kernel's
-    matmuls (see module docstring).
-    """
+    """Quantized-KV FA2 forward returning (O, logsumexp [B, H, Sq] fp32) —
+    the partial-attention form the quantized ring (parallel/ring.py) merges
+    across ring steps."""
     if sm_scale is None:
         sm_scale = 1.0 / (q.shape[-1] ** 0.5)
     q_len, kv_len = q.shape[2], k_q.values.shape[2]
@@ -275,14 +272,25 @@ def flash_attention_quantized_kv(
     k_scales = pad_to_block(k_q.scales.transpose(0, 1, 3, 2), 3, MIN_BLOCK)
     v_scales = pad_to_block(v_q.scales.transpose(0, 1, 3, 2), 3, MIN_BLOCK)
 
-    o, _ = fa2_forward_quant_aligned(
+    o, lse_col = fa2_forward_quant_aligned(
         q_pad, k_vals, k_scales, v_vals, v_scales,
         causal=causal, sm_scale=float(sm_scale),
         block_q=fit_block(block_q, q_pad.shape[2]),
         block_k=fit_block(block_k, k_vals.shape[2]),
         kv_len=kv_len, compute_dtype=compute_dtype, interpret=interpret,
     )
-    return o[:, :, :q_len, :]
+    return o[:, :, :q_len, :], lse_col[:, :, :q_len, 0]
+
+
+def flash_attention_quantized_kv(q, k_q, v_q, **kwargs):
+    """FA2 forward over a quantized KV cache (inference path; returns O).
+
+    `k_q`/`v_q` come from `quant.quantize_kv` (per-token scales).  HBM reads
+    of K/V are 1 byte per element; dequantization is fused into the kernel's
+    matmuls (see module docstring).
+    """
+    o, _ = flash_attention_quantized_kv_with_lse(q, k_q, v_q, **kwargs)
+    return o
 
 
 def flash_attention_int8_kv(q, k, v, **kwargs):

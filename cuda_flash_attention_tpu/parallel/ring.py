@@ -259,6 +259,117 @@ def ring_attention_local(
     )
 
 
+def _ring_quant_fwd_loop(q, k_q, v_q, *, axis_name, axis_size, causal,
+                         sm_scale, compute_dtype, interpret):
+    """Forward-only quantized-KV ring: the QUANTIZED blocks (values + scales)
+    rotate around the ring — 4x (int8/fp8 vs fp32) less ICI traffic per step
+    than the full-precision ring, the long-context serving configuration."""
+    from cuda_flash_attention_tpu.kernels.fa2_forward_quant import (
+        flash_attention_quantized_kv_with_lse,
+    )
+
+    idx = lax.axis_index(axis_name)
+    perm = [(i, (i + 1) % axis_size) for i in range(axis_size)]
+
+    def full_partial(args):
+        q, k_q, v_q = args
+        return flash_attention_quantized_kv_with_lse(
+            q, k_q, v_q, causal=False, sm_scale=sm_scale,
+            compute_dtype=compute_dtype, interpret=interpret,
+        )
+
+    def causal_partial(args):
+        q, k_q, v_q = args
+        return flash_attention_quantized_kv_with_lse(
+            q, k_q, v_q, causal=True, sm_scale=sm_scale,
+            compute_dtype=compute_dtype, interpret=interpret,
+        )
+
+    def skip_partial(args):
+        q, _, _ = args
+        return (
+            jnp.zeros(q.shape, jnp.float32),
+            jnp.full(q.shape[:-1], -jnp.inf, jnp.float32),
+        )
+
+    o_num = jnp.zeros(q.shape, jnp.float32)
+    l_den = jnp.zeros(q.shape[:-1], jnp.float32)
+    m_run = jnp.full(q.shape[:-1], -jnp.inf, jnp.float32)
+
+    kv = (k_q, v_q)
+    for step in range(axis_size):
+        if step < axis_size - 1:
+            kv_next = jax.tree.map(
+                lambda x: lax.ppermute(x, axis_name, perm), kv
+            )
+        else:
+            kv_next = None
+        src = (idx - step) % axis_size
+        if causal:
+            case = jnp.int32(1) + jnp.sign(idx - src)
+            o_i, lse_i = lax.switch(
+                case, [skip_partial, causal_partial, full_partial],
+                (q, kv[0], kv[1]),
+            )
+        else:
+            o_i, lse_i = full_partial((q, kv[0], kv[1]))
+        o_num, l_den, m_run = _merge_partial(
+            o_num, l_den, m_run, o_i.astype(jnp.float32), lse_i
+        )
+        if kv_next is not None:
+            kv = kv_next
+
+    l_safe = jnp.where(l_den == 0.0, 1.0, l_den)
+    return (o_num / l_safe[..., None]).astype(q.dtype)
+
+
+def ring_attention_quantized(
+    mesh,
+    q, k, v,  # global [B, H, S, D], sequence sharded over the ctx axis
+    *,
+    kv_dtype=None,  # int8 (default) / float8_e4m3fn / float8_e5m2
+    causal: bool = False,
+    sm_scale: float | None = None,
+    compute_dtype=jnp.bfloat16,
+    ctx_axis: str = CTX_AXIS,
+    data_axis: str = DATA_AXIS,
+    model_axis: str = MODEL_AXIS,
+):
+    """Sequence-parallel attention with QUANTIZED K/V blocks rotating over
+    the ctx axis (inference/serving path — not differentiable; training uses
+    `ring_attention`).  Each device quantizes its local K/V shard once
+    (per-token scales), then values+scales ppermute around the ring while
+    the quantized-KV kernel (fused dequant) consumes the block in front of
+    it.  ICI traffic per step drops by K/V's quantization ratio."""
+    from cuda_flash_attention_tpu.parallel.sharded import mesh_interpret_default
+    from cuda_flash_attention_tpu.quant.qtensor import quantize_kv
+
+    if kv_dtype is None:
+        kv_dtype = jnp.int8
+    if sm_scale is None:
+        sm_scale = 1.0 / (q.shape[-1] ** 0.5)
+    interpret = mesh_interpret_default(mesh)
+    axis_size = mesh.shape[ctx_axis]
+    data = data_axis if data_axis in mesh.axis_names else None
+    model = model_axis if model_axis in mesh.axis_names else None
+    spec = P(data, model, ctx_axis, None)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(spec, spec, spec), out_specs=spec,
+        check_vma=False,
+    )
+    def _local(q, k, v):
+        k_q, v_q = quantize_kv(k, v, kv_dtype)
+        return _ring_quant_fwd_loop(
+            q, k_q, v_q, axis_name=ctx_axis, axis_size=axis_size,
+            causal=causal, sm_scale=float(sm_scale),
+            compute_dtype=compute_dtype, interpret=interpret,
+        )
+
+    return _local(q, k, v)
+
+
 def ring_attention(
     mesh,
     q, k, v,  # global [B, H, S, D], sequence sharded over the ctx axis

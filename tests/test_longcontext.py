@@ -8,6 +8,11 @@ import numpy as np
 import pytest
 
 from cuda_flash_attention_tpu.kernels.attention import flash_attention
+from cuda_flash_attention_tpu.ops.metrics import compute_metrics
+
+cpu_count = len(jax.devices("cpu"))
+needs8 = pytest.mark.skipif(cpu_count < 8, reason="needs 8 virtual CPU devices")
+
 from cuda_flash_attention_tpu.ops.reference import (
     vanilla_attention,
     vanilla_attention_chunked,
@@ -33,3 +38,35 @@ def test_fa2_long_context_8k():
     err = float(jnp.max(jnp.abs(o - o_ref)))
     assert err < 1e-5, err
     assert not bool(jnp.any(jnp.isnan(o)))
+
+
+@needs8
+def test_quantized_ring_matches_fp32_ring():
+    """int8-KV ring attention (serving path) tracks the full-precision ring
+    within the int8 quantization budget."""
+    from cuda_flash_attention_tpu.parallel import ring_attention_quantized
+    from cuda_flash_attention_tpu.parallel.mesh import cpu_test_mesh
+
+    mesh = cpu_test_mesh({"ctx": 4})
+    ks = jax.random.split(jax.random.PRNGKey(11), 3)
+    q, k, v = (jax.random.normal(kk, (1, 2, 512, 64), jnp.float32) for kk in ks)
+    ref = vanilla_attention(q, k, v, causal=True)
+    o = ring_attention_quantized(mesh, q, k, v, causal=True)
+    m = compute_metrics(o, ref)
+    assert m.passes(5e-2), m
+
+
+@needs8
+def test_quantized_ring_fp8():
+    from cuda_flash_attention_tpu.parallel import ring_attention_quantized
+    from cuda_flash_attention_tpu.parallel.mesh import cpu_test_mesh
+
+    mesh = cpu_test_mesh({"ctx": 4})
+    ks = jax.random.split(jax.random.PRNGKey(12), 3)
+    q, k, v = (jax.random.normal(kk, (1, 2, 512, 64), jnp.float32) for kk in ks)
+    ref = vanilla_attention(q, k, v)
+    o = ring_attention_quantized(
+        mesh, q, k, v, kv_dtype=jnp.float8_e4m3fn
+    )
+    m = compute_metrics(o, ref)
+    assert m.passes(8e-2), m
