@@ -146,6 +146,75 @@ def dataclass_summary(cfg: TransformerConfig) -> str:
             f"kv{cfg.n_kv_heads}_ff{cfg.d_ff}")
 
 
+def measure_engine_throughput(
+    cfg: TransformerConfig,
+    batch: int = 16,
+    prompt_len: int = 128,
+    gen_tokens: int = 64,
+    cache_dtype=jnp.int8,
+    mesh=None,
+) -> dict:
+    """END-TO-END engine tokens/sec including the host scheduler (admission,
+    page allocation, retire) — the number a serving deployment sees; the
+    device-loop measurement above is its upper bound.  With sampling fused
+    into the device step, each engine step costs exactly one sampled-token
+    readback."""
+    from cuda_flash_attention_tpu.decode.engine import DecodeEngine
+    from cuda_flash_attention_tpu.models.transformer import init_params
+
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    max_len = prompt_len + gen_tokens + 1
+    eng = DecodeEngine(
+        params, cfg, max_seqs=batch, max_seq_len=max_len,
+        cache_dtype=cache_dtype, mesh=mesh,
+    )
+    prompts = np.random.default_rng(0).integers(
+        0, cfg.vocab_size, (batch, prompt_len)
+    ).tolist()
+    reqs = eng.submit_many(prompts, max_new_tokens=gen_tokens)
+    eng.step()  # first decode step compiles
+    tokens_before = sum(len(r.generated) for r in reqs)
+    t0 = time.perf_counter()
+    steps = 0
+    while any(eng.active):
+        eng.step()
+        steps += 1
+    dt = time.perf_counter() - t0
+    timed_tokens = sum(len(r.generated) for r in reqs) - tokens_before
+    return {
+        "engine_tokens_per_sec": timed_tokens / dt,
+        "engine_step_ms": dt / max(steps, 1) * 1e3,
+        "steps": steps,
+        "timed_tokens": timed_tokens,
+        "cache_dtype": str(jnp.dtype(cache_dtype)),
+        "tp": 1 if mesh is None else int(np.prod(list(mesh.shape.values()))),
+    }
+
+
+def tp_decode_dryrun(cfg: TransformerConfig, tp: int = 2, batch: int = 4,
+                     gen_tokens: int = 4) -> dict:
+    """TP serving dry-run on the virtual CPU fabric: the full DecodeEngine
+    with KV pages + heads sharded over the 'model' axis executes a short
+    generation — proves the multi-chip decode path compiles and runs
+    (throughput is meaningless on the CPU mesh; the driver validates the
+    path, real slices measure it)."""
+    from cuda_flash_attention_tpu.parallel.mesh import cpu_test_mesh
+
+    if len(jax.devices("cpu")) < tp:
+        raise RuntimeError(
+            f"tp={tp} dry-run needs {tp} virtual CPU devices: export "
+            f"XLA_FLAGS=--xla_force_host_platform_device_count={tp} before "
+            f"starting Python (pytest's conftest.py does this)"
+        )
+    mesh = cpu_test_mesh({"model": tp})
+    out = measure_engine_throughput(
+        cfg, batch=batch, prompt_len=128, gen_tokens=gen_tokens,
+        cache_dtype=jnp.int8, mesh=mesh,
+    )
+    out["dryrun"] = True
+    return out
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=16)
@@ -155,6 +224,12 @@ def main():
                    choices=["int8", "float8_e4m3fn", "bfloat16", "float32"])
     p.add_argument("--flagship", action="store_true",
                    help="use the flagship config instead of the bench default")
+    p.add_argument("--engine", action="store_true",
+                   help="measure END-TO-END engine throughput (host "
+                        "scheduler included) instead of the device loop")
+    p.add_argument("--tp-dryrun", type=int, default=0, metavar="TP",
+                   help="run the tensor-parallel decode path on a TP-way "
+                        "virtual CPU mesh (validation, not a speed number)")
     args = p.parse_args()
 
     cfg = (
@@ -165,10 +240,18 @@ def main():
         if args.flagship
         else TransformerConfig.tiny()
     )
-    out = measure_decode_throughput(
-        cfg, batch=args.batch, prompt_len=args.prompt_len,
-        gen_tokens=args.gen, cache_dtype=jnp.dtype(args.cache_dtype),
-    )
+    if args.tp_dryrun:
+        out = tp_decode_dryrun(cfg, tp=args.tp_dryrun, batch=args.batch)
+    elif args.engine:
+        out = measure_engine_throughput(
+            cfg, batch=args.batch, prompt_len=args.prompt_len,
+            gen_tokens=args.gen, cache_dtype=jnp.dtype(args.cache_dtype),
+        )
+    else:
+        out = measure_decode_throughput(
+            cfg, batch=args.batch, prompt_len=args.prompt_len,
+            gen_tokens=args.gen, cache_dtype=jnp.dtype(args.cache_dtype),
+        )
     print(json.dumps(out))
 
 
