@@ -158,7 +158,13 @@ def measure_engine_throughput(
     page allocation, retire) — the number a serving deployment sees; the
     device-loop measurement above is its upper bound.  With sampling fused
     into the device step, each engine step costs exactly one sampled-token
-    readback."""
+    readback.
+
+    CAVEAT: on a TUNNELED PJRT backend (the axon dev environment) every
+    dispatch pays a ~30-60 ms network round trip, so this wall measurement
+    reflects tunnel latency, not scheduler cost — use the device-loop slope
+    measurement there; on locally-attached chips the readback is sub-ms and
+    this number is the honest serving throughput."""
     from cuda_flash_attention_tpu.decode.engine import DecodeEngine
     from cuda_flash_attention_tpu.models.transformer import init_params
 

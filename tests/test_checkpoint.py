@@ -5,6 +5,7 @@ O.bin/logsumexp.bin forward-artifact reload, src/main.cpp:66-81)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from cuda_flash_attention_tpu.models import (
     TransformerConfig,
@@ -18,6 +19,7 @@ from cuda_flash_attention_tpu.utils.checkpoint import (
 )
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path):
     cfg = TransformerConfig.tiny()
     params = init_params(jax.random.PRNGKey(0), cfg)

@@ -15,6 +15,7 @@ from cuda_flash_attention_tpu.utils.io import (
 )
 
 
+@pytest.mark.quick
 def test_parse_config_string():
     assert parse_config_string("data/B2_H8_S512_D64") == (2, 8, 512, 64)
     assert parse_config_string("/x/y/B1_H1_S100_D32/") == (1, 1, 100, 32)
@@ -22,6 +23,7 @@ def test_parse_config_string():
         parse_config_string("data/batch2_h8")
 
 
+@pytest.mark.quick
 def test_binary_roundtrip(tmp_path):
     x = np.random.default_rng(0).standard_normal((2, 3, 4, 5)).astype(np.float32)
     p = tmp_path / "t.bin"

@@ -44,6 +44,7 @@ def _dequant_cache(pages, page_table, length, slot, n_kv_heads, head_dim):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.quick
 def test_page_allocator_reuse():
     alloc = PageAllocator(8)
     a = alloc.alloc(3)
@@ -88,6 +89,7 @@ def test_write_then_append_roundtrip(dtype):
     assert np.max(np.abs(v_got - v_want)) < tol
 
 
+@pytest.mark.slow
 def test_append_inactive_slot_is_noop():
     hkv, d = 1, 64
     pages = init_kv_pages(hkv, 4, PAGE, d, jnp.float32)
@@ -112,7 +114,7 @@ def test_append_inactive_slot_is_noop():
 @pytest.mark.parametrize("dtype,tol", [
     (jnp.float32, 2e-5), (jnp.int8, 0.05),
 ])
-@pytest.mark.parametrize("group", [1, 4])
+@pytest.mark.parametrize("group", [pytest.param(1, marks=pytest.mark.slow), 4])
 def test_paged_decode_matches_oracle(dtype, tol, group):
     """Decode over scattered pages with ragged lengths == dense attention of
     one query against the per-slot prefix."""
@@ -281,6 +283,7 @@ def test_top_p_sampling_respects_nucleus():
     assert len(seen) >= 3
 
 
+@pytest.mark.slow
 def test_engine_with_int8_weights():
     """Weight-only int8 serving: quantized params flow through the same
     engine (prefill + decode) and generate valid tokens."""

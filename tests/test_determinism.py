@@ -66,6 +66,7 @@ def test_split_backward_bitwise_deterministic(tile_dtype):
         np.testing.assert_array_equal(x, y, err_msg=f"{name} not bitwise equal")
 
 
+@pytest.mark.quick
 def test_forward_bitwise_deterministic():
     q, k, v = _qkv()
     fn = jax.jit(

@@ -22,6 +22,7 @@ def test_initialize_distributed_single_process_noop():
 
 
 @needs8
+@pytest.mark.quick
 def test_hybrid_mesh_single_process_fallback():
     devices = jax.devices("cpu")[:8]
     mesh = make_hybrid_mesh(
@@ -31,6 +32,7 @@ def test_hybrid_mesh_single_process_fallback():
 
 
 @needs8
+@pytest.mark.quick
 def test_two_host_serving_mesh_virtual():
     devices = jax.devices("cpu")[:8]
     mesh = two_host_serving_mesh(4, devices=devices)

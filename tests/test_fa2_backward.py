@@ -82,6 +82,7 @@ def test_backward_from_reference_forward_artifacts():
     assert compute_metrics(dv, dv_ref).passes(1e-3)
 
 
+@pytest.mark.quick
 def test_custom_do():
     q, k, v = make_qkv(1, 2, 128, 64, seed=3)
     do = jax.random.normal(jax.random.PRNGKey(9), q.shape)

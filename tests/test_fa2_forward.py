@@ -50,6 +50,7 @@ def test_forward_matches_oracle(name, b, h, s, d, causal):
     assert lse_m.passes(1e-3), f"{name} lse: {lse_m}"
 
 
+@pytest.mark.quick
 def test_forward_differentiable_entry_matches():
     q, k, v = make_qkv(2, 4, 384, 64)
     o = flash_attention(q, k, v)

@@ -65,6 +65,7 @@ def test_gqa_grads_match_repeated_oracle(causal):
         assert err < 5e-4, f"{name}: {err}"
 
 
+@pytest.mark.quick
 def test_gqa_ragged_seq():
     q, k, v = _qkv(4, 2, s=100)  # non-block-multiple
     o = flash_attention(q, k, v, causal=True)

@@ -28,6 +28,7 @@ def test_chunked_oracle_matches_materialized(causal):
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=2e-6)
 
 
+@pytest.mark.slow
 def test_fa2_long_context_8k():
     ks = jax.random.split(jax.random.PRNGKey(1), 3)
     q, k, v = (

@@ -42,6 +42,7 @@ def test_head_parallel_matches_single_device():
 
 
 @needs8
+@pytest.mark.slow
 def test_head_parallel_grads():
     mesh = cpu_test_mesh({"data": 2, "model": 4})
     q, k, v = make_qkv(2, 4, 128, 64, seed=3)
@@ -59,7 +60,10 @@ def test_head_parallel_grads():
 
 
 @needs8
-@pytest.mark.parametrize("causal", [False, True], ids=["full", "causal"])
+@pytest.mark.parametrize("causal", [
+    pytest.param(False, marks=pytest.mark.slow, id="full"),
+    pytest.param(True, id="causal"),
+])
 def test_ring_attention_matches_oracle(causal):
     mesh = cpu_test_mesh({"ctx": 4})
     q, k, v = make_qkv(1, 2, 512, 64, seed=1)
@@ -70,6 +74,7 @@ def test_ring_attention_matches_oracle(causal):
 
 
 @needs8
+@pytest.mark.slow
 def test_ring_attention_2d_mesh_with_heads():
     # ctx x model 2D parallelism: 4-way sequence, 2-way heads.
     mesh = cpu_test_mesh({"model": 2, "ctx": 4})

@@ -42,6 +42,7 @@ def _qkv(b=2, h=2, s=256, d=64, seed=0):
 
 
 @pytest.mark.parametrize("dtype", [jnp.int8, jnp.float8_e4m3fn])
+@pytest.mark.quick
 def test_quantize_roundtrip(dtype):
     x = jax.random.normal(jax.random.PRNGKey(1), (64, 128), jnp.float32)
     qt = quantize(x, dtype, axis=-1)
@@ -122,6 +123,7 @@ def test_quant_kernel_ragged_and_causal():
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_quantized_matmul_matches_dequantized():
     key = jax.random.PRNGKey(3)
     x = jax.random.normal(key, (16, 256), jnp.float32)

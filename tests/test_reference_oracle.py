@@ -1,5 +1,6 @@
 """Sanity checks for the pure-JAX oracle itself."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -10,6 +11,7 @@ from cuda_flash_attention_tpu.ops.reference import (
 )
 
 
+@pytest.mark.quick
 def test_oracle_matches_naive_numpy():
     rng = np.random.default_rng(0)
     b, h, s, d = 1, 2, 64, 32

@@ -118,6 +118,7 @@ def test_fully_masked_padding_rows_are_zero():
     np.testing.assert_array_equal(np.asarray(dk[0, 0, 100:]), 0.0)
 
 
+@pytest.mark.quick
 def test_segments_xla_path():
     """Small fp32 shapes route to the XLA path; segments must work there too."""
     q, k, v = _qkv(b=1, h=1, s=128)
@@ -128,6 +129,7 @@ def test_segments_xla_path():
                                atol=1e-6)
 
 
+@pytest.mark.quick
 def test_segment_validation():
     q, k, v = _qkv(s=128)
     seg = _segments(2, 128)

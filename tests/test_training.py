@@ -52,6 +52,7 @@ def test_train_loop_checkpoints(tmp_path):
     assert int(restored["step"]) == 3
 
 
+@pytest.mark.slow
 def test_optax_step_sharded_matches_single():
     """The same step on a DP×TP mesh must match the unsharded step."""
     devices = jax.devices("cpu")
