@@ -40,7 +40,6 @@ from cuda_flash_attention_tpu.decode.kv_cache import KVPages
 from cuda_flash_attention_tpu.kernels.common import (
     DEFAULT_MASK_VALUE,
     NUM_LANES,
-    TRANS_B_DIMS,
     matmul_precision,
     resolve_interpret,
     storage_cast,

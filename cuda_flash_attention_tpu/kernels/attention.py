@@ -22,7 +22,6 @@ import jax.numpy as jnp
 
 from cuda_flash_attention_tpu.kernels.common import (
     MIN_BLOCK,
-    NUM_LANES,
     BlockSizes,
     pad_to_block,
     round_up,
