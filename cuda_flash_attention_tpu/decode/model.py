@@ -20,6 +20,7 @@ from cuda_flash_attention_tpu.decode.attention import paged_decode_attention
 from cuda_flash_attention_tpu.decode.kv_cache import KVPages, append_token_kv
 from cuda_flash_attention_tpu.models.transformer import (
     TransformerConfig,
+    ffn_block,
     gqa_flash_attention,
     rms_norm,
     rope,
@@ -50,10 +51,7 @@ def prefill_forward(params, tokens, cfg: TransformerConfig, mesh=None):
         )
         o = o.transpose(0, 2, 1, 3).reshape(b, s, cfg.q_dim)
         x = x + dense(o, layer["wo"])
-        h2 = rms_norm(x, layer["mlp_norm"])
-        gate = jax.nn.silu(dense(h2, layer["w_gate"]))
-        up = dense(h2, layer["w_up"])
-        x = x + dense(gate * up, layer["w_down"]).astype(x.dtype)
+        x, _ = ffn_block(x, layer, cfg, mesh)  # dense or MoE (aux unused)
     x = rms_norm(x, params["final_norm"])
     logits = dense(x, params["lm_head"]).astype(jnp.float32)
     return logits, kv_out
@@ -109,10 +107,7 @@ def decode_step(
                 interpret=interpret,
             )  # [n, Hq, D]
         x = x + dense(o.reshape(n, cfg.q_dim), layer["wo"])
-        h2 = rms_norm(x, layer["mlp_norm"])
-        gate = jax.nn.silu(dense(h2, layer["w_gate"]))
-        up = dense(h2, layer["w_up"])
-        x = x + dense(gate * up, layer["w_down"]).astype(x.dtype)
+        x, _ = ffn_block(x, layer, cfg, mesh)  # dense or MoE (aux unused)
     x = rms_norm(x, params["final_norm"])
     logits = dense(x, params["lm_head"]).astype(jnp.float32)
     return logits, new_caches

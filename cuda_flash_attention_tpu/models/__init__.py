@@ -1,5 +1,6 @@
 from cuda_flash_attention_tpu.models.transformer import (  # noqa: F401
     TransformerConfig,
+    ffn_block,
     init_params,
     init_opt_state,
     forward,
@@ -7,6 +8,16 @@ from cuda_flash_attention_tpu.models.transformer import (  # noqa: F401
     make_train_step,
     gqa_flash_attention,
     param_shardings,
+)
+from cuda_flash_attention_tpu.models.moe import (  # noqa: F401
+    init_moe_layer,
+    moe_ffn,
+)
+from cuda_flash_attention_tpu.models.pipeline import (  # noqa: F401
+    make_pp_loss_fn,
+    make_pp_train_step,
+    pipeline_param_shardings,
+    stack_pipeline_params,
 )
 from cuda_flash_attention_tpu.models.training import (  # noqa: F401
     TrainState,

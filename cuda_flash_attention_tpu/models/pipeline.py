@@ -1,0 +1,221 @@
+"""Pipeline parallelism (PP): GPipe microbatching over the "pipe" mesh axis.
+
+No reference counterpart (single-GPU kernel library, SURVEY.md §2); this is
+the PP member of the parallelism set (DP/TP/SP/EP/PP).  TPU-first design:
+
+  * layers are STACKED into [n_stages, layers_per_stage, ...] pytrees and
+    sharded over "pipe" — each device holds one contiguous stage.
+  * the schedule is a `lax.scan` over T = n_micro + n_stages - 1 ticks
+    inside a shard_map: every tick each stage applies its layers to the
+    activation in front of it, then a single `lax.ppermute` shifts
+    activations one stage down the line (the truncated permutation delivers
+    zeros into stage 0's buffer — exactly the "no predecessor" semantics,
+    no special-casing).
+  * backward: `jax.grad` differentiates straight through the scan+ppermute,
+    yielding the reversed-schedule backward pipeline automatically — and it
+    stays deterministic by construction like the rest of the framework.
+
+Tick work that does not belong to a stage (embed on stage>0, head on
+stage<S-1) is computed-and-masked rather than branched — the SPMD program
+stays identical on every device, which keeps XLA's collectives matched.
+The waste is one embed+head per tick; the pipeline bubble is the usual
+(S-1)/(M+S-1) fraction.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from cuda_flash_attention_tpu.models.transformer import (
+    TransformerConfig,
+    _attention_block,
+    _dense,
+    ffn_block,
+    rms_norm,
+)
+from cuda_flash_attention_tpu.parallel.mesh import PIPE_AXIS
+
+
+def stack_pipeline_params(params, n_stages: int):
+    """Rearrange a flagship param pytree for PP: the per-layer dicts stack
+    into [n_stages, layers_per_stage, ...] leaves (requires homogeneous
+    layers — use n_experts=0 or moe_every=1 so every layer has the same
+    param structure)."""
+    layers = params["layers"]
+    n_layers = len(layers)
+    if n_layers % n_stages:
+        raise ValueError(f"{n_layers} layers do not split into {n_stages} stages")
+    keys = set(layers[0].keys())
+    for l in layers[1:]:
+        if set(l.keys()) != keys:
+            raise ValueError(
+                "pipeline stages need homogeneous layers (same param keys); "
+                "use moe_every=1 or n_experts=0"
+            )
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+    stacked = jax.tree.map(
+        lambda x: x.reshape(n_stages, n_layers // n_stages, *x.shape[1:]),
+        stacked,
+    )
+    return {
+        "embed": params["embed"],
+        "stages": stacked,
+        "final_norm": params["final_norm"],
+        "lm_head": params["lm_head"],
+    }
+
+
+def pipeline_param_shardings(mesh, pp_params):
+    """NamedShardings for a stacked pipeline pytree: stage dim over "pipe",
+    everything else replicated (compose TP by extending these specs)."""
+    def rep(x):
+        return NamedSharding(mesh, P(*([None] * x.ndim)))
+
+    return {
+        "embed": rep(pp_params["embed"]),
+        "stages": jax.tree.map(
+            lambda x: NamedSharding(mesh, P(PIPE_AXIS, *([None] * (x.ndim - 1)))),
+            pp_params["stages"],
+        ),
+        "final_norm": rep(pp_params["final_norm"]),
+        "lm_head": rep(pp_params["lm_head"]),
+    }
+
+
+def _stage_apply(x, stage_layers, positions, cfg, interpret):
+    """Apply this stage's stacked layers (scan over the layer dim)."""
+
+    def body(x, layer):
+        x = _attention_block(x, layer, positions, cfg, None,
+                             interpret=interpret)
+        x, _ = ffn_block(x, layer, cfg, None)
+        return x, None
+
+    x, _ = lax.scan(body, x, stage_layers)
+    return x
+
+
+def make_pipeline_nll(cfg: TransformerConfig, mesh, n_stages: int,
+                      n_micro: int):
+    """Returns nll(pp_params, tokens [B, S]) -> per-token next-token NLL
+    [n_micro, B/n_micro, S] (last column zero-padded), computed by the
+    GPipe schedule over mesh's "pipe" axis."""
+    if mesh.shape[PIPE_AXIS] != n_stages:
+        raise ValueError(
+            f"mesh pipe axis {mesh.shape[PIPE_AXIS]} != n_stages {n_stages}"
+        )
+    shift = [(i, i + 1) for i in range(n_stages - 1)]
+    from cuda_flash_attention_tpu.parallel.sharded import mesh_interpret_default
+
+    interpret = mesh_interpret_default(mesh)
+
+    stage_specs_fn = lambda tree: jax.tree.map(  # noqa: E731
+        lambda _: P(PIPE_AXIS), tree
+    )
+
+    def nll_fn(pp_params, tokens):
+        b, s = tokens.shape
+        if b % n_micro:
+            raise ValueError(f"batch {b} must divide into {n_micro} microbatches")
+        mb = b // n_micro
+        micro = tokens.reshape(n_micro, mb, s)
+        positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (mb, s))
+
+        @functools.partial(
+            jax.shard_map, mesh=mesh,
+            in_specs=(
+                stage_specs_fn(pp_params["stages"]),
+                P(), P(), P(), P(), P(),
+            ),
+            out_specs=P(),
+            check_vma=False,
+        )
+        def _pp(stages_local, embed, final_norm, lm_head, micro, positions):
+            # stages_local leaves: [1, layers_per_stage, ...] -> squeeze.
+            stage_layers = jax.tree.map(lambda x: x[0], stages_local)
+            stage = lax.axis_index(PIPE_AXIS)
+            is_first = stage == 0
+            is_last = stage == n_stages - 1
+
+            t_total = n_micro + n_stages - 1
+            buf0 = jnp.zeros((mb, s, cfg.d_model), cfg.dtype)
+            outs0 = jnp.zeros((n_micro, mb, s), jnp.float32)
+
+            def tick(carry, t):
+                buf, outs = carry
+                m_idx = jnp.clip(t, 0, n_micro - 1)
+                mtok = lax.dynamic_index_in_dim(micro, m_idx, 0, False)
+                x0 = embed.astype(cfg.dtype)[mtok]
+                x_in = jnp.where(is_first, x0, buf)
+                y = _stage_apply(x_in, stage_layers, positions, cfg, interpret)
+
+                # The last stage finalizes microbatch t - (n_stages - 1)
+                # once the pipe is full: reduce to per-token NLL right here
+                # so the carry never holds [.., vocab] logits.
+                h = rms_norm(y, final_norm)
+                logits = _dense(h, lm_head).astype(jnp.float32)
+                out_idx = jnp.clip(t - (n_stages - 1), 0, n_micro - 1)
+                otok = lax.dynamic_index_in_dim(micro, out_idx, 0, False)
+                logp = jax.nn.log_softmax(logits[:, :-1], axis=-1)
+                nll = -jnp.take_along_axis(
+                    logp, otok[:, 1:, None], axis=-1
+                )[..., 0]  # [mb, s-1]
+                nll = jnp.pad(nll, ((0, 0), (0, 1)))
+                valid = is_last & (t >= n_stages - 1)
+                prev = lax.dynamic_index_in_dim(outs, out_idx, 0, False)
+                outs = lax.dynamic_update_index_in_dim(
+                    outs, jnp.where(valid, nll, prev), out_idx, 0
+                )
+                buf = lax.ppermute(y, PIPE_AXIS, shift)
+                return (buf, outs), None
+
+            (_, outs), _ = lax.scan(tick, (buf0, outs0), jnp.arange(t_total))
+            # Only the last stage holds real NLLs; psum replicates them.
+            outs = jnp.where(is_last, outs, 0.0)
+            return lax.psum(outs, PIPE_AXIS)
+
+        return _pp(
+            pp_params["stages"], pp_params["embed"],
+            pp_params["final_norm"], pp_params["lm_head"], micro, positions,
+        )
+
+    return nll_fn
+
+
+def make_pp_loss_fn(cfg: TransformerConfig, mesh, n_stages: int,
+                    n_micro: int):
+    """loss(pp_params, tokens) — mean next-token NLL over all microbatches;
+    matches models.loss_fn's value for the same (unstacked) params."""
+    nll_fn = make_pipeline_nll(cfg, mesh, n_stages, n_micro)
+
+    def loss(pp_params, tokens):
+        nll = nll_fn(pp_params, tokens)  # [n_micro, mb, s]
+        s = tokens.shape[1]
+        return jnp.sum(nll) / (nll.shape[0] * nll.shape[1] * (s - 1))
+
+    return loss
+
+
+def make_pp_train_step(cfg: TransformerConfig, mesh, n_stages: int,
+                       n_micro: int, learning_rate: float = 1e-3):
+    """SGD-momentum train step over stacked pipeline params (grads flow
+    through the scan+ppermute schedule — the backward pipeline)."""
+    loss_fn = make_pp_loss_fn(cfg, mesh, n_stages, n_micro)
+
+    def step(pp_params, opt_state, tokens):
+        loss, grads = jax.value_and_grad(loss_fn)(pp_params, tokens)
+        new_opt = jax.tree.map(
+            lambda m, g: 0.9 * m + g.astype(jnp.float32), opt_state, grads
+        )
+        new_params = jax.tree.map(
+            lambda p, m: (p - learning_rate * m).astype(p.dtype),
+            pp_params, new_opt,
+        )
+        return new_params, new_opt, loss
+
+    return step

@@ -50,9 +50,20 @@ class TransformerConfig:
     dtype: jnp.dtype = jnp.bfloat16       # activation dtype
     param_dtype: jnp.dtype = jnp.float32
     attn_tile_dtype: jnp.dtype | None = jnp.bfloat16  # kernel tile precision
+    # Mixture-of-Experts (models/moe.py): n_experts=0 keeps every layer's
+    # dense SwiGLU; n_experts>0 replaces the MLP of every `moe_every`-th
+    # layer (odd layers with moe_every=2, the standard interleave).
+    n_experts: int = 0
+    expert_top_k: int = 2
+    capacity_factor: float = 1.25
+    moe_every: int = 2
+    router_aux_coef: float = 0.01
 
     def __post_init__(self):
         assert self.n_heads % self.n_kv_heads == 0
+
+    def is_moe_layer(self, i: int) -> bool:
+        return self.n_experts > 0 and i % self.moe_every == self.moe_every - 1
 
     @property
     def q_dim(self) -> int:
@@ -68,6 +79,14 @@ class TransformerConfig:
         return cls(
             vocab_size=256, d_model=128, n_layers=2, n_heads=4, n_kv_heads=2,
             head_dim=64, d_ff=256,
+        )
+
+    @classmethod
+    def tiny_moe(cls, n_experts: int = 4) -> "TransformerConfig":
+        """Tiny MoE config (layer 1 is MoE) for EP dry runs and tests."""
+        return cls(
+            vocab_size=256, d_model=128, n_layers=2, n_heads=4, n_kv_heads=2,
+            head_dim=64, d_ff=256, n_experts=n_experts,
         )
 
 
@@ -87,18 +106,26 @@ def init_params(key, cfg: TransformerConfig):
     keys = jax.random.split(key, cfg.n_layers + 3)
     layers = []
     for i in range(cfg.n_layers):
-        ks = jax.random.split(keys[i], 7)
-        layers.append({
+        ks = jax.random.split(keys[i], 8)
+        layer = {
             "attn_norm": jnp.ones((cfg.d_model,), cfg.param_dtype),
             "wq": dense(ks[0], (cfg.d_model, cfg.q_dim)),
             "wk": dense(ks[1], (cfg.d_model, cfg.kv_dim)),
             "wv": dense(ks[2], (cfg.d_model, cfg.kv_dim)),
             "wo": dense(ks[3], (cfg.q_dim, cfg.d_model)),
-            "mlp_norm": jnp.ones((cfg.d_model,), cfg.param_dtype),
-            "w_gate": dense(ks[4], (cfg.d_model, cfg.d_ff)),
-            "w_up": dense(ks[5], (cfg.d_model, cfg.d_ff)),
-            "w_down": dense(ks[6], (cfg.d_ff, cfg.d_model)),
-        })
+        }
+        if cfg.is_moe_layer(i):
+            from cuda_flash_attention_tpu.models.moe import init_moe_layer
+
+            layer.update(init_moe_layer(ks[7], cfg))
+        else:
+            layer.update({
+                "mlp_norm": jnp.ones((cfg.d_model,), cfg.param_dtype),
+                "w_gate": dense(ks[4], (cfg.d_model, cfg.d_ff)),
+                "w_up": dense(ks[5], (cfg.d_model, cfg.d_ff)),
+                "w_down": dense(ks[6], (cfg.d_ff, cfg.d_model)),
+            })
+        layers.append(layer)
     return {
         "embed": dense(keys[-3], (cfg.vocab_size, cfg.d_model), scale=1.0),
         "layers": layers,
@@ -115,20 +142,32 @@ def param_shardings(mesh, cfg: TransformerConfig):
     def ns(spec):
         return NamedSharding(mesh, spec)
 
-    layer = {
+    attn = {
         "attn_norm": ns(P(None)),
         "wq": ns(P(None, model)),
         "wk": ns(P(None, model)),
         "wv": ns(P(None, model)),
         "wo": ns(P(model, None)),
+    }
+    dense_mlp = {
         "mlp_norm": ns(P(None)),
         "w_gate": ns(P(None, model)),
         "w_up": ns(P(None, model)),
         "w_down": ns(P(model, None)),
     }
+    layers = []
+    for i in range(cfg.n_layers):
+        layer = dict(attn)
+        if cfg.is_moe_layer(i):
+            from cuda_flash_attention_tpu.models.moe import moe_layer_shardings
+
+            layer.update(moe_layer_shardings(mesh, cfg))
+        else:
+            layer.update(dense_mlp)
+        layers.append(layer)
     return {
         "embed": ns(P(None, None)),
-        "layers": [dict(layer) for _ in range(cfg.n_layers)],
+        "layers": layers,
         "final_norm": ns(P(None)),
         "lm_head": ns(P(None, model)),
     }
@@ -140,8 +179,12 @@ def param_shardings(mesh, cfg: TransformerConfig):
 
 
 def rms_norm(x, scale, eps: float = 1e-6):
+    """Statistics in fp32; output in x's dtype (the fp32 scale param must
+    not silently promote the bf16 residual stream — it would turn every
+    downstream op fp32, including pipeline-stage carries)."""
     var = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
-    return (x.astype(jnp.float32) * jax.lax.rsqrt(var + eps)).astype(x.dtype) * scale
+    normed = x.astype(jnp.float32) * jax.lax.rsqrt(var + eps)
+    return (normed * scale.astype(jnp.float32)).astype(x.dtype)
 
 
 def rope(x, positions, theta: float):
@@ -162,7 +205,7 @@ def rope(x, positions, theta: float):
 
 
 def gqa_flash_attention(q, k, v, *, cfg: TransformerConfig, mesh=None,
-                        causal: bool = True):
+                        causal: bool = True, interpret=None):
     """Grouped-query attention over the FA2 kernel.
 
     q: [B, Hq, S, D]; k/v: [B, Hkv, S, D].  GQA is kernel-native: the FA2
@@ -181,13 +224,15 @@ def gqa_flash_attention(q, k, v, *, cfg: TransformerConfig, mesh=None,
             k = jnp.repeat(k, groups, axis=1)
             v = jnp.repeat(v, groups, axis=1)
     if mesh is None:
-        return flash_attention(q, k, v, causal=causal, tile_dtype=tile)
+        return flash_attention(q, k, v, causal=causal, tile_dtype=tile,
+                               interpret=interpret)
     if CTX_AXIS in mesh.axis_names and mesh.shape[CTX_AXIS] > 1:
         return ring_attention(mesh, q, k, v, causal=causal, tile_dtype=tile)
     return head_parallel_attention(mesh, q, k, v, causal=causal, tile_dtype=tile)
 
 
-def _attention_block(x, layer, positions, cfg: TransformerConfig, mesh):
+def _attention_block(x, layer, positions, cfg: TransformerConfig, mesh,
+                     interpret=None):
     b, s, _ = x.shape
     h = rms_norm(x, layer["attn_norm"])
     q = _dense(h, layer["wq"]).reshape(b, s, cfg.n_heads, cfg.head_dim)
@@ -196,16 +241,25 @@ def _attention_block(x, layer, positions, cfg: TransformerConfig, mesh):
     q = rope(q, positions, cfg.rope_theta).transpose(0, 2, 1, 3)
     k = rope(k, positions, cfg.rope_theta).transpose(0, 2, 1, 3)
     v = v.transpose(0, 2, 1, 3)
-    o = gqa_flash_attention(q, k, v, cfg=cfg, mesh=mesh, causal=True)
+    o = gqa_flash_attention(q, k, v, cfg=cfg, mesh=mesh, causal=True,
+                            interpret=interpret)
     o = o.transpose(0, 2, 1, 3).reshape(b, s, cfg.q_dim)
     return x + _dense(o, layer["wo"])
 
 
-def _mlp_block(x, layer):
+def ffn_block(x, layer, cfg: TransformerConfig, mesh=None):
+    """Residual FFN: dense SwiGLU or MoE (when the layer carries MoE
+    params).  Returns (x, aux_loss) — aux is 0.0 for dense layers."""
     h = rms_norm(x, layer["mlp_norm"])
+    if "router" in layer:
+        from cuda_flash_attention_tpu.models.moe import moe_ffn
+
+        y, aux = moe_ffn(h, layer, cfg, mesh=mesh)
+        return x + y, aux
     gate = jax.nn.silu(_dense(h, layer["w_gate"]))
     up = _dense(h, layer["w_up"])
-    return x + _dense(gate * up, layer["w_down"]).astype(x.dtype)
+    return x + _dense(gate * up, layer["w_down"]).astype(x.dtype), 0.0
+
 
 
 def _activation_spec(mesh):
@@ -214,8 +268,11 @@ def _activation_spec(mesh):
     return P(data, ctx, None)
 
 
-def forward(params, tokens, cfg: TransformerConfig, mesh=None):
-    """Causal LM forward: tokens [B, S] int32 -> logits [B, S, vocab]."""
+def forward(params, tokens, cfg: TransformerConfig, mesh=None,
+            return_aux: bool = False):
+    """Causal LM forward: tokens [B, S] int32 -> logits [B, S, vocab].
+    With return_aux=True returns (logits, aux) where aux is the summed MoE
+    router load-balance loss (0.0 for dense models)."""
     b, s = tokens.shape
     positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s))
     x = params["embed"].astype(cfg.dtype)[tokens]
@@ -223,20 +280,24 @@ def forward(params, tokens, cfg: TransformerConfig, mesh=None):
         x = jax.lax.with_sharding_constraint(
             x, NamedSharding(mesh, _activation_spec(mesh))
         )
+    aux_total = 0.0
     for layer in params["layers"]:
         x = _attention_block(x, layer, positions, cfg, mesh)
-        x = _mlp_block(x, layer)
+        x, aux = ffn_block(x, layer, cfg, mesh)
+        aux_total = aux_total + aux
     x = rms_norm(x, params["final_norm"])
-    return _dense(x, params["lm_head"]).astype(jnp.float32)
+    logits = _dense(x, params["lm_head"]).astype(jnp.float32)
+    return (logits, aux_total) if return_aux else logits
 
 
 def loss_fn(params, tokens, cfg: TransformerConfig, mesh=None):
-    """Next-token cross entropy (tokens serve as both input and target)."""
-    logits = forward(params, tokens[:, :-1], cfg, mesh)
+    """Next-token cross entropy (tokens serve as both input and target),
+    plus the MoE router auxiliary loss when the model has experts."""
+    logits, aux = forward(params, tokens[:, :-1], cfg, mesh, return_aux=True)
     targets = tokens[:, 1:]
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
-    return jnp.mean(nll)
+    return jnp.mean(nll) + cfg.router_aux_coef * aux
 
 
 def make_train_step(cfg: TransformerConfig, mesh=None, learning_rate=1e-3):

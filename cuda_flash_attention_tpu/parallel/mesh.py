@@ -10,6 +10,8 @@ and axis conventions used across the framework:
   "data"      batch dim                     DP
   "model"     heads / d_ff / vocab          TP (attention runs head-local)
   "ctx"       sequence dim of K/V (and Q)   SP / ring attention long context
+  "expert"    MoE expert dim                EP (models/moe.py dispatch einsums)
+  "pipe"      layer-stage dim               PP (models/pipeline.py)
 """
 
 from __future__ import annotations
@@ -22,6 +24,8 @@ from jax.sharding import Mesh
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
 CTX_AXIS = "ctx"
+EXPERT_AXIS = "expert"
+PIPE_AXIS = "pipe"
 
 
 def make_device_mesh(

@@ -70,17 +70,19 @@ def _ring_fwd_loop(q, k, v, *, axis_name, axis_size, causal, sm_scale,
 
     def full_partial(args):
         q, k, v = args
-        return flash_attention_with_lse(
+        o, lse = flash_attention_with_lse(
             q, k, v, causal=False, sm_scale=sm_scale, tile_dtype=tile_dtype,
             interpret=interpret,
         )
+        return o.astype(jnp.float32), lse  # uniform branch dtype for switch
 
     def causal_partial(args):
         q, k, v = args
-        return flash_attention_with_lse(
+        o, lse = flash_attention_with_lse(
             q, k, v, causal=True, sm_scale=sm_scale, tile_dtype=tile_dtype,
             interpret=interpret,
         )
+        return o.astype(jnp.float32), lse
 
     def skip_partial(args):
         q, _, _ = args
@@ -273,17 +275,19 @@ def _ring_quant_fwd_loop(q, k_q, v_q, *, axis_name, axis_size, causal,
 
     def full_partial(args):
         q, k_q, v_q = args
-        return flash_attention_quantized_kv_with_lse(
+        o, lse = flash_attention_quantized_kv_with_lse(
             q, k_q, v_q, causal=False, sm_scale=sm_scale,
             compute_dtype=compute_dtype, interpret=interpret,
         )
+        return o.astype(jnp.float32), lse
 
     def causal_partial(args):
         q, k_q, v_q = args
-        return flash_attention_quantized_kv_with_lse(
+        o, lse = flash_attention_quantized_kv_with_lse(
             q, k_q, v_q, causal=True, sm_scale=sm_scale,
             compute_dtype=compute_dtype, interpret=interpret,
         )
+        return o.astype(jnp.float32), lse
 
     def skip_partial(args):
         q, _, _ = args
