@@ -121,16 +121,20 @@ def measure_decode_throughput(
     sync(toks)
     caches, toks = run_n(params, caches, first, n=n_hi)
     sync(toks)
-    t0 = time.perf_counter()
-    caches, toks = run_n(params, caches, first, n=n_lo)
-    sync(toks)
-    t_lo = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    caches, toks = run_n(params, caches, first, n=n_hi)
-    sync(toks)
-    t_hi = time.perf_counter() - t0
+    # Tunneled dispatch jitter is tens of ms; take the best of several
+    # slope measurements (min time = least-disturbed run).
+    best_lo = best_hi = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        caches, toks = run_n(params, caches, first, n=n_lo)
+        sync(toks)
+        best_lo = min(best_lo, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        caches, toks = run_n(params, caches, first, n=n_hi)
+        sync(toks)
+        best_hi = min(best_hi, time.perf_counter() - t0)
 
-    step_s = max(t_hi - t_lo, 1e-9) / (n_hi - n_lo)
+    step_s = max(best_hi - best_lo, 1e-9) / (n_hi - n_lo)
     return {
         "tokens_per_sec_per_chip": batch / step_s,
         "step_ms": step_s * 1e3,

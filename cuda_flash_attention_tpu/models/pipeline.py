@@ -72,7 +72,9 @@ def stack_pipeline_params(params, n_stages: int):
 
 def pipeline_param_shardings(mesh, pp_params):
     """NamedShardings for a stacked pipeline pytree: stage dim over "pipe",
-    everything else replicated (compose TP by extending these specs)."""
+    everything else replicated.  Stages currently run unsharded inside the
+    shard_map (PP x TP composition would extend these specs AND the stage
+    compute with a model axis — not implemented)."""
     def rep(x):
         return NamedSharding(mesh, P(*([None] * x.ndim)))
 
