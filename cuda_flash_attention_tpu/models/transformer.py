@@ -82,6 +82,14 @@ class TransformerConfig:
         )
 
     @classmethod
+    def base(cls) -> "TransformerConfig":
+        """~250M-param production-shape config (single v5e chip)."""
+        return cls(
+            vocab_size=32768, d_model=1024, n_layers=12, n_heads=16,
+            n_kv_heads=8, head_dim=64, d_ff=4096,
+        )
+
+    @classmethod
     def tiny_moe(cls, n_experts: int = 4) -> "TransformerConfig":
         """Tiny MoE config (layer 1 is MoE) for EP dry runs and tests."""
         return cls(
