@@ -32,9 +32,35 @@ def quantized_matmul(x: jax.Array, w_q: QuantizedTensor,
 
     Under the TPU's default (reduced-precision) matmul pass this is MORE
     accurate than multiplying a dequantized fp32 weight: int8 values are
-    exactly representable in bf16, so only the activation loses bits."""
+    exactly representable in bf16, so only the activation loses bits.
+
+    NOTE: XLA hoists the weight's astype out of serving loops, so this form
+    saves memory CAPACITY but streams a bf16 weight copy (measured: base-
+    model decode 1.12 -> 1.70 ms/step).  For true 1-byte weight streaming
+    use act_quant=True (W8A8, below)."""
+    if w_q.act_quant and jnp.dtype(w_q.values.dtype) == jnp.dtype(jnp.int8):
+        return w8a8_matmul(x, w_q)
     y = jnp.dot(x, w_q.values.astype(x.dtype), precision=precision)
     return y * w_q.scales.astype(x.dtype)
+
+
+def w8a8_matmul(x: jax.Array, w_q: QuantizedTensor) -> jax.Array:
+    """Dynamic per-row activation quantization + native int8 MXU contraction:
+    y = (x_q @ w_q) * sx * sw.  The int8 weight feeds the MXU directly — no
+    bf16 HBM copy — so bandwidth-bound decode streams half the bytes."""
+    ax = jnp.maximum(
+        jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True), 1e-12
+    )
+    xq = jnp.clip(
+        jnp.round(x.astype(jnp.float32) * (127.0 / ax)), -127, 127
+    ).astype(jnp.int8)
+    y = jax.lax.dot_general(
+        xq, w_q.values, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return (
+        y.astype(jnp.float32) * (ax / 127.0) * w_q.scales.astype(jnp.float32)
+    ).astype(x.dtype)
 
 
 def dense(x: jax.Array, w) -> jax.Array:
@@ -48,7 +74,8 @@ def dense(x: jax.Array, w) -> jax.Array:
 _QUANT_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down", "lm_head")
 
 
-def quantize_transformer_params(params, dtype=jnp.int8, keys=_QUANT_KEYS):
+def quantize_transformer_params(params, dtype=jnp.int8, keys=_QUANT_KEYS,
+                                act_quant: bool = False):
     """Weight-only quantization of a transformer param pytree: all dense
     projections become QuantizedTensors; norms/embedding stay full precision
     (embedding gathers don't benefit and norm scales are tiny)."""
@@ -59,7 +86,10 @@ def quantize_transformer_params(params, dtype=jnp.int8, keys=_QUANT_KEYS):
             if name == "layers":
                 out[name] = [_convert(layer) for layer in leaf]
             elif name in keys and isinstance(leaf, jax.Array) and leaf.ndim == 2:
-                out[name] = quantize_weight(leaf, dtype)
+                qt = quantize_weight(leaf, dtype)
+                if act_quant:
+                    qt = QuantizedTensor(qt.values, qt.scales, act_quant=True)
+                out[name] = qt
             else:
                 out[name] = leaf
         return out

@@ -48,10 +48,16 @@ class QuantizedTensor:
     """values: int8/fp8 array; scales: fp32 with quantized axes reduced to 1.
 
     dequantized x ~= values.astype(f32) * scales  (broadcast).
+
+    ``act_quant`` (static pytree metadata): matmuls against this tensor also
+    quantize the ACTIVATIONS to int8 and contract on the native int8 MXU
+    (W8A8) — the weight truly streams at 1 byte/element instead of being
+    dequantized into a bf16 HBM copy (see quant/linear.py).
     """
 
     values: jax.Array
     scales: jax.Array
+    act_quant: bool = dataclasses.field(default=False)
 
     @property
     def shape(self):
@@ -65,11 +71,11 @@ class QuantizedTensor:
         return (self.values.astype(jnp.float32) * self.scales).astype(dtype)
 
     def tree_flatten(self):
-        return (self.values, self.scales), None
+        return (self.values, self.scales), self.act_quant
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children)
+        return cls(*children, act_quant=aux)
 
 
 def quantize(

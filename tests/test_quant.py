@@ -168,3 +168,39 @@ def test_quantized_transformer_forward():
         jnp.max(jnp.abs(logits_fp)) + 1e-9
     )
     assert rel < 0.15, f"quantized logits diverged: rel={rel}"
+
+
+def test_w8a8_matmul_accuracy():
+    """W8A8 (int8 activations x int8 weights on the native MXU) stays within
+    the ~1% dynamic-quant budget of the bf16 reference matmul."""
+    import jax
+
+    from cuda_flash_attention_tpu.quant.linear import (
+        quantize_weight,
+        w8a8_matmul,
+    )
+
+    kx, kw = jax.random.split(jax.random.PRNGKey(0))
+    x = jax.random.normal(kx, (16, 256), jnp.bfloat16)
+    w = jax.random.normal(kw, (256, 512), jnp.float32)
+    w_q = quantize_weight(w, jnp.int8)
+    got = w8a8_matmul(x, w_q).astype(jnp.float32)
+    ref = (x.astype(jnp.float32) @ w)
+    rel = float(jnp.abs(got - ref).max() / jnp.abs(ref).max())
+    assert rel < 0.03, rel
+
+
+def test_act_quant_flag_routes_dense():
+    from cuda_flash_attention_tpu.quant.linear import dense, quantize_weight
+    from cuda_flash_attention_tpu.quant.qtensor import QuantizedTensor
+    import jax
+
+    kx, kw = jax.random.split(jax.random.PRNGKey(1))
+    x = jax.random.normal(kx, (8, 128), jnp.bfloat16)
+    w = jax.random.normal(kw, (128, 128), jnp.float32)
+    q = quantize_weight(w, jnp.int8)
+    q8 = QuantizedTensor(q.values, q.scales, act_quant=True)
+    # Both paths approximate the same product; W8A8 quantizes activations too.
+    a = dense(x, q).astype(jnp.float32)
+    b = dense(x, q8).astype(jnp.float32)
+    assert float(jnp.abs(a - b).max() / jnp.abs(a).max()) < 0.03
