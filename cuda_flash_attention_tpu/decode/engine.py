@@ -80,7 +80,19 @@ class DecodeEngine:
                 f"the decode kernel's scale blocks are lane-major); got "
                 f"{page_size}"
             )
-        self.params = params
+        # Serving holds a compute-dtype copy of the big 2D weights: decode
+        # has no fp32-master requirement, and casting e.g. a 128 MB fp32
+        # lm_head to bf16 EVERY step costs a full-table HBM pass (profiled
+        # 0.3 ms at vocab 32k).  Norm scales / quantized tensors pass through.
+        self.params = jax.tree.map(
+            lambda p: (
+                p.astype(cfg.dtype)
+                if isinstance(p, jax.Array)
+                and p.ndim >= 2 and jnp.issubdtype(p.dtype, jnp.floating)
+                else p
+            ),
+            params,
+        )
         self.cfg = cfg
         self.mesh = mesh
         self.max_seqs = max_seqs
@@ -119,7 +131,7 @@ class DecodeEngine:
             from cuda_flash_attention_tpu.models.transformer import param_shardings
 
             self.params = jax.tree.map(
-                jax.device_put, params, param_shardings(mesh, cfg)
+                jax.device_put, self.params, param_shardings(mesh, cfg)
             )
             self.caches = [shard_kv_pages(mesh, c) for c in self.caches]
         # Host-side slot state (numpy; shipped to device each step — tiny).

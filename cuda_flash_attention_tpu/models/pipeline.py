@@ -152,7 +152,7 @@ def make_pipeline_nll(cfg: TransformerConfig, mesh, n_stages: int,
                 buf, outs = carry
                 m_idx = jnp.clip(t, 0, n_micro - 1)
                 mtok = lax.dynamic_index_in_dim(micro, m_idx, 0, False)
-                x0 = embed.astype(cfg.dtype)[mtok]
+                x0 = embed[mtok].astype(cfg.dtype)
                 x_in = jnp.where(is_first, x0, buf)
                 y = _stage_apply(x_in, stage_layers, positions, cfg, interpret)
 
