@@ -55,11 +55,22 @@ def _attention_point(tile_label, dtype, tile_dtype):
         q, k, v, o, lse, do, tile_dtype=tile_dtype
     )
 
+    import re
+
+    # Same exclusion set as profiling.kernel_device_time (the '%' prefix is
+    # optional in some profiler versions): jit-boundary layout copies are
+    # excluded like cudaMemcpy in the reference's bracketed timing.
+    _skip = re.compile(r"%?(copy|bitcast|tuple|fusion\.\d+ = \(\))")
+
     def device_ms(ops):
-        return sum(op.mean_ms for op in ops if not op.name.startswith("%copy"))
+        return sum(op.mean_ms for op in ops if not _skip.match(op.name))
 
     t_fwd = device_ms(profile_ops(fwd, q, k, v, iters=4)) / 1e3
     t_bwd = device_ms(profile_ops(bwd, q, k, v, o, lse, do, iters=4)) / 1e3
+    if t_fwd == 0 or t_bwd == 0:
+        raise RuntimeError(
+            "no TPU ops in the profiler trace (is this running on a chip?)"
+        )
 
     f_fwd = attention_flops(b, h, s, s, d, mode="forward")
     f_total = attention_flops(b, h, s, s, d, mode="both")  # 3.5x fwd

@@ -56,23 +56,27 @@ def initialize_distributed(
     if process_id is None and "PROCESS_ID" in os.environ:
         process_id = int(os.environ["PROCESS_ID"])
 
-    already = jax._src.distributed.global_state.client is not None  # noqa: SLF001
-    if already:
+    # Public-API idempotence check: jax.distributed.initialize raises on a
+    # second call, so probe via is_initialized when available (jax >= 0.4.34)
+    # without reaching into jax._src (version-brittle — round-2 advisor).
+    is_init = getattr(jax.distributed, "is_initialized", None)
+    if callable(is_init) and is_init():
         return True
     if coordinator_address is None and num_processes is None:
         return False  # single-process run (pods set the env vars)
-    from jax._src import xla_bridge
-
-    if xla_bridge.backends_are_initialized():
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as e:
+        if "already" in str(e).lower():
+            return True  # someone initialized it first — fine
         raise RuntimeError(
             "initialize_distributed() must run before any JAX computation "
-            "(backends already initialized)"
-        )
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+            f"(distributed runtime rejected init: {e})"
+        ) from e
     return True
 
 
