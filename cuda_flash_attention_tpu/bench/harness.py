@@ -34,6 +34,8 @@ from cuda_flash_attention_tpu.ops.metrics import (
 )
 from cuda_flash_attention_tpu.ops.reference import (
     reference_attention_grads,
+    sdpa_attention,
+    sdpa_attention_grads,
     vanilla_attention,
     vanilla_attention_chunked,
     vanilla_attention_with_lse,
@@ -54,6 +56,10 @@ class TestResult:
     mean_abs_error: float = float("nan")
     mse: float = float("nan")
     max_rel_error: float = float("nan")
+    # Error vs the INDEPENDENT second oracle (jax.nn SDPA) — the analog of
+    # the reference's torch-GPU math-path comparator column
+    # (test_flash_attention2.py:210-218).  Gated at the same tolerance.
+    max_abs_error_sdpa: float = float("nan")
     kernel_time_ms: float = float("nan")
     oracle_time_ms: float = float("nan")
     speedup: float = float("nan")
@@ -76,6 +82,7 @@ class TestResult:
             "HeadDim": c.head_dim,
             "Status": "PASS" if self.passed else "FAIL",
             "MaxError": self.max_abs_error,
+            "MaxErrorSDPA": self.max_abs_error_sdpa,
             "MeanError": self.mean_abs_error,
             "MSE": self.mse,
             "MaxRelError": self.max_rel_error,
@@ -134,6 +141,13 @@ class Harness:
         )
         o = fn(q, k, v)
         m = compute_metrics(o, o_ref)
+        # Second-oracle gate (skip where SDPA would materialize a huge S^2).
+        err_sdpa = float("nan")
+        sdpa_ok = True
+        if score_bytes <= _ORACLE_CHUNK_BYTES:
+            m2 = compute_metrics(o, sdpa_attention(q, k, v))
+            err_sdpa = m2.max_abs_error
+            sdpa_ok = m2.passes(cfg.tolerance)
         t = device_benchmark(fn, q, k, v, **self._bench_kw)
         t_oracle = (
             device_benchmark(jax.jit(oracle), q, k, v, warmup=1)
@@ -148,9 +162,10 @@ class Harness:
         )
         return TestResult(
             config=cfg, test_type="forward",
-            passed=m.passes(cfg.tolerance),
+            passed=m.passes(cfg.tolerance) and sdpa_ok,
             max_abs_error=m.max_abs_error, mean_abs_error=m.mean_abs_error,
             mse=m.mse, max_rel_error=m.max_rel_error,
+            max_abs_error_sdpa=err_sdpa,
             kernel_time_ms=1e3 * t, oracle_time_ms=1e3 * t_oracle,
             speedup=t_oracle / t if t > 0 else float("nan"),
             tflops=flops / t / 1e12, bandwidth_gbps=nbytes / t / 1e9,
@@ -176,6 +191,10 @@ class Harness:
             [np.asarray(x).ravel() for x in (dq_ref, dk_ref, dv_ref)]
         )
         m = compute_metrics(got, ref)
+        ref2 = np.concatenate(
+            [np.asarray(x).ravel() for x in sdpa_attention_grads(q, k, v)]
+        )
+        m2 = compute_metrics(got, ref2)
         t = device_benchmark(fn, q, k, v, o_ref, lse_ref, **self._bench_kw)
         t_oracle = (
             device_benchmark(
@@ -193,9 +212,10 @@ class Harness:
         )
         return TestResult(
             config=cfg, test_type="backward",
-            passed=m.passes(cfg.tolerance),
+            passed=m.passes(cfg.tolerance) and m2.passes(cfg.tolerance),
             max_abs_error=m.max_abs_error, mean_abs_error=m.mean_abs_error,
             mse=m.mse, max_rel_error=m.max_rel_error,
+            max_abs_error_sdpa=m2.max_abs_error,
             kernel_time_ms=1e3 * t, oracle_time_ms=1e3 * t_oracle,
             speedup=t_oracle / t if t > 0 else float("nan"),
             tflops=flops / t / 1e12, bandwidth_gbps=nbytes / t / 1e9,
@@ -222,7 +242,16 @@ class Harness:
             [np.asarray(x).ravel() for x in (dq_ref, dk_ref, dv_ref)]
         )
         m_bwd = compute_metrics(got, ref)
-        passed = m_fwd.passes(cfg.tolerance) and m_bwd.passes(cfg.tolerance)
+        o_sdpa = sdpa_attention(q, k, v)
+        ref2 = np.concatenate(
+            [np.asarray(x).ravel() for x in sdpa_attention_grads(q, k, v)]
+        )
+        m2 = compute_metrics(out["o"], o_sdpa)
+        m2b = compute_metrics(got, ref2)
+        passed = (
+            m_fwd.passes(cfg.tolerance) and m_bwd.passes(cfg.tolerance)
+            and m2.passes(cfg.tolerance) and m2b.passes(cfg.tolerance)
+        )
         t = device_benchmark(fn, q, k, v, **self._bench_kw)
         flops = attention_flops(
             cfg.batch_size, cfg.num_heads, cfg.seq_len, cfg.seq_len,
@@ -236,6 +265,7 @@ class Harness:
             max_abs_error=max(m_fwd.max_abs_error, m_bwd.max_abs_error),
             mean_abs_error=m_bwd.mean_abs_error, mse=m_bwd.mse,
             max_rel_error=m_bwd.max_rel_error,
+            max_abs_error_sdpa=max(m2.max_abs_error, m2b.max_abs_error),
             kernel_time_ms=1e3 * t, oracle_time_ms=float("nan"),
             tflops=flops / t / 1e12, bandwidth_gbps=nbytes / t / 1e9,
         )

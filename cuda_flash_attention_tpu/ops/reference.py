@@ -166,3 +166,51 @@ def reference_attention_grads(q, k, v, do=None, *, causal=False, sm_scale=None):
         return jnp.sum(o * do)
 
     return jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+
+
+# ---------------------------------------------------------------------------
+# Independent second oracle.
+#
+# The reference cross-checks TWO independent implementations: its hand-rolled
+# torch-CPU attention AND torch-GPU F.scaled_dot_product_attention restricted
+# to the math path (/root/reference/test_flash_attention2.py:197-218).  A bug
+# in a single oracle is invisible; the second, independently-written
+# implementation closes that hole.  Here the analog is
+# `jax.nn.dot_product_attention` (jax's own SDPA, written by a different team
+# with a different softmax formulation) — NOT this module's vanilla op.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("causal", "sm_scale"))
+def sdpa_attention(q, k, v, *, causal=False, sm_scale=None):
+    """Second-oracle forward via jax.nn.dot_product_attention (XLA path).
+
+    Layout adapter only: our kernels speak [B, H, S, D], jax.nn speaks
+    [B, S, H, D].  GQA (fewer k/v heads) is supported natively.  Matmul
+    precision is pinned to highest — on TPU the DEFAULT precision runs
+    fp32 matmuls as single-pass bf16 (~3e-3 error), useless as an oracle."""
+    bshd = lambda x: x.transpose(0, 2, 1, 3)  # noqa: E731
+    with jax.default_matmul_precision("highest"):
+        o = jax.nn.dot_product_attention(
+            bshd(q).astype(jnp.float32),
+            bshd(k).astype(jnp.float32),
+            bshd(v).astype(jnp.float32),
+            scale=sm_scale,  # None -> 1/sqrt(D), same convention as ours
+            is_causal=causal,
+            implementation="xla",
+        )
+    return bshd(o).astype(q.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("causal", "sm_scale"))
+def sdpa_attention_grads(q, k, v, do=None, *, causal=False, sm_scale=None):
+    """Second-oracle gradients: autodiff THROUGH jax.nn.dot_product_attention
+    (independent of reference_attention_grads' vanilla formulation)."""
+
+    def f(q, k, v):
+        o = sdpa_attention(q, k, v, causal=causal, sm_scale=sm_scale)
+        if do is None:
+            return jnp.sum(o)
+        return jnp.sum(o * do)
+
+    return jax.grad(f, argnums=(0, 1, 2))(q, k, v)

@@ -47,3 +47,38 @@ def test_oracle_grads_shapes():
     dq, dk, dv = reference_attention_grads(q, q, q)
     assert dq.shape == dk.shape == dv.shape == q.shape
     assert np.isfinite(np.asarray(dq)).all()
+
+
+# ---------------------------------------------------------------------------
+# Independent second oracle (jax.nn SDPA) — the reference cross-checks two
+# independently-written implementations (torch CPU vs torch-GPU math SDPA,
+# test_flash_attention2.py:197-218); these tests are the oracle-bug detector.
+# ---------------------------------------------------------------------------
+
+from cuda_flash_attention_tpu.ops.reference import (  # noqa: E402
+    sdpa_attention,
+    sdpa_attention_grads,
+)
+
+
+@pytest.mark.quick
+@pytest.mark.parametrize("causal", [False, True])
+def test_two_oracles_agree_forward(causal):
+    ks = jax.random.split(jax.random.PRNGKey(7), 3)
+    q = jax.random.normal(ks[0], (2, 4, 96, 64), jnp.float32)
+    k = jax.random.normal(ks[1], (2, 4, 96, 64), jnp.float32)
+    v = jax.random.normal(ks[2], (2, 4, 96, 64), jnp.float32)
+    o1 = vanilla_attention_with_lse(q, k, v, causal=causal)[0]
+    o2 = sdpa_attention(q, k, v, causal=causal)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=2e-5)
+
+
+def test_two_oracles_agree_grads():
+    ks = jax.random.split(jax.random.PRNGKey(8), 3)
+    q = jax.random.normal(ks[0], (1, 2, 64, 64), jnp.float32)
+    k = jax.random.normal(ks[1], (1, 2, 64, 64), jnp.float32)
+    v = jax.random.normal(ks[2], (1, 2, 64, 64), jnp.float32)
+    g1 = reference_attention_grads(q, k, v)
+    g2 = sdpa_attention_grads(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
