@@ -50,15 +50,11 @@ from cuda_flash_attention_tpu.quant.qtensor import QuantizedTensor, quantize_kv
 
 
 def _fa2_fwd_quant_kernel(
-    q_ref,        # [1, 1, block_q, D]     compute dtype
-    k_ref,        # [1, 1, block_k, D]     int8 / fp8
-    k_scale_ref,  # [1, 1, 1, block_k]     f32
-    v_ref,        # [1, 1, block_k, D]     int8 / fp8
-    v_scale_ref,  # [1, 1, 1, block_k]     f32
-    o_ref,        # [1, 1, block_q, D]
-    lse_ref,      # [1, 1, block_q, 1]
-    m_scr, l_scr, acc_scr,
-    *,
+    *refs,
+    # ref order: q [1,1,bq,D], k_vals [1,1,bk,D] int8/fp8,
+    # k_scales [1,1,1,bk] f32, v_vals, v_scales,
+    # (q_seg [1,bq,1], kv_seg [1,1,bk] when has_segments,)
+    # o [1,1,bq,D], lse [1,1,bq,1], scratch m/l/acc.
     sm_scale: float,
     causal: bool,
     mask_value: float,
@@ -68,7 +64,15 @@ def _fa2_fwd_quant_kernel(
     num_kv_blocks: int,
     compute_dtype,
     mask_kv_tail: bool,
+    has_segments: bool,
 ):
+    if has_segments:
+        (q_ref, k_ref, k_scale_ref, v_ref, v_scale_ref, qseg_ref, kvseg_ref,
+         o_ref, lse_ref, m_scr, l_scr, acc_scr) = refs
+    else:
+        (q_ref, k_ref, k_scale_ref, v_ref, v_scale_ref,
+         o_ref, lse_ref, m_scr, l_scr, acc_scr) = refs
+        qseg_ref = kvseg_ref = None
     q_idx = pl.program_id(2)
     kv_idx = pl.program_id(3)
 
@@ -105,6 +109,8 @@ def _fa2_fwd_quant_kernel(
         mask = build_block_mask(
             q_idx, kv_idx, block_q, block_k,
             causal=causal, mask_kv_tail=mask_kv_tail, kv_len=kv_len,
+            q_seg=qseg_ref[0] if has_segments else None,
+            kv_seg=kvseg_ref[0] if has_segments else None,
         )
         if mask is not None:
             s += jnp.where(mask, 0.0, mask_value)
@@ -144,15 +150,17 @@ def _fa2_fwd_quant_kernel(
     jax.jit,
     static_argnames=(
         "causal", "sm_scale", "block_q", "block_k", "kv_len",
-        "compute_dtype", "interpret", "debug",
+        "compute_dtype", "kv_groups", "interpret", "debug",
     ),
 )
 def fa2_forward_quant_aligned(
-    q,         # [B, H, Sq_pad, D]
-    k_vals,    # [B, H, Skv_pad, D] int8/fp8
-    k_scales,  # [B, H, 1, Skv_pad] f32
+    q,         # [B, Hq, Sq_pad, D]
+    k_vals,    # [B, Hq // kv_groups, Skv_pad, D] int8/fp8
+    k_scales,  # [B, Hq // kv_groups, 1, Skv_pad] f32
     v_vals,
     v_scales,
+    q_seg=None,   # [B, Sq_pad, 1] int32
+    kv_seg=None,  # [B, 1, Skv_pad] int32
     *,
     causal: bool,
     sm_scale: float,
@@ -160,13 +168,19 @@ def fa2_forward_quant_aligned(
     block_k: int,
     kv_len: int,
     compute_dtype=jnp.bfloat16,
+    kv_groups: int = 1,
     interpret=None,
     debug: bool = False,
 ):
-    """Block-aligned quantized-KV FA2 forward. Returns (O, lse_rep)."""
+    """Block-aligned quantized-KV FA2 forward. Returns (O, lse_rep).
+
+    ``kv_groups`` is kernel-native GQA exactly as in the base forward
+    (fa2_forward.py): query head h streams quantized KV head h // kv_groups
+    straight from HBM — the 1-byte KV traffic stays 1x per KV head."""
     batch, heads, q_len, head_dim = q.shape
     kv_len_pad = k_vals.shape[2]
     assert q_len % block_q == 0 and kv_len_pad % block_k == 0
+    assert k_vals.shape[1] * kv_groups == heads
     num_kv_blocks = kv_len_pad // block_k
     grid = (batch, heads, q_len // block_q, num_kv_blocks)
 
@@ -176,13 +190,14 @@ def fa2_forward_quant_aligned(
     def kv_index_map(b, h, qi, ki):
         if causal:
             ki = lax.select(below_or_on_diag(qi, block_q, ki, block_k), ki, 0)
-        return (b, h, ki, 0)
+        return (b, h // kv_groups, ki, 0)
 
     def kv_scale_index_map(b, h, qi, ki):
         if causal:
             ki = lax.select(below_or_on_diag(qi, block_q, ki, block_k), ki, 0)
-        return (b, h, 0, ki)
+        return (b, h // kv_groups, 0, ki)
 
+    has_segments = q_seg is not None
     kernel = functools.partial(
         _fa2_fwd_quant_kernel,
         sm_scale=sm_scale,
@@ -194,7 +209,33 @@ def fa2_forward_quant_aligned(
         num_kv_blocks=num_kv_blocks,
         compute_dtype=compute_dtype,
         mask_kv_tail=(kv_len != kv_len_pad),
+        has_segments=has_segments,
     )
+
+    in_specs = [
+        pl.BlockSpec((1, 1, block_q, head_dim), q_index_map),
+        pl.BlockSpec((1, 1, block_k, head_dim), kv_index_map),
+        pl.BlockSpec((1, 1, 1, block_k), kv_scale_index_map),
+        pl.BlockSpec((1, 1, block_k, head_dim), kv_index_map),
+        pl.BlockSpec((1, 1, 1, block_k), kv_scale_index_map),
+    ]
+    inputs = [q, k_vals, k_scales, v_vals, v_scales]
+    if has_segments:
+        def qseg_index_map(b, h, qi, ki):
+            return (b, qi, 0)
+
+        def kvseg_index_map(b, h, qi, ki):
+            if causal:
+                ki = lax.select(
+                    below_or_on_diag(qi, block_q, ki, block_k), ki, 0
+                )
+            return (b, 0, ki)
+
+        in_specs += [
+            pl.BlockSpec((1, block_q, 1), qseg_index_map),
+            pl.BlockSpec((1, 1, block_k), kvseg_index_map),
+        ]
+        inputs += [q_seg, kv_seg]
 
     out_shape = (
         jax.ShapeDtypeStruct(q.shape, q.dtype),
@@ -203,13 +244,7 @@ def fa2_forward_quant_aligned(
     o, lse_rep = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, block_q, head_dim), q_index_map),
-            pl.BlockSpec((1, 1, block_k, head_dim), kv_index_map),
-            pl.BlockSpec((1, 1, 1, block_k), kv_scale_index_map),
-            pl.BlockSpec((1, 1, block_k, head_dim), kv_index_map),
-            pl.BlockSpec((1, 1, 1, block_k), kv_scale_index_map),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((1, 1, block_q, head_dim), q_index_map),
             pl.BlockSpec((1, 1, block_q, 1), q_index_map),
@@ -237,7 +272,7 @@ def fa2_forward_quant_aligned(
         ),
         interpret=resolve_interpret(interpret),
         debug=debug,
-    )(q, k_vals, k_scales, v_vals, v_scales)
+    )(*inputs)
     return o, lse_rep
 
 
@@ -246,9 +281,41 @@ def fa2_forward_quant_aligned(
 # ---------------------------------------------------------------------------
 
 
+def _validate_quant_shapes(q, k_q: QuantizedTensor, v_q: QuantizedTensor):
+    """Shape/head-count validation — the quantized twin of
+    attention._validate_shapes: same checks, plus the scale-layout contract
+    (per-token scales, [B, Hkv, Skv, 1])."""
+    if q.ndim != 4 or k_q.values.ndim != 4 or v_q.values.ndim != 4:
+        raise ValueError(
+            f"q/k/v must be [batch, heads, seq, head_dim]; got {q.shape}, "
+            f"{k_q.values.shape}, {v_q.values.shape}"
+        )
+    if k_q.values.shape != v_q.values.shape:
+        raise ValueError(
+            f"k/v shape mismatch: {k_q.values.shape} vs {v_q.values.shape}"
+        )
+    if q.shape[0] != k_q.values.shape[0] or q.shape[3] != k_q.values.shape[3]:
+        raise ValueError(
+            f"q and k must agree on batch/head_dim: {q.shape} vs "
+            f"{k_q.values.shape}"
+        )
+    if q.shape[1] % k_q.values.shape[1] != 0:
+        raise ValueError(
+            f"GQA requires query heads ({q.shape[1]}) to be a multiple of "
+            f"KV heads ({k_q.values.shape[1]})"
+        )
+    for name, t in (("k", k_q), ("v", v_q)):
+        want = (*t.values.shape[:3], 1)
+        if t.scales.shape != want:
+            raise ValueError(
+                f"{name} scales must be per-token {want} (quantize_kv's "
+                f"axis=-1 layout); got {t.scales.shape}"
+            )
+
+
 def flash_attention_quantized_kv_with_lse(
-    q,                      # [B, H, Sq, D]
-    k_q: QuantizedTensor,   # values [B, H, Skv, D], scales [B, H, Skv, 1]
+    q,                      # [B, Hq, Sq, D]
+    k_q: QuantizedTensor,   # values [B, Hkv, Skv, D], scales [B, Hkv, Skv, 1]
     v_q: QuantizedTensor,
     *,
     causal: bool = False,
@@ -256,28 +323,48 @@ def flash_attention_quantized_kv_with_lse(
     block_q: int = 512,
     block_k: int = 1024,
     compute_dtype=jnp.bfloat16,
+    q_segment_ids=None,   # [B, Sq] int32 — sequence-packing segment ids
+    kv_segment_ids=None,  # [B, Skv] int32
     interpret=None,
 ):
     """Quantized-KV FA2 forward returning (O, logsumexp [B, H, Sq] fp32) —
     the partial-attention form the quantized ring (parallel/ring.py) merges
-    across ring steps."""
+    across ring steps.  GQA is kernel-native (k/v may carry fewer heads);
+    segment ids mask cross-sequence attention exactly as in the base
+    kernel."""
+    from cuda_flash_attention_tpu.kernels.attention import (
+        _pack_segments,
+        _validate_segments,
+    )
+
+    _validate_quant_shapes(q, k_q, v_q)
+    _validate_segments(q_segment_ids, kv_segment_ids, q, k_q.values)
     if sm_scale is None:
         sm_scale = 1.0 / (q.shape[-1] ** 0.5)
     q_len, kv_len = q.shape[2], k_q.values.shape[2]
+    kv_groups = q.shape[1] // k_q.values.shape[1]
 
+    segs = _pack_segments(q_segment_ids, kv_segment_ids, q, k_q.values)
+    q_seg, kv_seg = segs if segs is not None else (None, None)
     q_pad = pad_to_block(q, 2, MIN_BLOCK)
     k_vals = pad_to_block(k_q.values, 2, MIN_BLOCK)
     v_vals = pad_to_block(v_q.values, 2, MIN_BLOCK)
     # [B, H, S, 1] -> [B, H, 1, S] lane-major scale rows.
     k_scales = pad_to_block(k_q.scales.transpose(0, 1, 3, 2), 3, MIN_BLOCK)
     v_scales = pad_to_block(v_q.scales.transpose(0, 1, 3, 2), 3, MIN_BLOCK)
+    if q_seg is not None:
+        # _pack_segments pads by the (possibly sub-128) dtype quantum;
+        # quantized KV always pads to the full block grid.
+        q_seg = pad_to_block(q_seg, 1, MIN_BLOCK)
+        kv_seg = pad_to_block(kv_seg, 2, MIN_BLOCK)
 
     o, lse_col = fa2_forward_quant_aligned(
-        q_pad, k_vals, k_scales, v_vals, v_scales,
+        q_pad, k_vals, k_scales, v_vals, v_scales, q_seg, kv_seg,
         causal=causal, sm_scale=float(sm_scale),
         block_q=fit_block(block_q, q_pad.shape[2]),
         block_k=fit_block(block_k, k_vals.shape[2]),
-        kv_len=kv_len, compute_dtype=compute_dtype, interpret=interpret,
+        kv_len=kv_len, compute_dtype=compute_dtype, kv_groups=kv_groups,
+        interpret=interpret,
     )
     return o[:, :, :q_len, :], lse_col[:, :, :q_len, 0]
 

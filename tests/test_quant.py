@@ -118,6 +118,67 @@ def test_quant_kernel_ragged_and_causal():
     assert not jnp.any(jnp.isnan(o_q))
 
 
+@pytest.mark.parametrize("causal", [False, True])
+def test_quant_kernel_gqa(causal):
+    """Kernel-native GQA on the quantized path: Hq = 4 * Hkv vs the
+    dequantized oracle with explicitly repeated KV heads (the serving
+    flagship config is GQA — round-2 verdict gap #5)."""
+    b, hq, hkv, s, d = 2, 8, 2, 256, 64
+    ks = jax.random.split(jax.random.PRNGKey(3), 3)
+    q = jax.random.normal(ks[0], (b, hq, s, d), jnp.float32)
+    k = jax.random.normal(ks[1], (b, hkv, s, d), jnp.float32)
+    v = jax.random.normal(ks[2], (b, hkv, s, d), jnp.float32)
+    k_q, v_q = quantize_kv(k, v, jnp.int8)
+    o_kernel = flash_attention_quantized_kv(
+        q, k_q, v_q, causal=causal, compute_dtype=jnp.float32
+    )
+    rep = lambda x: jnp.repeat(x, hq // hkv, axis=1)  # noqa: E731
+    o_ref = vanilla_attention(
+        q, rep(dequantize(k_q)), rep(dequantize(v_q)), causal=causal
+    )
+    np.testing.assert_allclose(
+        np.asarray(o_kernel), np.asarray(o_ref), atol=2e-5
+    )
+
+
+def test_quant_kernel_segments():
+    """Sequence-packing segment ids on the quantized path match the
+    dequantized oracle's segment masking."""
+    from cuda_flash_attention_tpu.ops.reference import (
+        vanilla_attention as vref,
+    )
+
+    q, k, v = _qkv(s=256)
+    seg = jnp.concatenate(
+        [jnp.zeros((2, 128), jnp.int32), jnp.ones((2, 128), jnp.int32)],
+        axis=1,
+    )
+    k_q, v_q = quantize_kv(k, v, jnp.int8)
+    o_kernel = flash_attention_quantized_kv(
+        q, k_q, v_q, compute_dtype=jnp.float32,
+        q_segment_ids=seg, kv_segment_ids=seg,
+    )
+    o_ref = vref(
+        q, dequantize(k_q), dequantize(v_q),
+        q_segment_ids=seg, kv_segment_ids=seg,
+    )
+    np.testing.assert_allclose(
+        np.asarray(o_kernel), np.asarray(o_ref), atol=2e-5
+    )
+
+
+def test_quant_kernel_validation_errors():
+    q, k, v = _qkv(s=256)
+    k_q, v_q = quantize_kv(k, v, jnp.int8)
+    with pytest.raises(ValueError, match="GQA requires"):
+        flash_attention_quantized_kv(q[:, :1], k_q, v_q)  # 1 q head, 2 kv
+    bad_scales = QuantizedTensor(
+        values=k_q.values, scales=k_q.scales[..., 0]  # wrong rank
+    )
+    with pytest.raises(ValueError, match="scales"):
+        flash_attention_quantized_kv(q, bad_scales, v_q)
+
+
 # ---------------------------------------------------------------------------
 # Weight-only quantization
 # ---------------------------------------------------------------------------
