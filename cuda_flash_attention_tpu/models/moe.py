@@ -84,8 +84,66 @@ def moe_layer_shardings(mesh, cfg) -> dict:
     }
 
 
+def _route(x, layer, cfg):
+    """Shared router: returns (probs [N, E], gate_vals [N, k], gate_idx
+    [N, k], aux_loss).  Gates renormalized over the top-k; aux is the
+    Switch load-balance loss on the top-1 assignment."""
+    e, top_k = cfg.n_experts, cfg.expert_top_k
+    router_logits = jnp.einsum(
+        "nd,de->ne", x.astype(jnp.float32),
+        layer["router"].astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    probs = jax.nn.softmax(router_logits, axis=-1)
+    gate_vals, gate_idx = jax.lax.top_k(probs, top_k)  # [N, k]
+    gate_vals = gate_vals / jnp.sum(gate_vals, axis=-1, keepdims=True)
+    top1 = jax.nn.one_hot(gate_idx[:, 0], e, dtype=jnp.float32)
+    aux = e * jnp.sum(jnp.mean(top1, axis=0) * jnp.mean(probs, axis=0))
+    return probs, gate_vals, gate_idx, aux
+
+
+def _ranks(gate_idx, e: int):
+    """Deterministic capacity ranks WITHOUT [N, E, C] one-hots: a token's
+    rank in expert e is its order among tokens routed to e, k-th choices
+    after all (k-1)-th choices (GShard's ordering — bit-identical to the
+    one-hot formulation).  Only [N, E] cumsums are materialized.
+    Returns rank [N, k] int32."""
+    n, top_k = gate_idx.shape
+    counts = jnp.zeros((e,), jnp.int32)
+    ranks = []
+    for k in range(top_k):
+        mask = jax.nn.one_hot(gate_idx[:, k], e, dtype=jnp.int32)  # [N, E]
+        pos = counts[None, :] + jnp.cumsum(mask, axis=0) - mask
+        ranks.append(jnp.sum(pos * mask, axis=1))  # this token's rank
+        counts = counts + jnp.sum(mask, axis=0)
+    return jnp.stack(ranks, axis=1)  # [N, k]
+
+
+def _expert_ffn(xe, layer, cfg, prec):
+    """The per-expert SwiGLU on [E, C, d] — shared by both dispatch forms.
+    The expert-dim einsums against expert-sharded weights ARE the EP
+    collectives under pjit (see module doc)."""
+    gate = jax.nn.silu(
+        jnp.einsum("ecd,edf->ecf", xe, layer["moe_gate"].astype(cfg.dtype),
+                   precision=prec)
+    )
+    up = jnp.einsum("ecd,edf->ecf", xe, layer["moe_up"].astype(cfg.dtype),
+                    precision=prec)
+    return jnp.einsum(
+        "ecf,efd->ecd", gate * up, layer["moe_down"].astype(cfg.dtype),
+        precision=prec,
+    )
+
+
 def moe_ffn(h, layer, cfg, mesh=None):
-    """MoE SwiGLU FFN on pre-normed activations h [..., d_model].
+    """MoE SwiGLU FFN on pre-normed activations h [..., d_model] —
+    scatter/gather dispatch (production path).
+
+    Peak routing memory is O(N*E + E*C*d): tokens scatter directly into the
+    [E, C, d] expert buffer and gather back, never materializing the
+    [N, E, C] one-hot tensors (round-2 verdict #10: at the 254M config those
+    were ~0.7 GB per MoE layer).  Assignment order is bit-identical to the
+    GShard one-hot formulation (`moe_ffn_onehot`, kept as the oracle).
 
     Returns (y, aux_loss) with y in h's shape/dtype and aux_loss a scalar
     fp32 (the Switch load-balance loss; 0-coefficient folds it away)."""
@@ -95,25 +153,55 @@ def moe_ffn(h, layer, cfg, mesh=None):
     x = h.reshape(-1, d)
     n = x.shape[0]
     cap = expert_capacity(n, e, top_k, cfg.capacity_factor)
+    prec = jax.lax.Precision.HIGHEST if h.dtype == jnp.float32 else None
 
-    # fp32 activations get true-f32 matmuls (XLA's DEFAULT precision is a
-    # single bf16 pass); bf16 production runs keep the native fast path.
-    prec = (
-        jax.lax.Precision.HIGHEST if h.dtype == jnp.float32 else None
+    probs, gate_vals, gate_idx, aux = _route(x, layer, cfg)
+    rank = _ranks(gate_idx, e)                     # [N, k]
+    valid = rank < cap                             # overflow tokens drop
+    slot = gate_idx * cap + rank                   # [N, k] in [0, E*C)
+    slot_eff = jnp.where(valid, slot, e * cap)     # invalid -> dump row
+
+    # Scatter tokens into the expert buffer (+1 dump row, dropped below).
+    # Slots are unique by construction (ranks are a per-expert enumeration,
+    # top-k experts are distinct), so `set` scatter-writes race-free.
+    # Flattening is k-major on both sides so indices and rows line up.
+    x_c = x.astype(cfg.dtype)
+    x_rep = jnp.reshape(
+        jnp.broadcast_to(x_c[None], (top_k, n, d)), (top_k * n, d)
     )
-    router_logits = jnp.einsum(
-        "nd,de->ne", x.astype(jnp.float32),
-        layer["router"].astype(jnp.float32), precision=jax.lax.Precision.HIGHEST,
-    )
-    probs = jax.nn.softmax(router_logits, axis=-1)  # [N, E]
+    xe = jnp.zeros((e * cap + 1, d), cfg.dtype)
+    xe = xe.at[jnp.transpose(slot_eff).reshape(-1)].set(x_rep)
+    xe = xe[: e * cap].reshape(e, cap, d)
+    if mesh is not None and EXPERT_AXIS in mesh.axis_names:
+        xe = jax.lax.with_sharding_constraint(
+            xe, NamedSharding(mesh, P(EXPERT_AXIS, None, None))
+        )
 
-    # Top-k selection with renormalized gates.
-    gate_vals, gate_idx = jax.lax.top_k(probs, top_k)  # [N, k]
-    gate_vals = gate_vals / jnp.sum(gate_vals, axis=-1, keepdims=True)
+    out = _expert_ffn(xe, layer, cfg, prec)        # [E, C, d]
 
-    # Deterministic capacity assignment: a token's slot in expert e is its
-    # rank among tokens routed to e, k-th choices ranked after all
-    # (k-1)-th choices (GShard's ordering).
+    # Gather each (token, choice)'s expert output and combine with gates.
+    out_flat = out.reshape(e * cap, d)
+    rows = out_flat[jnp.where(valid, slot, 0)]     # [N, k, d]
+    w = (gate_vals * valid.astype(jnp.float32)).astype(cfg.dtype)
+    y = jnp.sum(rows * w[..., None], axis=1)
+
+    return y.reshape(orig_shape).astype(h.dtype), aux
+
+
+def moe_ffn_onehot(h, layer, cfg, mesh=None):
+    """GShard one-hot dispatch/combine ([N, E, C] einsum form) — the
+    tiny-scale ORACLE the scatter/gather path is verified against.  Memory
+    scales with N*E*C; do not use at production token counts."""
+    e, top_k = cfg.n_experts, cfg.expert_top_k
+    orig_shape = h.shape
+    d = orig_shape[-1]
+    x = h.reshape(-1, d)
+    n = x.shape[0]
+    cap = expert_capacity(n, e, top_k, cfg.capacity_factor)
+    prec = jax.lax.Precision.HIGHEST if h.dtype == jnp.float32 else None
+
+    probs, gate_vals, gate_idx, aux = _route(x, layer, cfg)
+
     combine = jnp.zeros((n, e, cap), jnp.float32)
     counts = jnp.zeros((e,), jnp.int32)
     for k in range(top_k):
@@ -130,31 +218,13 @@ def moe_ffn(h, layer, cfg, mesh=None):
         counts = counts + jnp.sum(mask, axis=0)
 
     dispatch = (combine > 0.0).astype(cfg.dtype)  # [N, E, C]
-
-    # The sharded einsums below ARE the EP collectives (see module doc).
     xe = jnp.einsum("nec,nd->ecd", dispatch, x.astype(cfg.dtype),
                     precision=prec)
     if mesh is not None and EXPERT_AXIS in mesh.axis_names:
         xe = jax.lax.with_sharding_constraint(
             xe, NamedSharding(mesh, P(EXPERT_AXIS, None, None))
         )
-    gate = jax.nn.silu(
-        jnp.einsum("ecd,edf->ecf", xe, layer["moe_gate"].astype(cfg.dtype),
-                   precision=prec)
-    )
-    up = jnp.einsum("ecd,edf->ecf", xe, layer["moe_up"].astype(cfg.dtype),
-                    precision=prec)
-    out = jnp.einsum(
-        "ecf,efd->ecd", gate * up, layer["moe_down"].astype(cfg.dtype),
-        precision=prec,
-    )
+    out = _expert_ffn(xe, layer, cfg, prec)
     y = jnp.einsum("nec,ecd->nd", combine.astype(cfg.dtype), out,
                    precision=prec)
-
-    # Switch load-balance loss on the top-1 assignment.
-    top1 = jax.nn.one_hot(gate_idx[:, 0], e, dtype=jnp.float32)
-    f_e = jnp.mean(top1, axis=0)
-    p_e = jnp.mean(probs, axis=0)
-    aux = e * jnp.sum(f_e * p_e)
-
     return y.reshape(orig_shape).astype(h.dtype), aux

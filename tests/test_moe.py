@@ -134,3 +134,25 @@ def test_moe_decode_engine_generates():
     eng = DecodeEngine(params, cfg, max_seqs=2, max_seq_len=256)
     reqs = eng.run([[1, 2, 3], [4, 5]], max_new_tokens=4)
     assert all(r.done and len(r.generated) == 4 for r in reqs)
+
+
+def test_scatter_dispatch_matches_onehot_oracle():
+    """The production scatter/gather MoE dispatch (round-2 verdict #10) must
+    reproduce the GShard one-hot einsum form bit-for-bit in routing and to
+    fp32 matmul accuracy in values — including overflow-token drops."""
+    import dataclasses
+
+    from cuda_flash_attention_tpu.models.moe import moe_ffn_onehot
+
+    cfg = dataclasses.replace(
+        TransformerConfig.tiny_moe(n_experts=4),
+        dtype=jnp.float32, attn_tile_dtype=None,
+        capacity_factor=0.6,  # force real overflow so drops are exercised
+    )
+    layer = init_moe_layer(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 96, cfg.d_model),
+                          jnp.float32)
+    y1, aux1 = moe_ffn(x, layer, cfg)
+    y2, aux2 = moe_ffn_onehot(x, layer, cfg)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=2e-5)
+    assert abs(float(aux1) - float(aux2)) < 1e-6
