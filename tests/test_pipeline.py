@@ -90,3 +90,58 @@ def test_pp_train_step_runs_and_learns():
     assert np.asarray(dw).min() >= 0  # structure intact
     assert float(jnp.abs(pp["stages"]["wq"][0] - pp2["stages"]["wq"][0]).max()) > 0
     assert float(jnp.abs(pp["stages"]["wq"][-1] - pp2["stages"]["wq"][-1]).max()) > 0
+
+
+@needs8
+def test_pp_tp_loss_matches_single_device():
+    """PP x TP composition (round-2 verdict #9): stage weights sharded over
+    'model' inside the pipe shard_map, psum after wo/w_down — the loss must
+    still match the single-device value."""
+    cfg = _cfg()
+    mesh = cpu_test_mesh({"pipe": 2, "model": 2})
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (4, 33), 0,
+                                cfg.vocab_size)
+    ref = float(loss_fn(params, tokens, cfg))
+
+    pp = stack_pipeline_params(params, 2)
+    pp = jax.tree.map(jax.device_put, pp, pipeline_param_shardings(mesh, pp))
+    pp_loss = make_pp_loss_fn(cfg, mesh, n_stages=2, n_micro=2)
+    got = float(jax.jit(pp_loss)(pp, tokens))
+    assert abs(got - ref) < 5e-4, (got, ref)
+
+
+@needs8
+def test_pp_moe_aux_loss_included():
+    """A homogeneous-MoE model (moe_every=1) trained under PP must carry the
+    router aux loss (round-2 advisor finding): PP loss == loss_fn."""
+    cfg = TransformerConfig(
+        vocab_size=64, d_model=64, n_layers=2, n_heads=2, n_kv_heads=2,
+        head_dim=32, d_ff=128, dtype=jnp.float32, attn_tile_dtype=None,
+        n_experts=4, moe_every=1, expert_top_k=2,
+    )
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (2, 33), 0,
+                                cfg.vocab_size)
+    ref = float(loss_fn(params, tokens, cfg))
+    mesh = cpu_test_mesh({"pipe": 2})
+    pp = stack_pipeline_params(params, 2)
+    pp = jax.tree.map(jax.device_put, pp, pipeline_param_shardings(mesh, pp))
+    pp_loss = make_pp_loss_fn(cfg, mesh, n_stages=2, n_micro=2)
+    got = float(jax.jit(pp_loss)(pp, tokens))
+    # The aux term is batch-dependent; microbatched routing sees halves of
+    # the batch, so aux (coef 0.01) differs slightly from the full-batch
+    # value — but a DROPPED aux would differ by the whole aux magnitude.
+    aux_scale = cfg.router_aux_coef * cfg.n_layers
+    assert abs(got - ref) < 0.5 * aux_scale + 5e-4, (got, ref)
+    # And the aux really is nonzero (dropping it would pass a loose bound).
+    nll_only = make_pp_loss_fn(
+        dataclasses_replace_aux0(cfg), mesh, n_stages=2, n_micro=2
+    )(pp, tokens)
+    assert abs(float(nll_only) - got) > 1e-6
+
+
+def dataclasses_replace_aux0(cfg):
+    import dataclasses
+
+    return dataclasses.replace(cfg, router_aux_coef=0.0)
