@@ -28,11 +28,15 @@ import numpy as np
 
 from cuda_flash_attention_tpu.decode.kv_cache import (
     PageAllocator,
-    init_kv_pages,
-    write_prompt_kv,
+    init_kv_pages_stacked,
+    write_prompt_kv_stacked,
 )
 from cuda_flash_attention_tpu.decode.model import decode_step, prefill_forward
-from cuda_flash_attention_tpu.models.transformer import TransformerConfig, init_params
+from cuda_flash_attention_tpu.models.transformer import (
+    TransformerConfig,
+    init_params,
+    stack_layer_params,
+)
 from cuda_flash_attention_tpu.utils.timing import sync
 
 
@@ -43,22 +47,24 @@ def _cdiv(a, b):
 def build_state(cfg: TransformerConfig, batch: int, prompt_len: int,
                 max_len: int, page_size: int = 128, cache_dtype=jnp.int8,
                 seed: int = 0):
-    """Prefill `batch` random prompts into a paged cache sized for max_len."""
+    """Prefill `batch` random prompts into a paged cache sized for max_len.
+    Uses the SCANNED layer layout (stacked params + stacked cache) — the
+    production decode path."""
     params = init_params(jax.random.PRNGKey(seed), cfg)
+    params = {**params, "layers": stack_layer_params(params["layers"])}
     pages_per_seq = _cdiv(max_len, page_size)
     num_pages = batch * pages_per_seq + 1
     alloc = PageAllocator(num_pages)
     page_table = np.zeros((batch, pages_per_seq), np.int32)
 
-    caches = [
-        init_kv_pages(cfg.n_kv_heads, num_pages, page_size, cfg.head_dim,
-                      cache_dtype)
-        for _ in range(cfg.n_layers)
-    ]
+    caches = init_kv_pages_stacked(
+        cfg.n_layers, cfg.n_kv_heads, num_pages, page_size, cfg.head_dim,
+        cache_dtype,
+    )
     tokens = jax.random.randint(
         jax.random.PRNGKey(seed + 1), (batch, prompt_len), 0, cfg.vocab_size
     )
-    logits, kv = jax.jit(
+    logits, (k_all, v_all) = jax.jit(
         lambda p, t: prefill_forward(p, t, cfg)
     )(params, tokens)
 
@@ -69,11 +75,9 @@ def build_state(cfg: TransformerConfig, batch: int, prompt_len: int,
         ids = alloc.alloc(pages_per_seq)  # preallocate the whole horizon
         page_table[s, :] = ids
         ids_prompt = jnp.asarray(ids[:n_prompt_pages], jnp.int32)
-        for li in range(cfg.n_layers):
-            k, v = kv[li]
-            ks = jnp.pad(k[s], ((0, pad), (0, 0), (0, 0)))
-            vs = jnp.pad(v[s], ((0, pad), (0, 0), (0, 0)))
-            caches[li] = write_prompt_kv(caches[li], ks, vs, ids_prompt)
+        ks = jnp.pad(k_all[:, s], ((0, 0), (0, pad), (0, 0), (0, 0)))
+        vs = jnp.pad(v_all[:, s], ((0, 0), (0, pad), (0, 0), (0, 0)))
+        caches = write_prompt_kv_stacked(caches, ks, vs, ids_prompt)
 
     first = jnp.argmax(logits[:, prompt_len - 1, :], axis=-1).astype(jnp.int32)
     return params, caches, jnp.asarray(page_table), first

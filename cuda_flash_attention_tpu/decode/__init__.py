@@ -8,7 +8,9 @@ from cuda_flash_attention_tpu.decode.kv_cache import (
     PageAllocator,
     append_token_kv,
     init_kv_pages,
+    init_kv_pages_stacked,
     write_prompt_kv,
+    write_prompt_kv_stacked,
 )
 from cuda_flash_attention_tpu.decode.model import decode_step, prefill_forward
 from cuda_flash_attention_tpu.decode.sampling import sample_tokens
@@ -25,7 +27,9 @@ __all__ = [
     "PageAllocator",
     "append_token_kv",
     "init_kv_pages",
+    "init_kv_pages_stacked",
     "write_prompt_kv",
+    "write_prompt_kv_stacked",
     "decode_step",
     "prefill_forward",
     "sample_tokens",

@@ -32,11 +32,16 @@ from cuda_flash_attention_tpu.decode.kv_cache import (
     KVPages,
     PageAllocator,
     init_kv_pages,
+    init_kv_pages_stacked,
     write_prompt_kv,
+    write_prompt_kv_stacked,
 )
 from cuda_flash_attention_tpu.decode.model import decode_step, prefill_forward
 from cuda_flash_attention_tpu.decode.sampling import sample_tokens
-from cuda_flash_attention_tpu.models.transformer import TransformerConfig
+from cuda_flash_attention_tpu.models.transformer import (
+    TransformerConfig,
+    stack_layer_params,
+)
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -83,7 +88,11 @@ class DecodeEngine:
         # Serving holds a compute-dtype copy of the big 2D weights: decode
         # has no fp32-master requirement, and casting e.g. a 128 MB fp32
         # lm_head to bf16 EVERY step costs a full-table HBM pass (profiled
-        # 0.3 ms at vocab 32k).  Norm scales / quantized tensors pass through.
+        # 0.3 ms at vocab 32k).  Norm scales / quantized tensors pass through
+        # — QuantizedTensor is treated as a LEAF here so its fp32 dequant
+        # scales keep full precision and its int8/fp8 values stay 1 byte.
+        from cuda_flash_attention_tpu.quant.qtensor import QuantizedTensor
+
         self.params = jax.tree.map(
             lambda p: (
                 p.astype(cfg.dtype)
@@ -92,6 +101,7 @@ class DecodeEngine:
                 else p
             ),
             params,
+            is_leaf=lambda x: isinstance(x, QuantizedTensor),
         )
         self.cfg = cfg
         self.mesh = mesh
@@ -102,13 +112,19 @@ class DecodeEngine:
         self.top_k = top_k
         self.top_p = top_p
         self.interpret = interpret
-        if num_pages is None:
-            num_pages = max_seqs * self.pages_per_seq + 1  # +1 null page
-        self.num_pages = num_pages
-        self.allocator = PageAllocator(num_pages)
+        # Data-parallel serving (north-star "continuous batching across
+        # hosts"): slots AND the physical page pool partition over the
+        # "data" mesh axis — each shard runs its own allocator over a
+        # private pool slice (page_table holds shard-LOCAL ids), so the
+        # device step's append+attention need zero cross-shard collectives.
+        self.dp = 1
         if mesh is not None:
-            from cuda_flash_attention_tpu.parallel.mesh import MODEL_AXIS
+            from cuda_flash_attention_tpu.parallel.mesh import (
+                DATA_AXIS,
+                MODEL_AXIS,
+            )
 
+            self.dp = mesh.shape.get(DATA_AXIS, 1)
             tp = (
                 mesh.shape[MODEL_AXIS]
                 if MODEL_AXIS in mesh.axis_names else 1
@@ -120,20 +136,73 @@ class DecodeEngine:
                     f"({cfg.n_heads}) for tensor-parallel serving: KV pages "
                     f"are head-sharded and must stay device-local"
                 )
-        self.caches = [
-            init_kv_pages(
-                cfg.n_kv_heads, num_pages, page_size, cfg.head_dim, cache_dtype
+            if max_seqs % self.dp:
+                raise ValueError(
+                    f"max_seqs ({max_seqs}) must divide over the "
+                    f"'{DATA_AXIS}' axis ({self.dp}): slots are sharded"
+                )
+        self._slots_per_shard = max_seqs // self.dp
+        if num_pages is None:
+            # +1 null page PER SHARD (each shard's pool reserves local 0).
+            num_pages = max_seqs * self.pages_per_seq + self.dp
+        if num_pages % self.dp:
+            raise ValueError(
+                f"num_pages ({num_pages}) must divide over the data axis "
+                f"({self.dp}): each shard owns a private pool slice"
             )
-            for _ in range(cfg.n_layers)
+        self.num_pages = num_pages
+        self.shard_pages = num_pages // self.dp
+        self.allocators = [
+            PageAllocator(self.shard_pages) for _ in range(self.dp)
         ]
+        # Scanned fast path: homogeneous layers stack into [L, ...] leaves
+        # and the cache into one stacked KVPages, so the whole layer loop
+        # compiles to ONE lax.scan body (decode/model.py).  Heterogeneous
+        # (MoE-interleaved) models keep the per-layer list form.
+        try:
+            self.params = {
+                **self.params,
+                "layers": stack_layer_params(self.params["layers"]),
+            }
+            self._scanned = True
+        except ValueError:
+            self._scanned = False
+        if self._scanned:
+            self.caches = init_kv_pages_stacked(
+                cfg.n_layers, cfg.n_kv_heads, num_pages, page_size,
+                cfg.head_dim, cache_dtype,
+            )
+        else:
+            self.caches = [
+                init_kv_pages(
+                    cfg.n_kv_heads, num_pages, page_size, cfg.head_dim,
+                    cache_dtype,
+                )
+                for _ in range(cfg.n_layers)
+            ]
         if mesh is not None:
             from cuda_flash_attention_tpu.decode.sharded import shard_kv_pages
-            from cuda_flash_attention_tpu.models.transformer import param_shardings
-
-            self.params = jax.tree.map(
-                jax.device_put, self.params, param_shardings(mesh, cfg)
+            from cuda_flash_attention_tpu.models.transformer import (
+                param_shardings,
+                stacked_param_shardings,
             )
-            self.caches = [shard_kv_pages(mesh, c) for c in self.caches]
+
+            from cuda_flash_attention_tpu.parallel.mesh import DATA_AXIS
+
+            data_axis = DATA_AXIS if self.dp > 1 else None
+            shardings = (
+                stacked_param_shardings(mesh, cfg)
+                if self._scanned else param_shardings(mesh, cfg)
+            )
+            self.params = jax.tree.map(jax.device_put, self.params, shardings)
+            if self._scanned:
+                self.caches = shard_kv_pages(mesh, self.caches,
+                                             data_axis=data_axis)
+            else:
+                self.caches = [
+                    shard_kv_pages(mesh, c, data_axis=data_axis)
+                    for c in self.caches
+                ]
         # Host-side slot state (numpy; shipped to device each step — tiny).
         self.page_table = np.zeros(
             (max_seqs, self.pages_per_seq), dtype=np.int32
@@ -164,8 +233,9 @@ class DecodeEngine:
         self._prefill_fn = jax.jit(
             lambda params, tokens: prefill_forward(params, tokens, cfg, mesh)
         )
+        write = write_prompt_kv_stacked if self._scanned else write_prompt_kv
         self._write_fn = jax.jit(
-            lambda pages, k, v, ids: write_prompt_kv(pages, k, v, ids),
+            lambda pages, k, v, ids: write(pages, k, v, ids),
             donate_argnums=(0,),
         )
 
@@ -202,10 +272,11 @@ class DecodeEngine:
                 f"max_seq_len {self.pages_per_seq * self.page_size}"
             )
         worst = _cdiv(len(prompt) + max_new_tokens, self.page_size)
-        if worst > self.num_pages - 1:  # page 0 is the reserved null page
+        # Local page 0 of each data shard is its reserved null page.
+        if worst > self.shard_pages - 1:
             raise ValueError(
-                f"request needs up to {worst} KV pages but the cache has "
-                f"only {self.num_pages - 1} allocatable pages — raise "
+                f"request needs up to {worst} KV pages but each shard pool "
+                f"has only {self.shard_pages - 1} allocatable pages — raise "
                 f"num_pages or shorten prompt/max_new_tokens"
             )
 
@@ -242,39 +313,65 @@ class DecodeEngine:
     def _worst_pages(self, req: Request) -> int:
         return _cdiv(len(req.prompt) + req.max_new_tokens, self.page_size)
 
+    def _slot_shard(self, slot: int) -> int:
+        return slot // self._slots_per_shard
+
+    @property
+    def allocator(self) -> PageAllocator:
+        """Single-shard convenience accessor (dp == 1)."""
+        if self.dp != 1:
+            raise AttributeError(
+                "data-parallel engine has one allocator per shard: use "
+                ".allocators[shard]"
+            )
+        return self.allocators[0]
+
+    def _shard_budgets(self) -> list[int]:
+        """Allocatable pages per data shard, minus pages already promised
+        to that shard's active slots but not yet allocated."""
+        budgets = [a.available for a in self.allocators]
+        for s in range(self.max_seqs):
+            budgets[self._slot_shard(s)] -= max(
+                0, self._slot_worst[s] - len(self._slot_pages[s])
+            )
+        return budgets
+
     def _admit(self):
         """Admit pending requests: same-length-bucket requests prefill as
         ONE batched forward (continuous batching's admission path).
-        Admission is gated on BOTH free slots and the page budget (FIFO:
-        head-of-line blocks until capacity frees up)."""
+        Admission is gated on BOTH free slots and the page budget of the
+        slot's data shard (FIFO: head-of-line blocks until some shard has
+        capacity)."""
         free = self._free_slots()
-        # Pages already promised to active slots but not yet allocated.
-        outstanding = sum(
-            max(0, self._slot_worst[s] - len(self._slot_pages[s]))
-            for s in range(self.max_seqs)
-        )
-        budget = self.allocator.available - outstanding
-        take: list[Request] = []
-        while self._pending and len(take) < len(free):
+        budgets = self._shard_budgets()
+        take: list[tuple[Request, int]] = []
+        while self._pending and free:
             worst = self._worst_pages(self._pending[0])
-            if worst > budget:
+            # First free slot whose shard can cover the worst case.
+            slot = next(
+                (s for s in free if budgets[self._slot_shard(s)] >= worst),
+                None,
+            )
+            if slot is None:
                 break
-            budget -= worst
-            take.append(self._pending.popleft())
+            free.remove(slot)
+            budgets[self._slot_shard(slot)] -= worst
+            take.append((self._pending.popleft(), slot))
         if not take:
             return
         # Bucket quantum covers both the FA2 block grid (128) and the page
         # size, so the prefill KV slice is always a page multiple within the
         # padded prompt.
         quantum = max(128, self.page_size)
-        buckets: dict[int, list[Request]] = {}
-        for r in take:
+        buckets: dict[int, list[tuple[Request, int]]] = {}
+        for r, slot in take:
             buckets.setdefault(
                 _cdiv(len(r.prompt), quantum) * quantum, []
-            ).append(r)
-        for pad_len, reqs in buckets.items():
-            slots = [free.pop(0) for _ in reqs]
-            self._prefill_batch(reqs, slots, pad_len)
+            ).append((r, slot))
+        for pad_len, pairs in buckets.items():
+            self._prefill_batch(
+                [r for r, _ in pairs], [s for _, s in pairs], pad_len
+            )
 
     def _sample(self, logits):
         self._key, sub = jax.random.split(self._key)
@@ -289,10 +386,15 @@ class DecodeEngine:
         prompts are padded to `pad_len` (a 128 multiple for the FA2 kernel) —
         the padded tail's logits are irrelevant under causal masking, its
         K/V is never attended (lengths gate) and decode appends overwrite it."""
-        tokens = np.zeros((len(reqs), pad_len), dtype=np.int32)
+        # DP meshes shard the prefill batch over "data": pad the bucket's
+        # batch to a dp multiple (dummy rows' outputs are simply unused).
+        n_real = len(reqs)
+        n_rows = _cdiv(n_real, self.dp) * self.dp
+        tokens = np.zeros((n_rows, pad_len), dtype=np.int32)
         for i, r in enumerate(reqs):
             tokens[i, :len(r.prompt)] = r.prompt
         logits, kv = self._prefill_fn(self.params, jnp.asarray(tokens))
+        logits = logits[:n_real]
 
         last_idx = jnp.asarray(
             [len(r.prompt) - 1 for r in reqs], jnp.int32
@@ -305,17 +407,31 @@ class DecodeEngine:
         for i, (req, slot) in enumerate(zip(reqs, slots)):
             prompt_len = len(req.prompt)
             n_pages = _cdiv(prompt_len, self.page_size)
-            page_ids = self.allocator.alloc(n_pages)
+            shard = self._slot_shard(slot)
+            page_ids = self.allocators[shard].alloc(n_pages)  # LOCAL ids
             self._slot_pages[slot] = page_ids
             self.page_table[slot, :] = 0
             self.page_table[slot, :n_pages] = page_ids
-            ids_dev = jnp.asarray(page_ids, jnp.int32)
+            # The prefill write scatters into the GLOBAL (data-sharded)
+            # pool; decode-side tables stay local per shard.
+            ids_dev = jnp.asarray(
+                [shard * self.shard_pages + p for p in page_ids], jnp.int32
+            )
             kv_len = n_pages * self.page_size
-            for li in range(self.cfg.n_layers):
-                k, v = kv[li]
-                self.caches[li] = self._write_fn(
-                    self.caches[li], k[i, :kv_len], v[i, :kv_len], ids_dev
+            if self._scanned:
+                # kv = (k [L, B, S, Hkv, D], v [L, ...]): every layer's
+                # pages land in ONE scatter instead of n_layers calls.
+                k_all, v_all = kv
+                self.caches = self._write_fn(
+                    self.caches, k_all[:, i, :kv_len], v_all[:, i, :kv_len],
+                    ids_dev,
                 )
+            else:
+                for li in range(self.cfg.n_layers):
+                    k, v = kv[li]
+                    self.caches[li] = self._write_fn(
+                        self.caches[li], k[i, :kv_len], v[i, :kv_len], ids_dev
+                    )
             first = int(firsts[i])
             req.generated.append(first)
             req.slot = slot
@@ -330,7 +446,7 @@ class DecodeEngine:
         """Grow the slot's page list so position lengths[slot] is writable."""
         needed = self.lengths[slot] // self.page_size + 1
         while len(self._slot_pages[slot]) < needed:
-            (pid,) = self.allocator.alloc(1)
+            (pid,) = self.allocators[self._slot_shard(slot)].alloc(1)
             self._slot_pages[slot].append(pid)
             self.page_table[slot, len(self._slot_pages[slot]) - 1] = pid
 
@@ -343,7 +459,7 @@ class DecodeEngine:
 
     def _retire(self, slot: int) -> Request:
         req = self._slot_req[slot]
-        self.allocator.free(self._slot_pages[slot])
+        self.allocators[self._slot_shard(slot)].free(self._slot_pages[slot])
         self._slot_pages[slot] = []
         self.page_table[slot, :] = 0
         self.lengths[slot] = 0

@@ -53,13 +53,19 @@ class KVPages:
     def tree_unflatten(cls, aux, children):
         return cls(*children)
 
+    # Negative indices so both layouts work: per-layer [Hkv, P, page, D]
+    # and layer-stacked [L, Hkv, P, page, D] (init_kv_pages_stacked).
     @property
     def page_size(self) -> int:
-        return self.k_pages.shape[2]
+        return self.k_pages.shape[-2]
 
     @property
     def num_pages(self) -> int:
-        return self.k_pages.shape[1]
+        return self.k_pages.shape[-3]
+
+    @property
+    def stacked(self) -> bool:
+        return self.k_pages.ndim == 5
 
 
 def init_kv_pages(
@@ -76,6 +82,62 @@ def init_kv_pages(
         k_scales=jnp.ones(sshape, jnp.float32),
         v_pages=jnp.zeros(shape, dtype),
         v_scales=jnp.ones(sshape, jnp.float32),
+    )
+
+
+def init_kv_pages_stacked(
+    n_layers: int,
+    n_kv_heads: int,
+    num_pages: int,
+    page_size: int,
+    head_dim: int,
+    dtype=jnp.int8,
+) -> KVPages:
+    """ALL layers' paged K/V as one KVPages whose leaves carry a leading
+    layer dim [n_layers, ...] — the layout `decode_step`'s `lax.scan` over
+    stacked layer params consumes (one scanned body instead of ~n_layers x
+    ~12 separate XLA ops per token; the round-2 decode step was
+    op-dispatch-bound at 56% of the weight-streaming floor)."""
+    shape = (n_layers, n_kv_heads, num_pages, page_size, head_dim)
+    sshape = (n_layers, n_kv_heads, num_pages, page_size)
+    return KVPages(
+        k_pages=jnp.zeros(shape, dtype),
+        k_scales=jnp.ones(sshape, jnp.float32),
+        v_pages=jnp.zeros(shape, dtype),
+        v_scales=jnp.ones(sshape, jnp.float32),
+    )
+
+
+def write_prompt_kv_stacked(
+    pages: KVPages,   # stacked: leaves [n_layers, ...]
+    k_prompt,  # [n_layers, prompt_len, n_kv_heads, head_dim]
+    v_prompt,
+    page_ids,  # [ceil(prompt_len / page_size)] int32 — this slot's pages
+) -> KVPages:
+    """Prefill write for EVERY layer in one scatter per tensor (the
+    per-layer loop version costs n_layers separate device calls per
+    admitted prefill bucket)."""
+    page_size = pages.page_size
+    n_layers, s = k_prompt.shape[:2]
+    assert s % page_size == 0, "engine pads prompts to page multiples"
+    n = s // page_size
+    dtype = pages.k_pages.dtype
+    kq, ks = _quantize_rows(k_prompt, dtype)  # [L, S, Hkv, D], [L, S, Hkv]
+    vq, vs = _quantize_rows(v_prompt, dtype)
+
+    def to_pages(x):  # [L, S, Hkv, D] -> [L, Hkv, n, page_size, D]
+        return x.transpose(0, 2, 1, 3).reshape(
+            n_layers, x.shape[2], n, page_size, -1
+        )
+
+    def to_scale_pages(x):  # [L, S, Hkv] -> [L, Hkv, n, page_size]
+        return x.transpose(0, 2, 1).reshape(n_layers, x.shape[2], n, page_size)
+
+    return KVPages(
+        k_pages=pages.k_pages.at[:, :, page_ids].set(to_pages(kq)),
+        k_scales=pages.k_scales.at[:, :, page_ids].set(to_scale_pages(ks)),
+        v_pages=pages.v_pages.at[:, :, page_ids].set(to_pages(vq)),
+        v_scales=pages.v_scales.at[:, :, page_ids].set(to_scale_pages(vs)),
     )
 
 

@@ -7,6 +7,18 @@ reference has no serving path (SURVEY.md §2); its closest analog is the
 forward-artifacts-feed-backward contract (O/logsumexp .bin round trip,
 /root/reference/src/main.cpp:66-92), which here generalizes to "prefill
 artifacts (KV pages) feed the decode steps".
+
+Two layer-loop forms, chosen by the caches' layout:
+
+  * SCANNED (caches = one stacked KVPages, params["layers"] = stacked
+    pytree from models.stack_layer_params): a single `lax.scan` body covers
+    every layer.  This collapses the ~n_layers x ~12 separate XLA ops of
+    the Python loop into ONE compiled body — the round-2 decode step was
+    op-dispatch-bound (1.12 ms vs the 0.62 ms weight-streaming floor at the
+    254M config) precisely because of that dispatch fan-out.
+  * LOOP (caches = list of per-layer KVPages, params["layers"] = list):
+    kept for heterogeneous layer stacks (MoE interleave) which cannot
+    stack.
 """
 
 from __future__ import annotations
@@ -15,9 +27,13 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from cuda_flash_attention_tpu.decode.attention import paged_decode_attention
-from cuda_flash_attention_tpu.decode.kv_cache import KVPages, append_token_kv
+from cuda_flash_attention_tpu.decode.kv_cache import (
+    KVPages,
+    append_token_kv,
+)
 from cuda_flash_attention_tpu.models.transformer import (
     TransformerConfig,
     ffn_block,
@@ -28,73 +44,80 @@ from cuda_flash_attention_tpu.models.transformer import (
 from cuda_flash_attention_tpu.quant.linear import dense
 
 
+def _prefill_layer(x, layer, positions, cfg: TransformerConfig, mesh):
+    """One prefill layer: returns (x, (k, v)) with k/v post-RoPE
+    [B, S, Hkv, D] — exactly what the cache stores."""
+    b, s = x.shape[:2]
+    h = rms_norm(x, layer["attn_norm"])
+    q = dense(h, layer["wq"]).reshape(b, s, cfg.n_heads, cfg.head_dim)
+    k = dense(h, layer["wk"]).reshape(b, s, cfg.n_kv_heads, cfg.head_dim)
+    v = dense(h, layer["wv"]).reshape(b, s, cfg.n_kv_heads, cfg.head_dim)
+    q = rope(q, positions, cfg.rope_theta)
+    k = rope(k, positions, cfg.rope_theta)
+    o = gqa_flash_attention(
+        q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3), cfg=cfg, mesh=mesh, causal=True,
+    )
+    o = o.transpose(0, 2, 1, 3).reshape(b, s, cfg.q_dim)
+    x = x + dense(o, layer["wo"])
+    x, _ = ffn_block(x, layer, cfg, mesh)  # dense or MoE (aux unused)
+    return x, (k, v)
+
+
 def prefill_forward(params, tokens, cfg: TransformerConfig, mesh=None):
     """Full causal forward over a prompt batch [B, S]; returns
-    (logits [B, S, vocab], per-layer (k, v) with shape [B, S, Hkv, D]) —
-    the K/V are post-RoPE, exactly what the cache stores.  With `mesh`,
-    attention runs head-parallel/ring exactly like training forward."""
+    (logits [B, S, vocab], kv) where kv is per-layer post-RoPE K/V:
+    a list of (k, v) [B, S, Hkv, D] for list-form params, or a stacked
+    (k [L, B, S, Hkv, D], v [L, ...]) pair for stacked params (the
+    engine's scanned form).  With `mesh`, attention runs
+    head-parallel/ring exactly like training forward."""
     b, s = tokens.shape
     positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s))
     # Gather THEN convert: casting the whole [vocab, d] table costs a
     # full-table HBM pass per step (profiled 0.3 ms at vocab 32k).
     x = params["embed"][tokens].astype(cfg.dtype)
-    kv_out = []
-    for layer in params["layers"]:
-        h = rms_norm(x, layer["attn_norm"])
-        q = dense(h, layer["wq"]).reshape(b, s, cfg.n_heads, cfg.head_dim)
-        k = dense(h, layer["wk"]).reshape(b, s, cfg.n_kv_heads, cfg.head_dim)
-        v = dense(h, layer["wv"]).reshape(b, s, cfg.n_kv_heads, cfg.head_dim)
-        q = rope(q, positions, cfg.rope_theta)
-        k = rope(k, positions, cfg.rope_theta)
-        kv_out.append((k, v))
-        o = gqa_flash_attention(
-            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
-            v.transpose(0, 2, 1, 3), cfg=cfg, mesh=mesh, causal=True,
-        )
-        o = o.transpose(0, 2, 1, 3).reshape(b, s, cfg.q_dim)
-        x = x + dense(o, layer["wo"])
-        x, _ = ffn_block(x, layer, cfg, mesh)  # dense or MoE (aux unused)
+    layers = params["layers"]
+    if isinstance(layers, (list, tuple)):
+        kv_out = []
+        for layer in layers:
+            x, kv = _prefill_layer(x, layer, positions, cfg, mesh)
+            kv_out.append(kv)
+    else:
+        def body(x, layer):
+            return _prefill_layer(x, layer, positions, cfg, mesh)
+
+        x, kv_out = lax.scan(body, x, layers)
     x = rms_norm(x, params["final_norm"])
     logits = dense(x, params["lm_head"]).astype(jnp.float32)
     return logits, kv_out
 
 
-def decode_step(
-    params,
-    tokens,      # [num_seqs] int32 — last sampled token per slot
-    positions,   # [num_seqs] int32 — write position (= current length)
-    caches,      # list[KVPages], one per layer
-    page_table,  # [num_seqs, pages_per_seq] int32
-    active,      # [num_seqs] bool
-    cfg: TransformerConfig,
-    *,
-    mesh=None,
-    interpret=None,
-):
-    """One decode step for all slots: append each layer's new K/V to the
-    paged cache, attend over pages, return (logits [num_seqs, vocab],
-    new_caches).  With `mesh`, attention runs head-parallel over the model
-    axis (decode/sharded.py) and dense projections partition under pjit."""
-    n = tokens.shape[0]
-    # Gather THEN convert: casting the whole [vocab, d] table costs a
-    # full-table HBM pass per step (profiled 0.3 ms at vocab 32k).
-    x = params["embed"][tokens].astype(cfg.dtype)  # [n, d_model]
-    pos2 = positions[:, None]  # [n, 1] for rope's [B, S] contract
-    attn_lengths = jnp.where(active, positions + 1, 0)
-    compute_dtype = (
-        jnp.float32 if cfg.attn_tile_dtype is None else jnp.bfloat16
-    )
-    new_caches = []
-    for layer, pages in zip(params["layers"], caches):
-        h = rms_norm(x, layer["attn_norm"])
-        q = dense(h, layer["wq"]).reshape(n, 1, cfg.n_heads, cfg.head_dim)
-        k = dense(h, layer["wk"]).reshape(n, 1, cfg.n_kv_heads, cfg.head_dim)
-        v = dense(h, layer["wv"]).reshape(n, 1, cfg.n_kv_heads, cfg.head_dim)
-        q = rope(q, pos2, cfg.rope_theta)[:, 0]  # [n, Hq, D]
-        k = rope(k, pos2, cfg.rope_theta)[:, 0]  # [n, Hkv, D]
-        v = v[:, 0]
+def _decode_layer(x, layer, pages, pos2, positions, attn_lengths, page_table,
+                  active, cfg: TransformerConfig, mesh, interpret,
+                  compute_dtype):
+    """One decode layer over a per-layer KVPages: returns (x, new_pages)."""
+    n = x.shape[0]
+    h = rms_norm(x, layer["attn_norm"])
+    q = dense(h, layer["wq"]).reshape(n, 1, cfg.n_heads, cfg.head_dim)
+    k = dense(h, layer["wk"]).reshape(n, 1, cfg.n_kv_heads, cfg.head_dim)
+    v = dense(h, layer["wv"]).reshape(n, 1, cfg.n_kv_heads, cfg.head_dim)
+    q = rope(q, pos2, cfg.rope_theta)[:, 0]  # [n, Hq, D]
+    k = rope(k, pos2, cfg.rope_theta)[:, 0]  # [n, Hkv, D]
+    v = v[:, 0]
+    from cuda_flash_attention_tpu.parallel.mesh import DATA_AXIS
+
+    if mesh is not None and mesh.shape.get(DATA_AXIS, 1) > 1:
+        # Multi-host serving: slots AND the page pool shard over "data"
+        # (page_table carries shard-local ids) — append + attention run as
+        # one communication-free shard_map (decode/sharded.py).
+        from cuda_flash_attention_tpu.decode.sharded import dp_tp_append_attend
+
+        o, pages = dp_tp_append_attend(
+            mesh, q.astype(cfg.dtype), k, v, pages, page_table, positions,
+            active, attn_lengths, compute_dtype=compute_dtype,
+        )
+    else:
         pages = append_token_kv(pages, k, v, page_table, positions, active)
-        new_caches.append(pages)
         if mesh is not None:
             from cuda_flash_attention_tpu.decode.sharded import (
                 tp_paged_decode_attention,
@@ -110,8 +133,52 @@ def decode_step(
                 compute_dtype=compute_dtype,
                 interpret=interpret,
             )  # [n, Hq, D]
-        x = x + dense(o.reshape(n, cfg.q_dim), layer["wo"])
-        x, _ = ffn_block(x, layer, cfg, mesh)  # dense or MoE (aux unused)
+    x = x + dense(o.reshape(n, cfg.q_dim), layer["wo"])
+    x, _ = ffn_block(x, layer, cfg, mesh)  # dense or MoE (aux unused)
+    return x, pages
+
+
+def decode_step(
+    params,
+    tokens,      # [num_seqs] int32 — last sampled token per slot
+    positions,   # [num_seqs] int32 — write position (= current length)
+    caches,      # stacked KVPages (scan path) or list[KVPages] (loop path)
+    page_table,  # [num_seqs, pages_per_seq] int32
+    active,      # [num_seqs] bool
+    cfg: TransformerConfig,
+    *,
+    mesh=None,
+    interpret=None,
+):
+    """One decode step for all slots: append each layer's new K/V to the
+    paged cache, attend over pages, return (logits [num_seqs, vocab],
+    new_caches).  With `mesh`, attention runs head-parallel over the model
+    axis (decode/sharded.py) and dense projections partition under pjit."""
+    # Gather THEN convert: casting the whole [vocab, d] table costs a
+    # full-table HBM pass per step (profiled 0.3 ms at vocab 32k).
+    x = params["embed"][tokens].astype(cfg.dtype)  # [n, d_model]
+    pos2 = positions[:, None]  # [n, 1] for rope's [B, S] contract
+    attn_lengths = jnp.where(active, positions + 1, 0)
+    compute_dtype = (
+        jnp.float32 if cfg.attn_tile_dtype is None else jnp.bfloat16
+    )
+    step = functools.partial(
+        _decode_layer,
+        pos2=pos2, positions=positions, attn_lengths=attn_lengths,
+        page_table=page_table, active=active, cfg=cfg, mesh=mesh,
+        interpret=interpret, compute_dtype=compute_dtype,
+    )
+    if isinstance(caches, KVPages):  # stacked scan path
+        def body(x, xs):
+            layer, pages = xs
+            return step(x, layer, pages)
+
+        x, new_caches = lax.scan(body, x, (params["layers"], caches))
+    else:
+        new_caches = []
+        for layer, pages in zip(params["layers"], caches):
+            x, pages = step(x, layer, pages)
+            new_caches.append(pages)
     x = rms_norm(x, params["final_norm"])
     logits = dense(x, params["lm_head"]).astype(jnp.float32)
     return logits, new_caches

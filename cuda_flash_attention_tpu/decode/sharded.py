@@ -27,24 +27,39 @@ import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from cuda_flash_attention_tpu.decode.attention import paged_decode_attention
-from cuda_flash_attention_tpu.decode.kv_cache import KVPages
-from cuda_flash_attention_tpu.parallel.mesh import MODEL_AXIS
+from cuda_flash_attention_tpu.decode.kv_cache import KVPages, append_token_kv
+from cuda_flash_attention_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 from cuda_flash_attention_tpu.parallel.sharded import mesh_interpret_default
 
 
-def kv_pages_spec(mesh, *, model_axis: str = MODEL_AXIS) -> KVPages:
-    """PartitionSpecs for a KVPages pytree: kv heads over the model axis."""
+def mesh_dp(mesh, data_axis: str = DATA_AXIS) -> int:
+    return mesh.shape[data_axis] if data_axis in mesh.axis_names else 1
+
+
+def kv_pages_spec(mesh, *, model_axis: str = MODEL_AXIS,
+                  data_axis: str | None = None,
+                  stacked: bool = False) -> KVPages:
+    """PartitionSpecs for a KVPages pytree: kv heads over the model axis;
+    with ``data_axis``, the PAGE POOL additionally shards over data — each
+    data shard owns its own physical pages (multi-host serving: every
+    shard's slots allocate from its local pool, so appends and attention
+    stay device-local with zero cross-data communication).
+    ``stacked`` prepends the layer dim (init_kv_pages_stacked layout)."""
     model = model_axis if model_axis in mesh.axis_names else None
+    data = data_axis if (data_axis and data_axis in mesh.axis_names) else None
+    lead = (None,) if stacked else ()
     return KVPages(
-        k_pages=P(model, None, None, None),
-        k_scales=P(model, None, None),
-        v_pages=P(model, None, None, None),
-        v_scales=P(model, None, None),
+        k_pages=P(*lead, model, data, None, None),
+        k_scales=P(*lead, model, data, None),
+        v_pages=P(*lead, model, data, None, None),
+        v_scales=P(*lead, model, data, None),
     )
 
 
-def shard_kv_pages(mesh, pages: KVPages, *, model_axis: str = MODEL_AXIS):
-    spec = kv_pages_spec(mesh, model_axis=model_axis)
+def shard_kv_pages(mesh, pages: KVPages, *, model_axis: str = MODEL_AXIS,
+                   data_axis: str | None = None):
+    spec = kv_pages_spec(mesh, model_axis=model_axis, data_axis=data_axis,
+                         stacked=pages.stacked)
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), pages, spec
     )
@@ -96,3 +111,57 @@ def tp_paged_decode_attention(
         )
 
     return _local(q, pages, page_table, lengths)
+
+
+def dp_tp_append_attend(
+    mesh,
+    q,            # [num_seqs, n_heads, D] — seqs over "data", heads "model"
+    k_new,        # [num_seqs, n_kv_heads, D]
+    v_new,
+    pages: KVPages,   # per-layer; page pool sharded over "data", heads "model"
+    page_table,   # [num_seqs, pages_per_seq] int32, LOCAL page ids, "data"
+    positions,    # [num_seqs] int32, "data"
+    active,       # [num_seqs] bool, "data"
+    lengths,      # [num_seqs] int32, "data"
+    *,
+    sm_scale: float | None = None,
+    compute_dtype=jnp.bfloat16,
+    data_axis: str = DATA_AXIS,
+    model_axis: str = MODEL_AXIS,
+):
+    """Multi-host decode inner step: KV append + paged attention as ONE
+    shard_map over (data, model).  Each data shard owns a private page pool
+    (page_table entries are LOCAL ids into its slice) and its own slots, so
+    the entire operation is communication-free — continuous batching across
+    hosts costs zero collectives in the attention path (BASELINE.json
+    north-star config 4).  Returns (o [num_seqs, n_heads, D], new pages)."""
+    data = data_axis if data_axis in mesh.axis_names else None
+    model = model_axis if model_axis in mesh.axis_names else None
+    interpret = mesh_interpret_default(mesh)
+    q_spec = P(data, model, None)
+    kv_spec = P(data, model, None)
+    pg_spec = kv_pages_spec(mesh, model_axis=model_axis, data_axis=data_axis)
+    slot_spec = P(data)
+    tbl_spec = P(data, None)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(q_spec, kv_spec, kv_spec, pg_spec, tbl_spec, slot_spec,
+                  slot_spec, slot_spec),
+        out_specs=(q_spec, pg_spec),
+        check_vma=False,
+    )
+    def _local(q, k_new, v_new, pages, page_table, positions, active,
+               lengths):
+        pages = append_token_kv(
+            pages, k_new, v_new, page_table, positions, active
+        )
+        o = paged_decode_attention(
+            q, pages, page_table, lengths,
+            sm_scale=sm_scale, compute_dtype=compute_dtype,
+            interpret=interpret,
+        )
+        return o, pages
+
+    return _local(q, k_new, v_new, pages, page_table, positions, active,
+                  lengths)

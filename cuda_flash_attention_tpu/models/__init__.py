@@ -8,6 +8,8 @@ from cuda_flash_attention_tpu.models.transformer import (  # noqa: F401
     make_train_step,
     gqa_flash_attention,
     param_shardings,
+    stack_layer_params,
+    stacked_param_shardings,
 )
 from cuda_flash_attention_tpu.models.moe import (  # noqa: F401
     init_moe_layer,

@@ -142,6 +142,33 @@ def init_params(key, cfg: TransformerConfig):
     }
 
 
+def stack_layer_params(layers):
+    """Stack a homogeneous per-layer param list into one pytree with a
+    leading layer dim — the layout `lax.scan`-based layer loops consume
+    (decode_step's scanned fast path; pipeline stages use the same trick).
+    Raises on heterogeneous layers (e.g. MoE interleave)."""
+    keys = set(layers[0].keys())
+    for l in layers[1:]:
+        if set(l.keys()) != keys:
+            raise ValueError(
+                "stack_layer_params needs homogeneous layers (same param "
+                "keys); MoE-interleaved models (moe_every>1) cannot stack"
+            )
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+
+
+def stacked_param_shardings(mesh, cfg: TransformerConfig):
+    """param_shardings for a pytree whose "layers" entry is stacked
+    (stack_layer_params): per-layer specs gain a leading None (layer) dim."""
+    base = param_shardings(mesh, cfg)
+    layer0 = base["layers"][0]
+    stacked = jax.tree.map(
+        lambda ns: NamedSharding(mesh, P(None, *ns.spec)), layer0,
+        is_leaf=lambda x: isinstance(x, NamedSharding),
+    )
+    return {**base, "layers": stacked}
+
+
 def param_shardings(mesh, cfg: TransformerConfig):
     """NamedShardings for TP ("model" axis) placement of the param pytree:
     QKV/gate/up column-sharded, O/down row-sharded, norms replicated."""

@@ -324,3 +324,95 @@ def test_engine_rejects_bad_page_size():
     params = init_params(jax.random.PRNGKey(0), cfg)
     with pytest.raises(ValueError, match="page_size"):
         DecodeEngine(params, cfg, page_size=96)
+
+
+# ---------------------------------------------------------------------------
+# Scanned (stacked-layer) decode path vs the per-layer loop path
+# ---------------------------------------------------------------------------
+
+
+def test_scanned_decode_matches_loop():
+    """decode_step over stacked params + stacked cache (the lax.scan fast
+    path, round-3 dispatch-amortization work) must match the per-layer
+    Python-loop path step for step."""
+    from cuda_flash_attention_tpu.decode import (
+        decode_step,
+        init_kv_pages_stacked,
+        prefill_forward,
+        write_prompt_kv_stacked,
+    )
+    import dataclasses
+
+    from cuda_flash_attention_tpu.models import stack_layer_params
+
+    # fp32 activations AND highest matmul precision: the two paths then
+    # differ only by XLA op ordering (~1e-6).  At the TPU default precision
+    # fp32 matmuls run as single-pass bf16, and scan-vs-unrolled scheduling
+    # re-rounds differently (~5e-3 on logits) — that's noise, not a bug.
+    cfg = dataclasses.replace(
+        TransformerConfig.tiny(), dtype=jnp.float32, attn_tile_dtype=None
+    )
+    prec = jax.default_matmul_precision("highest")
+    prec.__enter__()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    sparams = {**params, "layers": stack_layer_params(params["layers"])}
+
+    b, s = 2, PAGE
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (b, s), 0,
+                                cfg.vocab_size)
+    logits_l, kv_list = jax.jit(
+        lambda p, t: prefill_forward(p, t, cfg)
+    )(params, tokens)
+    logits_s, (k_all, v_all) = jax.jit(
+        lambda p, t: prefill_forward(p, t, cfg)
+    )(sparams, tokens)
+    np.testing.assert_allclose(
+        np.asarray(logits_l), np.asarray(logits_s), atol=1e-4
+    )
+
+    # Build both cache layouts with the same prompt KV.
+    num_pages = 2 * b + 1
+    caches_l = [
+        init_kv_pages(cfg.n_kv_heads, num_pages, PAGE, cfg.head_dim,
+                      jnp.int8)
+        for _ in range(cfg.n_layers)
+    ]
+    caches_s = init_kv_pages_stacked(
+        cfg.n_layers, cfg.n_kv_heads, num_pages, PAGE, cfg.head_dim,
+        jnp.int8,
+    )
+    page_table = np.zeros((b, 2), np.int32)
+    for slot in range(b):
+        ids = [1 + 2 * slot, 2 + 2 * slot]
+        page_table[slot, :] = ids
+        ids_dev = jnp.asarray(ids[:1], jnp.int32)
+        for li in range(cfg.n_layers):
+            k, v = kv_list[li]
+            caches_l[li] = write_prompt_kv(caches_l[li], k[slot], v[slot],
+                                           ids_dev)
+        caches_s = write_prompt_kv_stacked(
+            caches_s, k_all[:, slot], v_all[:, slot], ids_dev
+        )
+    np.testing.assert_array_equal(
+        np.stack([np.asarray(c.k_pages) for c in caches_l]),
+        np.asarray(caches_s.k_pages),
+    )
+
+    page_table = jnp.asarray(page_table)
+    positions = jnp.full((b,), s, jnp.int32)
+    active = jnp.ones((b,), bool)
+    last = jnp.argmax(logits_l[:, -1], axis=-1).astype(jnp.int32)
+    out_l, caches_l = decode_step(
+        params, last, positions, caches_l, page_table, active, cfg
+    )
+    out_s, caches_s = decode_step(
+        sparams, last, positions, caches_s, page_table, active, cfg
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_l), np.asarray(out_s), atol=1e-4
+    )
+    np.testing.assert_array_equal(
+        np.stack([np.asarray(c.v_pages) for c in caches_l]),
+        np.asarray(caches_s.v_pages),
+    )
+    prec.__exit__(None, None, None)

@@ -99,3 +99,40 @@ def test_tp_decode_dryrun_bench_path():
     out = tp_decode_dryrun(TransformerConfig.tiny(), tp=2, batch=2,
                            gen_tokens=5)
     assert out["dryrun"] and out["timed_tokens"] > 0 and out["tp"] == 2
+
+
+def test_dp_tp_engine_matches_single_device():
+    """Multi-host continuous batching (round-2 verdict #3): slots + page
+    pool sharded over 'data', KV heads over 'model'.  Greedy generation
+    through the DP=2 x TP=2 engine equals the unsharded engine
+    token-for-token."""
+    mesh = _cpu_mesh({"data": 2, "model": 2})
+    cfg = TransformerConfig.tiny()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    prompts = [[5, 17, 100, 42], [3, 9], [77] * 7, [1, 2, 3]]
+
+    eng1 = DecodeEngine(params, cfg, max_seqs=4, max_seq_len=512,
+                        cache_dtype=jnp.bfloat16, interpret=True)
+    ref = [r.generated for r in eng1.run(prompts, max_new_tokens=4)]
+
+    eng2 = DecodeEngine(params, cfg, max_seqs=4, max_seq_len=512,
+                        cache_dtype=jnp.bfloat16, mesh=mesh)
+    assert eng2.dp == 2 and len(eng2.allocators) == 2
+    got = [r.generated for r in eng2.run(prompts, max_new_tokens=4)]
+    assert got == ref, f"DPxTP {got} vs single {ref}"
+    # Every shard's pages drained back to its own allocator.
+    for a in eng2.allocators:
+        assert a.available == a.num_pages - 1
+
+
+def test_dp_engine_continuous_batching_over_capacity():
+    """More requests than slots: the DP engine must queue, admit as slots
+    free, and finish everything (per-shard budget admission path)."""
+    mesh = _cpu_mesh({"data": 2, "model": 1})
+    cfg = TransformerConfig.tiny()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    prompts = [[i + 1, i + 2] for i in range(6)]  # 6 requests, 2 slots
+    eng = DecodeEngine(params, cfg, max_seqs=2, max_seq_len=256,
+                       cache_dtype=jnp.bfloat16, mesh=mesh)
+    reqs = eng.run(prompts, max_new_tokens=3)
+    assert all(r.done and len(r.generated) == 3 for r in reqs)
