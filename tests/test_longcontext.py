@@ -58,6 +58,27 @@ def test_quantized_ring_matches_fp32_ring():
 
 
 @needs8
+def test_quantized_ring_gqa():
+    """GQA flows through the quantized ring: only Hkv quantized heads rotate
+    (4x less ICI traffic again on top of the int8 ratio for 4:1 groups) —
+    enabled by the quant kernel's kernel-native kv_groups routing."""
+    from cuda_flash_attention_tpu.parallel import ring_attention_quantized
+    from cuda_flash_attention_tpu.parallel.mesh import cpu_test_mesh
+
+    mesh = cpu_test_mesh({"ctx": 4})
+    ks = jax.random.split(jax.random.PRNGKey(13), 3)
+    q = jax.random.normal(ks[0], (1, 8, 512, 64), jnp.float32)
+    k = jax.random.normal(ks[1], (1, 2, 512, 64), jnp.float32)
+    v = jax.random.normal(ks[2], (1, 2, 512, 64), jnp.float32)
+    ref = vanilla_attention(
+        q, jnp.repeat(k, 4, axis=1), jnp.repeat(v, 4, axis=1), causal=True
+    )
+    o = ring_attention_quantized(mesh, q, k, v, causal=True)
+    m = compute_metrics(o, ref)
+    assert m.passes(5e-2), m
+
+
+@needs8
 def test_quantized_ring_fp8():
     from cuda_flash_attention_tpu.parallel import ring_attention_quantized
     from cuda_flash_attention_tpu.parallel.mesh import cpu_test_mesh
