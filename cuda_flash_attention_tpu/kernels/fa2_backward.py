@@ -49,6 +49,7 @@ from cuda_flash_attention_tpu.kernels.common import (
     resolve_interpret,
     tile_cast,
 )
+from cuda_flash_attention_tpu.kernels.fa2_forward import bf16_vpu_chain
 
 # Contract dim 0 of both operands: A^T @ B without materializing a transpose.
 _TRANS_A_DIMS = (((0,), (0,)), ((), ()))
@@ -74,14 +75,31 @@ def _compute_p_ds(q, k, v, do, lse, di, *, sm_scale, mask, mask_value, tile_dtyp
         s += jnp.where(mask, 0.0, mask_value)
     # P = exp2(S2 - lse*log2e): rows already normalized (lse = log(l) + m).
     # lse/di are lane-replicated; a single-lane broadcast beats a lane-tile.
-    p = jnp.exp2(s - (lse[:, :1] * LOG2E))
+    t = s - (lse[:, :1] * LOG2E)
+    # bf16 tiles: run the S^2-element exp2 and the ds multiply in bf16
+    # itself.  The matmuls need p/ds in bf16 anyway, so the fp32 exp2 +
+    # separate downcast passes collapse into the half-width chain — the
+    # dominant VPU cost of the backward (S^2 elements, unoverlapped with
+    # the MXU).  Precision: the bf16 t carries <= 2^-8 |t| ln2 relative
+    # error into p, largest where p is tiny and its absolute contribution
+    # to dV/dK vanishes — inside the bf16-tile grad budget (tests: 5e-2).
+    # fp16 is storage-rounding emulation (compute stays fp32) and keeps
+    # the fp32 chain + caller-side rounding.  CFA_BF16_VPU_CHAIN=0
+    # disables (same A/B knob as the forward, fa2_forward.bf16_vpu_chain).
+    bf16_chain = bf16_vpu_chain(tile_dtype, jnp.float32)
+    if bf16_chain:
+        t = t.astype(jnp.bfloat16)
+    p = jnp.exp2(t)
     if mask is not None:
         # Exact zero on masked entries: fully-masked rows (segment ids) have
         # a garbage lse, and exp(s - lse) there would pollute dK/dV sums.
-        p = jnp.where(mask, p, 0.0)
+        p = jnp.where(mask, p, jnp.zeros((), p.dtype))
     do_c = tile_cast(do, tile_dtype)
     dp = mxu_dot_tb(do_c, tile_cast(v, tile_dtype))
-    ds = p * (dp - di[:, :1])
+    dpd = dp - di[:, :1]
+    if bf16_chain:
+        dpd = dpd.astype(jnp.bfloat16)
+    ds = p * dpd
     return p, ds, q_s
 
 
@@ -146,16 +164,19 @@ def _fa2_bwd_fused_kernel(
         k_c = tile_cast(k, tile_dtype)
         p_c = tile_cast(p, tile_dtype).astype(do_c.dtype)
         ds_c = tile_cast(ds, tile_dtype).astype(q_s.dtype)
-        dv_scr[...] += mxu_dot_ta_out(p_c, do_c)
+        # fp32-parity path (tile_dtype None): exact 3-pass emulation keeps
+        # the reference's <1e-6 grad budget; the 2-pass form is ~1e-5.
+        exact = tile_dtype is None
+        dv_scr[...] += mxu_dot_ta_out(p_c, do_c, exact=exact)
         # q_s carries sm_scale*LOG2E; the store epilogue divides it back out.
-        dk_scr[...] += mxu_dot_ta_out(ds_c, q_s)
+        dk_scr[...] += mxu_dot_ta_out(ds_c, q_s, exact=exact)
         # dQ partial for this (kv block, q block): dS @ K — S and dP were
         # already in registers, so this is the only extra MXU pass.  Unscaled
         # (ds is unscaled); with several KV slices the wrapper folds sm_scale
         # into the XLA partial-sum, but a SINGLE slice is final — scale+cast
         # here so the wrapper's sum op (a full dq-sized f32 HBM round trip)
         # disappears.
-        dq_blk = mxu_dot_out(ds_c, k_c)
+        dq_blk = mxu_dot_out(ds_c, k_c, exact=exact)
         if scale_dq_in_kernel:
             dq_blk = dq_blk * sm_scale
         dq_part_ref[0, 0, 0] = dq_blk.astype(dq_part_ref.dtype)
@@ -230,8 +251,9 @@ def _fa2_bwd_dkv_kernel(
         do_c = tile_cast(do, tile_dtype)
         p_c = tile_cast(p, tile_dtype).astype(do_c.dtype)
         ds_c = tile_cast(ds, tile_dtype).astype(q_s.dtype)
-        dv_scr[...] += mxu_dot_ta_out(p_c, do_c)
-        dk_scr[...] += mxu_dot_ta_out(ds_c, q_s)
+        exact = tile_dtype is None  # fp32-parity: keep the <1e-6 budget
+        dv_scr[...] += mxu_dot_ta_out(p_c, do_c, exact=exact)
+        dk_scr[...] += mxu_dot_ta_out(ds_c, q_s, exact=exact)
 
     @pl.when(inner == kv_groups * num_q_blocks - 1)
     def _store():
@@ -285,7 +307,8 @@ def _fa2_bwd_dq_kernel(
         )
         k_c = tile_cast(k, tile_dtype)
         dq_scr[...] += mxu_dot_out(
-            tile_cast(ds, tile_dtype).astype(k_c.dtype), k_c
+            tile_cast(ds, tile_dtype).astype(k_c.dtype), k_c,
+            exact=tile_dtype is None,
         )
 
     @pl.when(kv_idx == num_kv_blocks - 1)

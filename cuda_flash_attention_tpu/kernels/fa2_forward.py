@@ -41,6 +41,7 @@ at the final KV block.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -69,6 +70,31 @@ def use_fold_rowsum(head_dim: int, tile_dtype, in_dtype) -> bool:
     output lane in the multi-pass emulation, so widening V to 128 lanes
     would roughly double its PV time."""
     if head_dim >= NUM_LANES:
+        return False
+    eff = tile_dtype if tile_dtype is not None else in_dtype
+    return jnp.dtype(eff) == jnp.dtype(jnp.bfloat16)
+
+
+def bf16_vpu_chain(tile_dtype, in_dtype) -> bool:
+    """True when the effective matmul dtype is bf16 (native MXU path): the
+    S^2-element softmax chain (exp2, mask-where, ds-style multiplies) then
+    runs in bf16 directly — the downstream matmul needs a bf16 operand
+    anyway, so the fp32 exp2 + separate downcast pass collapses into one
+    half-width exp2.  fp32/fp16-emulation paths keep the fp32 chain (their
+    matmul operands are fp32).
+
+    Applied ONLY to the multi-KV-block online loop (_fa2_fwd_kernel): that
+    is where the S^2 VPU work serializes against the MXU.  The single-block
+    and small-shape paths keep the fp32 chain — their VPU cost is
+    negligible, and the extra ~2^-9 relative noise would leak into
+    token-level greedy parity at serving shapes (tests/test_decode.py
+    engine-vs-full-forward gate).
+
+    CFA_BF16_VPU_CHAIN=0 disables it (A/B knob: Mosaic may widen bf16
+    elementwise ops to fp32 internally, in which case the win is only the
+    removed cast passes — measure per chip generation, read at trace
+    time)."""
+    if os.environ.get("CFA_BF16_VPU_CHAIN", "1") == "0":
         return False
     eff = tile_dtype if tile_dtype is not None else in_dtype
     return jnp.dtype(eff) == jnp.dtype(jnp.bfloat16)
@@ -120,7 +146,7 @@ def _single_kv_attention(
     if fold_rowsum:
         l = pv[:, head_dim][:, None]
     else:
-        l = jnp.sum(p, axis=1)[:, None]
+        l = jnp.sum(p, axis=1, dtype=jnp.float32)[:, None]
     l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
     o = (pv[:, :head_dim] * l_inv).astype(out_dtype)
     if not want_lse:
@@ -152,35 +178,68 @@ def _fa2_fwd_small_kernel(
     sm_scale, causal, mask_value, kv_len, seq_pad, group,
     tile_dtype, mask_kv_tail, has_segments, fold_rowsum,
 ):
-    """Small-shape kernel: one grid cell per (batch, head-group) with `group`
-    heads processed back-to-back — amortizes per-cell grid/DMA overhead when
-    the whole problem is a single tiny tile per head (the reference's
-    Edge-SmallSeq/NonPowerOf2 configs)."""
+    """Small-shape kernel: one grid cell per (batch, head-group), with the
+    group's heads PACKED along the sequence axis into a single
+    [group*seq_pad, D] tile and attended in ONE block-diagonal matmul +
+    softmax.  At tiny sequence lengths (the reference's Edge-SmallSeq /
+    NonPowerOf2 configs) the cost is instruction issue, not FLOPs: the
+    per-head loop this replaces emitted `group` copies of every matmul and
+    VPU op, while the MXU ran almost empty.  The cross-head score blocks are
+    masked off — wasted MXU flops (group× the useful QK^T work) on an
+    otherwise idle unit, in exchange for a group× cut in instruction count."""
     if has_segments:
         q_ref, k_ref, v_ref, qseg_ref, kvseg_ref, o_ref, lse_ref = refs
     else:
         q_ref, k_ref, v_ref, o_ref, lse_ref = refs
         qseg_ref = kvseg_ref = None
-    # Scale/cast the whole head group in ONE wide VPU op instead of per head.
+    head_dim = q_ref.shape[-1]
+    rows = group * seq_pad
+    # Scale/cast the whole head group in ONE wide VPU op, then merge the
+    # (group, seq_pad) leading dims — layout-preserving because seq_pad is a
+    # sublane multiple (seq_pad_quantum).
     c = sm_scale * LOG2E
     q_all = q_ref[0].astype(jnp.float32) * c  # [group, seq_pad, D]
     q_all = (
         q_all.astype(q_ref.dtype) if tile_dtype is None
         else tile_cast(q_all, tile_dtype)
     )
-    for g in range(group):
-        o, lse = _single_kv_attention(
-            q_all[g], k_ref[0, g], v_ref[0, g],
-            qseg_ref[0] if has_segments else None,
-            kvseg_ref[0] if has_segments else None,
-            sm_scale=sm_scale, causal=causal, mask_value=mask_value,
-            kv_len=kv_len, block_q=seq_pad, block_k=seq_pad,
-            tile_dtype=tile_dtype, mask_kv_tail=mask_kv_tail,
-            fold_rowsum=fold_rowsum, q_idx=0, out_dtype=o_ref.dtype,
-            pre_scaled=True,
-        )
-        o_ref[0, g] = o
-        lse_ref[0, g] = lse
+    qp = q_all.reshape(rows, head_dim)
+    kp = tile_cast(k_ref[0], tile_dtype).reshape(rows, head_dim)
+    s = mxu_dot_tb(qp, kp)  # [rows, rows], log2-domain scores
+
+    row = lax.broadcasted_iota(jnp.int32, (rows, rows), 0)
+    col = lax.broadcasted_iota(jnp.int32, (rows, rows), 1)
+    mask = (row // seq_pad) == (col // seq_pad)  # block-diagonal: same head
+    if causal:
+        mask &= (row % seq_pad) >= (col % seq_pad)
+    if mask_kv_tail:
+        mask &= (col % seq_pad) < kv_len
+    if has_segments:
+        # Per-batch segment ids repeat per head along the packed axis.
+        qs = jnp.broadcast_to(
+            qseg_ref[0][None], (group, seq_pad, 1)
+        ).reshape(rows, 1)
+        ks = jnp.broadcast_to(
+            kvseg_ref[0][:, None, :], (1, group, seq_pad)
+        ).reshape(1, rows)
+        mask &= qs == ks
+    s += jnp.where(mask, 0.0, mask_value)
+
+    m = jnp.max(s, axis=1)[:, None]
+    p = jnp.exp2(s - m)
+    # Fully-masked rows stay exactly zero.
+    p = jnp.where(mask, p, 0.0)
+    vp = tile_cast(v_ref[0], tile_dtype).reshape(rows, v_ref.shape[-1])
+    pv = mxu_dot_out(tile_cast(p, tile_dtype).astype(vp.dtype), vp, exact=True)
+    if fold_rowsum:
+        l = pv[:, head_dim][:, None]
+    else:
+        l = jnp.sum(p, axis=1, dtype=jnp.float32)[:, None]
+    l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+    o = (pv[:, :head_dim] * l_inv).astype(o_ref.dtype)
+    o_ref[0] = o.reshape(group, seq_pad, head_dim)
+    lse = m * LN2 + jnp.log(jnp.where(l == 0.0, 1.0, l))
+    lse_ref[0] = lse.reshape(group, seq_pad, 1)
 
 
 def _fa2_fwd_kernel(
@@ -271,12 +330,15 @@ def _fa2_fwd_kernel(
         alpha = jnp.exp2(m_prev - m_next)
         # Single-lane broadcast (m_next[:, :1]) instead of a materialized
         # lane-tile: saves a (block_q, block_k) VPU copy per KV step.
-        p = jnp.exp2(s - m_next[:, :1])
+        t = s - m_next[:, :1]
+        if bf16_vpu_chain(tile_dtype, q_ref.dtype):
+            t = t.astype(jnp.bfloat16)  # half-width exp2 (bf16_vpu_chain)
+        p = jnp.exp2(t)
         if mask is not None:
             # Exact zero for masked entries: for causal/tail masks exp2
             # already underflows to 0, but a FULLY-masked row (possible with
             # segment ids) would otherwise normalize the mask value itself.
-            p = jnp.where(mask, p, 0.0)
+            p = jnp.where(mask, p, jnp.zeros((), p.dtype))
         m_scr[...] = m_next
 
         v = tile_cast(v_ref[0, 0], tile_dtype)
@@ -286,7 +348,10 @@ def _fa2_fwd_kernel(
         if fold_rowsum:
             acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
         else:
-            l_scr[...] = alpha * l_scr[...] + jnp.sum(p, axis=1)[:, None]
+            l_scr[...] = (
+                alpha * l_scr[...]
+                + jnp.sum(p, axis=1, dtype=jnp.float32)[:, None]
+            )
             acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
 
     @pl.when(kv_idx == num_kv_blocks - 1)
@@ -333,11 +398,10 @@ def fa2_forward_small_aligned(
     (O, lse_col [B, H, S_pad, 1])."""
     batch, heads, seq_pad, head_dim = q.shape
     assert seq_pad <= NUM_LANES and k.shape[2] == seq_pad
-    # Largest divisor of `heads` keeping the cell's Q footprint modest.
-    group = heads
-    max_rows = max(1, 2048 // seq_pad)
-    while group > 1 and group > max_rows:
-        group -= 1
+    # Largest divisor of `heads` keeping the packed score tile <= 512 rows
+    # (scores grow quadratically in group*seq_pad; 512x512 fp32 = 1 MB VMEM
+    # and a single well-filled MXU op).
+    group = max(1, min(heads, 512 // seq_pad))
     while heads % group:
         group -= 1
 

@@ -118,6 +118,24 @@ def test_fully_masked_padding_rows_are_zero():
     np.testing.assert_array_equal(np.asarray(dk[0, 0, 100:]), 0.0)
 
 
+@pytest.mark.parametrize("causal", [False, True])
+def test_segments_small_packed_kernel(causal):
+    """Small shapes route to the head-PACKED kernel (several heads attend in
+    one block-diagonal matmul per grid cell): segment masking must compose
+    with the same-head mask, and heads must stay isolated."""
+    q, k, v = _qkv(b=2, h=8, s=64, seed=3)  # group=8 -> one packed cell
+    seg = _segments(2, 64, n_seg=2)
+    o = flash_attention(
+        q, k, v, causal=causal, q_segment_ids=seg, kv_segment_ids=seg,
+        force_kernel=True,
+    )
+    o_ref = vanilla_attention(
+        q, k, v, causal=causal, q_segment_ids=seg, kv_segment_ids=seg
+    )
+    err = float(jnp.max(jnp.abs(o - o_ref)))
+    assert err < 1e-5, err
+
+
 @pytest.mark.quick
 def test_segments_xla_path():
     """Small fp32 shapes route to the XLA path; segments must work there too."""
