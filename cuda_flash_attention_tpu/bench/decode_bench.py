@@ -46,11 +46,26 @@ def _cdiv(a, b):
 
 def build_state(cfg: TransformerConfig, batch: int, prompt_len: int,
                 max_len: int, page_size: int = 128, cache_dtype=jnp.int8,
-                seed: int = 0):
+                seed: int = 0, weight_dtype=None, act_quant: bool = False):
     """Prefill `batch` random prompts into a paged cache sized for max_len.
     Uses the SCANNED layer layout (stacked params + stacked cache) — the
-    production decode path."""
+    production decode path.
+
+    ``weight_dtype`` (int8/fp8) quantizes the dense projections BEFORE
+    stacking: QuantizedTensor is a pytree, so stack_layer_params stacks its
+    values/scales leaf-wise and lax.scan slices a 2D int8 weight + 1D scale
+    per layer — weight streaming stays 1 byte/param through the scanned
+    loop.  ``act_quant=True`` marks int8 weights for the W8A8 native-MXU
+    matmul path (quant/linear.py)."""
     params = init_params(jax.random.PRNGKey(seed), cfg)
+    if weight_dtype is not None:
+        from cuda_flash_attention_tpu.quant.linear import (
+            quantize_transformer_params,
+        )
+
+        params = quantize_transformer_params(
+            params, weight_dtype, act_quant=act_quant
+        )
     params = {**params, "layers": stack_layer_params(params["layers"])}
     pages_per_seq = _cdiv(max_len, page_size)
     num_pages = batch * pages_per_seq + 1
@@ -111,10 +126,13 @@ def measure_decode_throughput(
     gen_tokens: int = 64,
     page_size: int = 128,
     cache_dtype=jnp.int8,
+    weight_dtype=None,
+    act_quant: bool = False,
 ) -> dict:
     max_len = _cdiv(prompt_len, page_size) * page_size + gen_tokens * 6 + page_size
     params, caches, page_table, first = build_state(
-        cfg, batch, prompt_len, max_len, page_size, cache_dtype
+        cfg, batch, prompt_len, max_len, page_size, cache_dtype,
+        weight_dtype=weight_dtype, act_quant=act_quant,
     )
     run_n = make_loop_fn(cfg, page_table, prompt_len)
 
@@ -145,6 +163,11 @@ def measure_decode_throughput(
         "batch": batch,
         "prompt_len": prompt_len,
         "cache_dtype": str(jnp.dtype(cache_dtype)),
+        "weight_dtype": (
+            "w8a8" if act_quant
+            else str(jnp.dtype(weight_dtype)) if weight_dtype is not None
+            else "bf16"
+        ),
         "model": dataclass_summary(cfg),
     }
 
@@ -238,6 +261,15 @@ def main():
                    choices=["int8", "float8_e4m3fn", "bfloat16", "float32"])
     p.add_argument("--flagship", action="store_true",
                    help="use the flagship config instead of the bench default")
+    p.add_argument("--config", choices=["tiny", "flagship", "base"],
+                   default=None,
+                   help="model config (base = the 254M production shape)")
+    p.add_argument("--weight-dtype", default=None,
+                   choices=["int8", "float8_e4m3fn"],
+                   help="weight-only quantization of the dense projections")
+    p.add_argument("--w8a8", action="store_true",
+                   help="with --weight-dtype int8: quantize activations too "
+                        "(native int8 MXU matmul)")
     p.add_argument("--engine", action="store_true",
                    help="measure END-TO-END engine throughput (host "
                         "scheduler included) instead of the device loop")
@@ -246,14 +278,16 @@ def main():
                         "virtual CPU mesh (validation, not a speed number)")
     args = p.parse_args()
 
-    cfg = (
-        TransformerConfig(
-            vocab_size=2048, d_model=512, n_layers=4, n_heads=8, n_kv_heads=4,
-            head_dim=64, d_ff=1536,
-        )
-        if args.flagship
-        else TransformerConfig.tiny()
-    )
+    name = args.config or ("flagship" if args.flagship else "tiny")
+    cfg = {
+        "tiny": TransformerConfig.tiny,
+        "base": TransformerConfig.base,
+        "flagship": lambda: TransformerConfig(
+            vocab_size=2048, d_model=512, n_layers=4, n_kv_heads=4,
+            n_heads=8, head_dim=64, d_ff=1536,
+        ),
+    }[name]()
+    weight_dtype = jnp.dtype(args.weight_dtype) if args.weight_dtype else None
     if args.tp_dryrun:
         out = tp_decode_dryrun(cfg, tp=args.tp_dryrun, batch=args.batch)
     elif args.engine:
@@ -265,6 +299,7 @@ def main():
         out = measure_decode_throughput(
             cfg, batch=args.batch, prompt_len=args.prompt_len,
             gen_tokens=args.gen, cache_dtype=jnp.dtype(args.cache_dtype),
+            weight_dtype=weight_dtype, act_quant=args.w8a8,
         )
     print(json.dumps(out))
 

@@ -416,3 +416,87 @@ def test_scanned_decode_matches_loop():
         np.asarray(caches_s.v_pages),
     )
     prec.__exit__(None, None, None)
+
+
+@pytest.mark.parametrize("w8a8", [False, True])
+def test_scanned_decode_with_quantized_weights(w8a8):
+    """Quantize-then-stack: QuantizedTensor is a pytree, so
+    stack_layer_params stacks values/scales leaf-wise and the lax.scan body
+    slices a 2D int8 weight + 1D scale per layer (decode_bench.build_state
+    contract).  The scanned step must match the per-layer loop running the
+    SAME quantized params."""
+    import dataclasses
+
+    from cuda_flash_attention_tpu.decode import (
+        decode_step,
+        init_kv_pages_stacked,
+        prefill_forward,
+        write_prompt_kv_stacked,
+    )
+    from cuda_flash_attention_tpu.models import stack_layer_params
+    from cuda_flash_attention_tpu.quant.linear import (
+        quantize_transformer_params,
+    )
+
+    cfg = dataclasses.replace(
+        TransformerConfig.tiny(), dtype=jnp.float32, attn_tile_dtype=None
+    )
+    with jax.default_matmul_precision("highest"):
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        params = quantize_transformer_params(
+            params, jnp.int8, act_quant=w8a8
+        )
+        sparams = {**params, "layers": stack_layer_params(params["layers"])}
+
+        b, s = 2, PAGE
+        tokens = jax.random.randint(
+            jax.random.PRNGKey(1), (b, s), 0, cfg.vocab_size
+        )
+        logits_l, kv_list = jax.jit(
+            lambda p, t: prefill_forward(p, t, cfg)
+        )(params, tokens)
+        logits_s, (k_all, v_all) = jax.jit(
+            lambda p, t: prefill_forward(p, t, cfg)
+        )(sparams, tokens)
+        np.testing.assert_allclose(
+            np.asarray(logits_l), np.asarray(logits_s), atol=1e-4
+        )
+
+        num_pages = 2 * b + 1
+        caches_l = [
+            init_kv_pages(cfg.n_kv_heads, num_pages, PAGE, cfg.head_dim,
+                          jnp.int8)
+            for _ in range(cfg.n_layers)
+        ]
+        caches_s = init_kv_pages_stacked(
+            cfg.n_layers, cfg.n_kv_heads, num_pages, PAGE, cfg.head_dim,
+            jnp.int8,
+        )
+        page_table = np.zeros((b, 2), np.int32)
+        for slot in range(b):
+            ids = [1 + 2 * slot, 2 + 2 * slot]
+            page_table[slot, :] = ids
+            ids_dev = jnp.asarray(ids[:1], jnp.int32)
+            for li in range(cfg.n_layers):
+                k, v = kv_list[li]
+                caches_l[li] = write_prompt_kv(
+                    caches_l[li], k[slot], v[slot], ids_dev
+                )
+            caches_s = write_prompt_kv_stacked(
+                caches_s, k_all[:, slot], v_all[:, slot], ids_dev
+            )
+
+        page_table = jnp.asarray(page_table)
+        positions = jnp.full((b,), s, jnp.int32)
+        active = jnp.ones((b,), bool)
+        last = jnp.argmax(logits_l[:, -1], axis=-1).astype(jnp.int32)
+        out_l, _ = decode_step(
+            params, last, positions, caches_l, page_table, active, cfg
+        )
+        out_s, _ = decode_step(
+            sparams, last, positions, caches_s, page_table, active, cfg
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_l), np.asarray(out_s), atol=1e-4
+        )
+        assert np.isfinite(np.asarray(out_s)).all()
