@@ -111,7 +111,9 @@ def _compute_p_ds(q, k, v, do, lse, di, *, sm_scale, mask, mask_value, tile_dtyp
     q_s = q.astype(jnp.float32) * c
     q_s = q_s.astype(q.dtype) if tile_dtype is None else tile_cast(q_s, tile_dtype)
     k = tile_cast(k, tile_dtype)
-    bf16_chain = bf16_vpu_chain(tile_dtype, jnp.float32)
+    bf16_chain = bf16_vpu_chain(
+        tile_dtype, jnp.float32, q.shape[0] * k.shape[0]
+    )
     fold = bf16_chain and _stat_fold_enabled()
     do_c = tile_cast(do, tile_dtype)
     v_c = tile_cast(v, tile_dtype)

@@ -75,25 +75,34 @@ def use_fold_rowsum(head_dim: int, tile_dtype, in_dtype) -> bool:
     return jnp.dtype(eff) == jnp.dtype(jnp.bfloat16)
 
 
-def bf16_vpu_chain(tile_dtype, in_dtype) -> bool:
-    """True when the effective matmul dtype is bf16 (native MXU path): the
-    S^2-element softmax chain (exp2, mask-where, ds-style multiplies) then
-    runs in bf16 directly — the downstream matmul needs a bf16 operand
-    anyway, so the fp32 exp2 + separate downcast pass collapses into one
-    half-width exp2.  fp32/fp16-emulation paths keep the fp32 chain (their
-    matmul operands are fp32).
+# Score tiles below this element count keep the fp32 softmax chain: the
+# VPU work is negligible there, and the bf16 chain's ~2^-9 relative noise
+# would leak into token-level greedy parity at serving shapes
+# (tests/test_decode.py engine-vs-full-forward gate).  512x512 and the
+# production blocks (1024x1024+) sit above; padded tiny prefills (<=128^2)
+# sit below.
+_BF16_CHAIN_MIN_SCORE_ELEMS = 2 ** 18
 
-    Applied ONLY to the multi-KV-block online loop (_fa2_fwd_kernel): that
-    is where the S^2 VPU work serializes against the MXU.  The single-block
-    and small-shape paths keep the fp32 chain — their VPU cost is
-    negligible, and the extra ~2^-9 relative noise would leak into
-    token-level greedy parity at serving shapes (tests/test_decode.py
-    engine-vs-full-forward gate).
+
+def bf16_vpu_chain(tile_dtype, in_dtype, score_elems=_BF16_CHAIN_MIN_SCORE_ELEMS):
+    """True when the effective matmul dtype is bf16 (native MXU path) and
+    the score tile is large: the S^2-element softmax chain (exp2,
+    mask-where, ds-style multiplies) then runs in bf16 directly — the
+    downstream matmul needs a bf16 operand anyway, so the fp32 exp2 +
+    separate downcast pass collapses into one half-width exp2.
+    fp32/fp16-emulation paths keep the fp32 chain (their matmul operands
+    are fp32).
+
+    ``score_elems`` is the [block_q, block_k] tile size; callers that know
+    their tile pass it so sub-threshold tiles keep the fp32 chain (see
+    _BF16_CHAIN_MIN_SCORE_ELEMS).
 
     CFA_BF16_VPU_CHAIN=0 disables it (A/B knob: Mosaic may widen bf16
     elementwise ops to fp32 internally, in which case the win is only the
     removed cast passes — measure per chip generation, read at trace
     time)."""
+    if score_elems < _BF16_CHAIN_MIN_SCORE_ELEMS:
+        return False
     if os.environ.get("CFA_BF16_VPU_CHAIN", "1") == "0":
         return False
     eff = tile_dtype if tile_dtype is not None else in_dtype
@@ -138,9 +147,15 @@ def _single_kv_attention(
     if mask is not None:
         s += jnp.where(mask, 0.0, mask_value)
     m = jnp.max(s, axis=1)[:, None]  # [block_q, 1]
-    p = jnp.exp2(s - m)
+    t = s - m
+    # This fast path also serves WHOLE-sequence blocks (S <= block_k, incl.
+    # the S=2048 headline) where the S^2 chain dominates VPU time — the
+    # size gate keeps padded tiny prefills on the fp32 chain.
+    if bf16_vpu_chain(tile_dtype, q_raw.dtype, block_q * block_k):
+        t = t.astype(jnp.bfloat16)
+    p = jnp.exp2(t)
     if mask is not None:
-        p = jnp.where(mask, p, 0.0)
+        p = jnp.where(mask, p, jnp.zeros((), p.dtype))
     v = tile_cast(v_raw, tile_dtype)
     pv = mxu_dot_out(tile_cast(p, tile_dtype).astype(v.dtype), v, exact=True)
     if fold_rowsum:
@@ -331,7 +346,7 @@ def _fa2_fwd_kernel(
         # Single-lane broadcast (m_next[:, :1]) instead of a materialized
         # lane-tile: saves a (block_q, block_k) VPU copy per KV step.
         t = s - m_next[:, :1]
-        if bf16_vpu_chain(tile_dtype, q_ref.dtype):
+        if bf16_vpu_chain(tile_dtype, q_ref.dtype, t.size):
             t = t.astype(jnp.bfloat16)  # half-width exp2 (bf16_vpu_chain)
         p = jnp.exp2(t)
         if mask is not None:
