@@ -58,6 +58,14 @@ class TransformerConfig:
     capacity_factor: float = 1.25
     moe_every: int = 2
     router_aux_coef: float = 0.01
+    # Rematerialization (jax.checkpoint) of the per-layer forward under
+    # autodiff — trades recompute FLOPs for activation memory so bigger
+    # B*S fits HBM (the task's remat requirement; the reference has no
+    # training path to compare).  "none": save everything; "full":
+    # recompute the whole layer (incl. the FA2 kernel forward) in the
+    # backward; "dots": checkpoint_dots_with_no_batch_dims policy — saves
+    # matmul outputs, recomputes the cheap elementwise chain.
+    remat: str = "none"
 
     def __post_init__(self):
         assert self.n_heads % self.n_kv_heads == 0
@@ -317,10 +325,23 @@ def forward(params, tokens, cfg: TransformerConfig, mesh=None,
         x = jax.lax.with_sharding_constraint(
             x, NamedSharding(mesh, _activation_spec(mesh))
         )
+    def _layer(x, layer):
+        x = _attention_block(x, layer, positions, cfg, mesh)
+        return ffn_block(x, layer, cfg, mesh)
+
+    if cfg.remat == "full":
+        _layer = jax.checkpoint(_layer)
+    elif cfg.remat == "dots":
+        _layer = jax.checkpoint(
+            _layer,
+            policy=jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims,
+        )
+    elif cfg.remat != "none":
+        raise ValueError(f"unknown remat policy {cfg.remat!r}")
+
     aux_total = 0.0
     for layer in params["layers"]:
-        x = _attention_block(x, layer, positions, cfg, mesh)
-        x, aux = ffn_block(x, layer, cfg, mesh)
+        x, aux = _layer(x, layer)
         aux_total = aux_total + aux
     x = rms_norm(x, params["final_norm"])
     logits = _dense(x, params["lm_head"]).astype(jnp.float32)

@@ -8,8 +8,10 @@ import pytest
 
 from cuda_flash_attention_tpu.models import (
     TransformerConfig,
+    forward,
     init_params,
     init_train_state,
+    loss_fn,
     make_optax_train_step,
     make_optimizer,
     train_loop,
@@ -83,3 +85,40 @@ def test_optax_step_sharded_matches_single():
     a = jax.tree.leaves(state1.params)[1]
     b = jax.tree.leaves(state2.params)[1]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+@pytest.mark.parametrize("policy", ["full", "dots"])
+def test_remat_matches_no_remat(policy):
+    """jax.checkpoint over the layer body must not change loss or grads —
+    remat trades recompute for activation memory, never numerics (same
+    ops, same order, replayed)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        TransformerConfig.tiny(), dtype=jnp.float32, attn_tile_dtype=None
+    )
+    cfg_r = dataclasses.replace(cfg, remat=policy)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    tokens = jax.random.randint(
+        jax.random.PRNGKey(1), (2, 64), 0, cfg.vocab_size
+    )
+    with jax.default_matmul_precision("highest"):
+        l0, g0 = jax.value_and_grad(loss_fn)(params, tokens, cfg)
+        l1, g1 = jax.value_and_grad(loss_fn)(params, tokens, cfg_r)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    flat0 = jax.tree.leaves(g0)
+    flat1 = jax.tree.leaves(g1)
+    for a, b in zip(flat0, flat1):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4
+        )
+
+
+def test_remat_unknown_policy_rejected():
+    import dataclasses
+
+    cfg = dataclasses.replace(TransformerConfig.tiny(), remat="bogus")
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    tokens = jnp.zeros((1, 8), jnp.int32)
+    with pytest.raises(ValueError, match="remat"):
+        forward(params, tokens, cfg)
