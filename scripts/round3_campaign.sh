@@ -1,0 +1,42 @@
+#!/bin/bash
+# Round-3 on-chip measurement campaign.  Run AFTER the tunnel is healthy
+# (scripts/../tmp watcher or a 2-line matmul probe).  Each step logs to
+# logs/ and is independently restartable; first compiles are slow
+# (20-60 s/shape through the remote Mosaic relay).
+set -x
+cd "$(dirname "$0")/.."
+mkdir -p logs
+
+# 1. Knob A/B: bf16 softmax chain x backward stat fold (4 fresh processes).
+./scripts/ab_vpu_knobs.sh 2>&1 | tee logs/ab_vpu_knobs.log
+
+# 2. Headline bench (the driver's metric; includes decode+train extras).
+timeout 1200 python bench.py 2>&1 | tee logs/bench.log
+
+# 3. 10-config experiment cross + artifact regeneration.
+timeout 3600 python -m cuda_flash_attention_tpu.bench \
+  --experiment --save-results --no-stop-on-failure \
+  2>&1 | tee logs/experiment.log
+
+# 4. Long-context seqlen sweep (8k-32k points) + artifacts.
+timeout 3600 python -m cuda_flash_attention_tpu.bench \
+  --seqlen-experiment --extended --save-results --no-stop-on-failure \
+  2>&1 | tee logs/seqlen_extended.log
+
+# 5. Base-config (254M) decode: bf16 vs int8-weight vs W8A8, scanned loop.
+for wflags in "" "--weight-dtype int8" "--weight-dtype int8 --w8a8"; do
+  timeout 1800 python -m cuda_flash_attention_tpu.bench.decode_bench \
+    --config base --batch 16 --prompt-len 128 --gen 32 $wflags \
+    2>&1 | tee -a logs/decode_base.log
+done
+
+# 6. Flagship decode int8/fp8 KV (BASELINE.md continuity rows).
+for cd in int8 float8_e4m3fn; do
+  timeout 1200 python -m cuda_flash_attention_tpu.bench.decode_bench \
+    --flagship --batch 16 --cache-dtype $cd 2>&1 | tee -a logs/decode_flagship.log
+done
+
+# 7. Backward block re-sweep at the new kernel (autotuner, bwd kernels).
+timeout 3600 python -m cuda_flash_attention_tpu.bench.autotune \
+  --kernels fused --seq 2048 --tile bf16 --causal both \
+  --json plots/autotune_bwd_r3.json 2>&1 | tee logs/autotune_bwd.log
