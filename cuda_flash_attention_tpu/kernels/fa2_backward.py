@@ -114,7 +114,10 @@ def _compute_p_ds(q, k, v, do, lse, di, *, sm_scale, mask, mask_value, tile_dtyp
     bf16_chain = bf16_vpu_chain(
         tile_dtype, jnp.float32, q.shape[0] * k.shape[0]
     )
-    fold = bf16_chain and _stat_fold_enabled()
+    # The fold needs a free contraction lane for the stats column.
+    fold = (
+        bf16_chain and _stat_fold_enabled() and q.shape[-1] < NUM_LANES
+    )
     do_c = tile_cast(do, tile_dtype)
     v_c = tile_cast(v, tile_dtype)
     if fold:
