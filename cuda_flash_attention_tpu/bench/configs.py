@@ -77,9 +77,10 @@ def create_sequence_length_experiment_configs(mode="forward", precision="fp32",
     else:
         kernel_types = ["fa2"]
     extra = []
-    if extended and mode == "forward":
-        # Backward extended points would need a chunked GRADIENT oracle; the
-        # forward harness already switches to the chunked oracle above 1 GB.
+    if extended:
+        # All modes: the harness switches to the Q-chunked oracle (forward)
+        # and the checkpointed chunked gradient oracle (backward/both) above
+        # the 1 GB score-buffer threshold.
         extra = [
             TestConfig(
                 name=f"LongCtx-S{s}-FA2", batch_size=1, num_heads=8,

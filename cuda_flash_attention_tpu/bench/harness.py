@@ -175,7 +175,16 @@ class Harness:
         """Backward-only: forward artifacts come from the ORACLE, not the
         kernel (reference quirk, test_flash_attention2.py:917-922)."""
         q, k, v = _make_qkv(cfg)
-        o_ref, lse_ref = vanilla_attention_with_lse(q, k, v)
+        score_bytes = 4 * cfg.batch_size * cfg.num_heads * cfg.seq_len ** 2
+        chunked = score_bytes > _ORACLE_CHUNK_BYTES
+        if chunked:
+            # Long context: Q-chunked forward artifacts + the checkpointed
+            # chunked gradient oracle (full S x S would not fit HBM).
+            o_ref, lse_ref = vanilla_attention_chunked(
+                q, k, v, return_lse=True
+            )
+        else:
+            o_ref, lse_ref = vanilla_attention_with_lse(q, k, v)
         fn = jax.jit(
             lambda q, k, v, o, lse: run_flash_attention(
                 cfg.kernel_type, "backward", cfg.precision, q, k, v,
@@ -183,7 +192,9 @@ class Harness:
             )
         )
         grads = fn(q, k, v, o_ref, lse_ref)
-        dq_ref, dk_ref, dv_ref = reference_attention_grads(q, k, v)
+        dq_ref, dk_ref, dv_ref = reference_attention_grads(
+            q, k, v, chunked=chunked
+        )
         got = np.concatenate(
             [np.asarray(grads[n]).ravel() for n in ("dq", "dk", "dv")]
         )
@@ -191,14 +202,21 @@ class Harness:
             [np.asarray(x).ravel() for x in (dq_ref, dk_ref, dv_ref)]
         )
         m = compute_metrics(got, ref)
-        ref2 = np.concatenate(
-            [np.asarray(x).ravel() for x in sdpa_attention_grads(q, k, v)]
-        )
-        m2 = compute_metrics(got, ref2)
+        if chunked:
+            m2 = m  # SDPA comparator would materialize the S^2 buffer
+        else:
+            ref2 = np.concatenate(
+                [np.asarray(x).ravel() for x in sdpa_attention_grads(q, k, v)]
+            )
+            m2 = compute_metrics(got, ref2)
         t = device_benchmark(fn, q, k, v, o_ref, lse_ref, **self._bench_kw)
         t_oracle = (
             device_benchmark(
-                jax.jit(lambda q, k, v: reference_attention_grads(q, k, v)),
+                jax.jit(
+                    lambda q, k, v: reference_attention_grads(
+                        q, k, v, chunked=chunked
+                    )
+                ),
                 q, k, v, warmup=1,
             )
             if self.time_oracle else float("nan")
@@ -232,8 +250,15 @@ class Harness:
             )
         )
         out = fn(q, k, v)
-        o_ref = vanilla_attention(q, k, v)
-        dq_ref, dk_ref, dv_ref = reference_attention_grads(q, k, v)
+        score_bytes = 4 * cfg.batch_size * cfg.num_heads * cfg.seq_len ** 2
+        chunked = score_bytes > _ORACLE_CHUNK_BYTES
+        o_ref = (
+            vanilla_attention_chunked(q, k, v) if chunked
+            else vanilla_attention(q, k, v)
+        )
+        dq_ref, dk_ref, dv_ref = reference_attention_grads(
+            q, k, v, chunked=chunked
+        )
         m_fwd = compute_metrics(out["o"], o_ref)
         got = np.concatenate(
             [np.asarray(out[n]).ravel() for n in ("dq", "dk", "dv")]
@@ -242,12 +267,15 @@ class Harness:
             [np.asarray(x).ravel() for x in (dq_ref, dk_ref, dv_ref)]
         )
         m_bwd = compute_metrics(got, ref)
-        o_sdpa = sdpa_attention(q, k, v)
-        ref2 = np.concatenate(
-            [np.asarray(x).ravel() for x in sdpa_attention_grads(q, k, v)]
-        )
-        m2 = compute_metrics(out["o"], o_sdpa)
-        m2b = compute_metrics(got, ref2)
+        if chunked:
+            m2, m2b = m_fwd, m_bwd  # SDPA would materialize the S^2 buffer
+        else:
+            o_sdpa = sdpa_attention(q, k, v)
+            ref2 = np.concatenate(
+                [np.asarray(x).ravel() for x in sdpa_attention_grads(q, k, v)]
+            )
+            m2 = compute_metrics(out["o"], o_sdpa)
+            m2b = compute_metrics(got, ref2)
         passed = (
             m_fwd.passes(cfg.tolerance) and m_bwd.passes(cfg.tolerance)
             and m2.passes(cfg.tolerance) and m2b.passes(cfg.tolerance)

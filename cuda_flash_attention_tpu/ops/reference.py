@@ -103,15 +103,24 @@ def vanilla_attention(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("causal", "sm_scale", "chunk")
+    jax.jit, static_argnames=("causal", "sm_scale", "chunk", "return_lse")
 )
 def vanilla_attention_chunked(
     q, k, v, *, causal: bool = False, sm_scale: float | None = None,
-    chunk: int = 512,
+    chunk: int = 512, return_lse: bool = False,
 ):
     """Oracle attention for long contexts: scores materialized only per
     Q-chunk ([chunk, S_kv] instead of [S_q, S_kv]), so S=32k fits in HBM.
-    Same numerics/precision as `vanilla_attention` (HIGHEST, fp32 softmax)."""
+    Same numerics/precision as `vanilla_attention` (HIGHEST, fp32 softmax).
+
+    Differentiable at long context too: each chunk is jax.checkpoint'ed, so
+    the lax.map VJP saves only chunk inputs/outputs (O(S*D)) and recomputes
+    the [chunk, S_kv] scores in the backward — without this, map's saved
+    per-iteration residuals would reassemble the full S x S buffer.
+
+    ``return_lse=True`` also returns logsumexp [B, H, S] with the kernel
+    contract lse = log(sum exp(s - m)) + m (fwd-artifact twin of
+    vanilla_attention_with_lse for backward-only long-context runs)."""
     if sm_scale is None:
         sm_scale = 1.0 / (q.shape[-1] ** 0.5)
     b, h, sq, d = q.shape
@@ -123,6 +132,7 @@ def vanilla_attention_chunked(
     precision = jax.lax.Precision.HIGHEST
     kv_len = k.shape[2]
 
+    @jax.checkpoint
     def one_chunk(args):
         qi, idx = args
         s = jnp.einsum(
@@ -144,23 +154,33 @@ def vanilla_attention_chunked(
             "bhqk,bhkd->bhqd", p, v.astype(jnp.float32),
             preferred_element_type=jnp.float32, precision=precision,
         )
-        return o / l
+        return o / l, (jnp.log(l) + m_safe)[..., 0]
 
-    oc = jax.lax.map(one_chunk, (qc, jnp.arange(nc)))
+    oc, lse_c = jax.lax.map(one_chunk, (qc, jnp.arange(nc)))
     o = oc.transpose(1, 2, 0, 3, 4).reshape(b, h, nc * chunk, d)
-    return o[:, :, :sq, :].astype(q.dtype)
+    o = o[:, :, :sq, :].astype(q.dtype)
+    if not return_lse:
+        return o
+    lse = lse_c.transpose(1, 2, 0, 3).reshape(b, h, nc * chunk)[:, :, :sq]
+    return o, lse
 
 
-@functools.partial(jax.jit, static_argnames=("causal", "sm_scale"))
-def reference_attention_grads(q, k, v, do=None, *, causal=False, sm_scale=None):
+@functools.partial(
+    jax.jit, static_argnames=("causal", "sm_scale", "chunked")
+)
+def reference_attention_grads(q, k, v, do=None, *, causal=False, sm_scale=None,
+                              chunked: bool = False):
     """Oracle gradients (dQ, dK, dV) via jax autodiff.
 
     Mirrors the reference harness's torch-autograd oracle with the simulated
     loss L = sum(O), i.e. dO = 1 when ``do`` is None
     (/root/reference/test_flash_attention2.py:220-250, src/main.cpp:84-92).
-    """
+    ``chunked=True`` differentiates the Q-chunked oracle instead (checkpointed
+    chunks — the long-context gradient oracle; same numerics)."""
+    base = vanilla_attention_chunked if chunked else vanilla_attention
+
     def f(q, k, v):
-        o = vanilla_attention(q, k, v, causal=causal, sm_scale=sm_scale)
+        o = base(q, k, v, causal=causal, sm_scale=sm_scale)
         if do is None:
             return jnp.sum(o)
         return jnp.sum(o * do)

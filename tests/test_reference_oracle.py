@@ -82,3 +82,34 @@ def test_two_oracles_agree_grads():
     g2 = sdpa_attention_grads(q, k, v)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_chunked_oracle_grads_and_lse_match_full(causal):
+    """The checkpointed chunked oracle (long-context path) must reproduce
+    the full oracle's forward, lse, and gradients at small scale."""
+    from cuda_flash_attention_tpu.ops.reference import (
+        vanilla_attention_chunked,
+        vanilla_attention_with_lse,
+    )
+
+    ks = jax.random.split(jax.random.PRNGKey(7), 3)
+    q, k, v = (
+        jax.random.normal(kk, (2, 4, 160, 64), jnp.float32) for kk in ks
+    )
+    o_full, lse_full = vanilla_attention_with_lse(q, k, v, causal=causal)
+    o_c, lse_c = vanilla_attention_chunked(
+        q, k, v, causal=causal, chunk=64, return_lse=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(o_c), np.asarray(o_full), atol=2e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(lse_c), np.asarray(lse_full), atol=2e-5, rtol=1e-6
+    )
+    g_full = reference_attention_grads(q, k, v, causal=causal)
+    g_c = reference_attention_grads(q, k, v, causal=causal, chunked=True)
+    for a, b in zip(g_full, g_c):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-6
+        )
