@@ -82,7 +82,7 @@ def _use_xla_path(q, k, tile_dtype, force_kernel) -> bool:
 
 
 def _xla_attention(q, k, v, causal, sm_scale, with_lse,
-                   q_segment_ids=None, kv_segment_ids=None):
+                   q_segment_ids=None, kv_segment_ids=None, window=None):
     from cuda_flash_attention_tpu.ops.reference import (
         vanilla_attention,
         vanilla_attention_with_lse,
@@ -96,7 +96,8 @@ def _xla_attention(q, k, v, causal, sm_scale, with_lse,
         v = jnp.repeat(v, groups, axis=1)
     fn = vanilla_attention_with_lse if with_lse else vanilla_attention
     return fn(q, k, v, causal=causal, sm_scale=sm_scale,
-              q_segment_ids=q_segment_ids, kv_segment_ids=kv_segment_ids)
+              q_segment_ids=q_segment_ids, kv_segment_ids=kv_segment_ids,
+              window=window)
 
 
 def _validate_segments(q_segment_ids, kv_segment_ids, q, k):
@@ -162,6 +163,20 @@ def _validate_shapes(q, k, v):
         )
 
 
+def _normalize_window(window, causal, kv_len):
+    """Validate sliding-window args; fold a no-op window away so it cannot
+    force an extra compile cache entry or dead mask work."""
+    if window is None:
+        return None
+    if not causal:
+        raise ValueError("sliding window requires causal=True")
+    window = int(window)
+    if window < 1:
+        raise ValueError(f"window must be >= 1; got {window}")
+    # window >= kv_len keeps every causal key — identical to no window.
+    return None if window >= kv_len else window
+
+
 def _normalize(q, k, v, sm_scale, block_sizes, causal=False):
     _validate_shapes(q, k, v)
     if sm_scale is None:
@@ -187,19 +202,19 @@ def _replicate_lanes(x):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
 def _fa2(q, k, v, segs, kv_len, causal, sm_scale, block_sizes, tile_dtype,
-         interpret):
+         interpret, window=None):
     """segs: None or (q_seg [B, Sq_pad, 1], kv_seg [B, 1, Skv_pad]) int32."""
     o, _ = _fa2_fwd_impl(
         q, k, v, segs, kv_len, causal, sm_scale, block_sizes, tile_dtype,
-        interpret,
+        interpret, window,
     )
     return o
 
 
 def _fa2_fwd_impl(q, k, v, segs, kv_len, causal, sm_scale, block_sizes,
-                  tile_dtype, interpret=None):
+                  tile_dtype, interpret=None, window=None):
     block_q = _fit_block(block_sizes.block_q, q.shape[2])
     block_k = _fit_block(block_sizes.block_k, k.shape[2])
     q_seg, kv_seg = segs if segs is not None else (None, None)
@@ -213,28 +228,29 @@ def _fa2_fwd_impl(q, k, v, segs, kv_len, causal, sm_scale, block_sizes,
         return fa2_forward_small_aligned(
             q, k, v, q_seg, kv_seg,
             causal=causal, sm_scale=sm_scale, kv_len=kv_len,
-            tile_dtype=tile_dtype, interpret=interpret,
+            tile_dtype=tile_dtype, window=window, interpret=interpret,
         )
     return fa2_forward_aligned(
         q, k, v, q_seg, kv_seg,
         causal=causal, sm_scale=sm_scale,
         block_q=block_q, block_k=block_k,
         kv_len=kv_len, tile_dtype=tile_dtype,
-        kv_groups=q.shape[1] // k.shape[1], interpret=interpret,
+        kv_groups=q.shape[1] // k.shape[1], window=window,
+        interpret=interpret,
     )
 
 
 def _fa2_fwd(q, k, v, segs, kv_len, causal, sm_scale, block_sizes, tile_dtype,
-             interpret):
+             interpret, window=None):
     o, lse_rep = _fa2_fwd_impl(
         q, k, v, segs, kv_len, causal, sm_scale, block_sizes, tile_dtype,
-        interpret,
+        interpret, window,
     )
     return o, (q, k, v, segs, o, lse_rep)
 
 
 def _fa2_bwd(kv_len, causal, sm_scale, block_sizes, tile_dtype, interpret,
-             residuals, do):
+             window, residuals, do):
     q, k, v, segs, o, lse_rep = residuals
     # D_i = rowsum(dO * O): the reference runs a separate reduction kernel
     # (f-attn2-backward.cu:342-380); on TPU this is a single fused XLA
@@ -253,7 +269,7 @@ def _fa2_bwd(kv_len, causal, sm_scale, block_sizes, tile_dtype, interpret,
             causal=causal, sm_scale=sm_scale,
             block_q=bq_dkv, block_k=bk_dkv,
             kv_len=kv_len, tile_dtype=tile_dtype, kv_groups=kv_groups,
-            interpret=interpret,
+            window=window, interpret=interpret,
         )
         return dq, dk, dv, dsegs
     dq = fa2_backward_dq_aligned(
@@ -262,14 +278,14 @@ def _fa2_bwd(kv_len, causal, sm_scale, block_sizes, tile_dtype, interpret,
         block_q=_fit_block(block_sizes.block_q_dq, q.shape[2]),
         block_k=_fit_block(block_sizes.block_k_dq, k.shape[2]),
         kv_len=kv_len, tile_dtype=tile_dtype, kv_groups=kv_groups,
-        interpret=interpret,
+        window=window, interpret=interpret,
     )
     dk, dv = fa2_backward_dkv_aligned(
         q, k, v, do, lse_rep, di_rep, q_seg, kv_seg,
         causal=causal, sm_scale=sm_scale,
         block_q=bq_dkv, block_k=bk_dkv,
         kv_len=kv_len, tile_dtype=tile_dtype, kv_groups=kv_groups,
-        interpret=interpret,
+        window=window, interpret=interpret,
     )
     return dq, dk, dv, dsegs
 
@@ -293,6 +309,7 @@ def flash_attention(
     tile_dtype=None,
     q_segment_ids=None,   # [B, Sq] int32 — sequence-packing segment ids
     kv_segment_ids=None,  # [B, Skv] int32
+    window: int | None = None,
     force_kernel: bool = False,
     interpret=None,
 ):
@@ -307,6 +324,11 @@ def flash_attention(
     with ``causal``). Any int32 ids work; give padding tokens an id that
     matches no real tokens (their O rows are zeros).
 
+    ``window`` enables sliding-window (local) attention: query i attends to
+    keys j with j <= i and i - j < window (requires causal=True; composable
+    with GQA and segments).  Out-of-window KV tiles are skipped entirely, so
+    cost scales O(S * window).
+
     ``tile_dtype`` is the SHM_PRECISION analog: Q/K/V/P tiles are cast to it
     (bf16/fp16) inside the kernel before the MXU matmuls while all softmax
     statistics stay fp32 (reference keeps fp16 SHM tiles,
@@ -317,10 +339,12 @@ def flash_attention(
     kernel (the benchmark harness does, to measure the kernel itself).
     """
     _validate_segments(q_segment_ids, kv_segment_ids, q, k)
+    window = _normalize_window(window, causal, k.shape[2])
     if _use_xla_path(q, k, tile_dtype, force_kernel):
         return _xla_attention(
             q, k, v, causal, sm_scale, with_lse=False,
             q_segment_ids=q_segment_ids, kv_segment_ids=kv_segment_ids,
+            window=window,
         )
     segs = _pack_segments(q_segment_ids, kv_segment_ids, q, k)
     q_pad, k_pad, v_pad, sm_scale, block_sizes, q_len, kv_len = _normalize(
@@ -328,7 +352,7 @@ def flash_attention(
     )
     o = _fa2(
         q_pad, k_pad, v_pad, segs, kv_len, causal, sm_scale, block_sizes,
-        tile_dtype, interpret,
+        tile_dtype, interpret, window,
     )
     return o[:, :, :q_len, :]
 
@@ -342,6 +366,7 @@ def flash_attention_with_lse(
     tile_dtype=None,
     q_segment_ids=None,
     kv_segment_ids=None,
+    window: int | None = None,
     force_kernel: bool = False,
     interpret=None,
 ):
@@ -350,10 +375,12 @@ def flash_attention_with_lse(
     (/root/reference/src/main.cpp:110-113). Not differentiable; use
     `flash_attention` for autodiff."""
     _validate_segments(q_segment_ids, kv_segment_ids, q, k)
+    window = _normalize_window(window, causal, k.shape[2])
     if _use_xla_path(q, k, tile_dtype, force_kernel):
         return _xla_attention(
             q, k, v, causal, sm_scale, with_lse=True,
             q_segment_ids=q_segment_ids, kv_segment_ids=kv_segment_ids,
+            window=window,
         )
     segs = _pack_segments(q_segment_ids, kv_segment_ids, q, k)
     q_pad, k_pad, v_pad, sm_scale, block_sizes, q_len, kv_len = _normalize(
@@ -361,7 +388,7 @@ def flash_attention_with_lse(
     )
     o, lse_rep = _fa2_fwd_impl(
         q_pad, k_pad, v_pad, segs, kv_len, causal, sm_scale, block_sizes,
-        tile_dtype, interpret,
+        tile_dtype, interpret, window,
     )
     return o[:, :, :q_len, :], lse_rep[:, :, :q_len, 0]
 
@@ -373,6 +400,7 @@ def fa2_backward(
     sm_scale: float | None = None,
     block_sizes: BlockSizes | None = None,
     tile_dtype=None,
+    window: int | None = None,
     interpret=None,
 ):
     """Standalone FA2 backward from forward artifacts (O, logsumexp) —
@@ -383,6 +411,7 @@ def fa2_backward(
     """
     if do is None:
         do = jnp.ones_like(o)
+    window = _normalize_window(window, causal, k.shape[2])
     q_pad, k_pad, v_pad, sm_scale, block_sizes, q_len, kv_len = _normalize(
         q, k, v, sm_scale, block_sizes, causal
     )
@@ -402,7 +431,7 @@ def fa2_backward(
             causal=causal, sm_scale=sm_scale,
             block_q=bq_dkv, block_k=bk_dkv,
             kv_len=kv_len, tile_dtype=tile_dtype, kv_groups=kv_groups,
-            interpret=interpret,
+            window=window, interpret=interpret,
         )
     else:
         dq = fa2_backward_dq_aligned(
@@ -411,14 +440,14 @@ def fa2_backward(
             block_q=_fit_block(block_sizes.block_q_dq, q_pad.shape[2]),
             block_k=_fit_block(block_sizes.block_k_dq, k_pad.shape[2]),
             kv_len=kv_len, tile_dtype=tile_dtype, kv_groups=kv_groups,
-            interpret=interpret,
+            window=window, interpret=interpret,
         )
         dk, dv = fa2_backward_dkv_aligned(
             q_pad, k_pad, v_pad, do_pad, lse_rep, di_rep,
             causal=causal, sm_scale=sm_scale,
             block_q=bq_dkv, block_k=bk_dkv,
             kv_len=kv_len, tile_dtype=tile_dtype, kv_groups=kv_groups,
-            interpret=interpret,
+            window=window, interpret=interpret,
         )
     return (
         dq[:, :, :q_len, :],

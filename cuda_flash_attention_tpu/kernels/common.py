@@ -112,14 +112,25 @@ def below_or_on_diag(q_idx, block_q: int, kv_idx, block_k: int):
     return ((q_idx + 1) * block_q - 1) >= (kv_idx * block_k)
 
 
+def within_window(q_idx, block_q: int, kv_idx, block_k: int, window: int):
+    """True if the (q_idx, kv_idx) tile holds ANY pair with i - j < window
+    (sliding-window attention: query i sees the last `window` keys j <= i).
+    The oldest live key for the tile's first query row i0 = q_idx*block_q is
+    j = i0 - window + 1; the tile is dead when its newest key predates it —
+    the window twin of the causal tile-skip predicate."""
+    return (kv_idx + 1) * block_k - 1 >= q_idx * block_q - (window - 1)
+
+
 def build_block_mask(
     q_idx, kv_idx, block_q: int, block_k: int, *,
     causal: bool, mask_kv_tail: bool, kv_len: int,
     q_seg=None,   # [block_q, 1] int32 or None
     kv_seg=None,  # [1, block_k] int32 or None
+    window: int | None = None,
 ):
     """Boolean keep-mask for one (q_idx, kv_idx) tile, or None if nothing
-    masks. Combines the ragged-KV tail check, the causal triangle, and
+    masks. Combines the ragged-KV tail check, the causal triangle, the
+    sliding window (query i keeps only keys j with i - j < window), and
     segment equality (sequence packing: token i attends to j only when
     their segment ids match)."""
     import jax.numpy as jnp
@@ -129,7 +140,7 @@ def build_block_mask(
     if mask_kv_tail:
         col_ids = lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
         mask = (kv_idx * block_k + col_ids) < kv_len
-    if causal:
+    if causal or window is not None:
         row_ids = (
             lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
             + q_idx * block_q
@@ -138,8 +149,17 @@ def build_block_mask(
             lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
             + kv_idx * block_k
         )
-        causal_mask = col_ids <= row_ids
-        mask = causal_mask if mask is None else jnp.logical_and(mask, causal_mask)
+        if causal:
+            causal_mask = col_ids <= row_ids
+            mask = (
+                causal_mask if mask is None
+                else jnp.logical_and(mask, causal_mask)
+            )
+        if window is not None:
+            win_mask = row_ids - col_ids < window
+            mask = (
+                win_mask if mask is None else jnp.logical_and(mask, win_mask)
+            )
     if q_seg is not None:
         seg_mask = q_seg == kv_seg  # [block_q, block_k] via broadcast
         mask = seg_mask if mask is None else jnp.logical_and(mask, seg_mask)

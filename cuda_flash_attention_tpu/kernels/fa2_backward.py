@@ -49,6 +49,7 @@ from cuda_flash_attention_tpu.kernels.common import (
     mxu_dot_tb,
     resolve_interpret,
     tile_cast,
+    within_window,
 )
 from cuda_flash_attention_tpu.kernels.fa2_forward import bf16_vpu_chain
 
@@ -154,7 +155,7 @@ def _fa2_bwd_fused_kernel(
     *refs,
     sm_scale, causal, mask_value, kv_len,
     block_q, block_k, num_q_blocks, tile_dtype, mask_kv_tail, kv_groups,
-    has_segments, scale_dq_in_kernel=False,
+    has_segments, scale_dq_in_kernel=False, window=None,
 ):
     """dK/dV accumulation + per-KV-slice dQ partial in ONE recompute.
 
@@ -183,10 +184,11 @@ def _fa2_bwd_fused_kernel(
         dk_scr[...] = jnp.zeros(dk_scr.shape, jnp.float32)
         dv_scr[...] = jnp.zeros(dv_scr.shape, jnp.float32)
 
+    should_run = True
     if causal:
         should_run = below_or_on_diag(q_idx, block_q, kv_idx, block_k)
-    else:
-        should_run = True
+    if window is not None:
+        should_run &= within_window(q_idx, block_q, kv_idx, block_k, window)
 
     @pl.when(should_run)
     def _run():
@@ -201,6 +203,7 @@ def _fa2_bwd_fused_kernel(
             causal=causal, mask_kv_tail=mask_kv_tail, kv_len=kv_len,
             q_seg=qseg_ref[0] if has_segments else None,
             kv_seg=kvseg_ref[0] if has_segments else None,
+            window=window,
         )
         p, ds, q_s = _compute_p_ds(
             q, k, v, do, lse, di,
@@ -249,7 +252,7 @@ def _fa2_bwd_dkv_kernel(
     *refs,
     sm_scale, causal, mask_value, kv_len,
     block_q, block_k, num_q_blocks, tile_dtype, mask_kv_tail, kv_groups,
-    has_segments,
+    has_segments, window=None,
 ):
     if has_segments:
         (q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, qseg_ref, kvseg_ref,
@@ -270,10 +273,11 @@ def _fa2_bwd_dkv_kernel(
         dk_scr[...] = jnp.zeros(dk_scr.shape, jnp.float32)
         dv_scr[...] = jnp.zeros(dv_scr.shape, jnp.float32)
 
+    should_run = True
     if causal:
         should_run = below_or_on_diag(q_idx, block_q, kv_idx, block_k)
-    else:
-        should_run = True
+    if window is not None:
+        should_run &= within_window(q_idx, block_q, kv_idx, block_k, window)
 
     @pl.when(should_run)
     def _run():
@@ -288,6 +292,7 @@ def _fa2_bwd_dkv_kernel(
             causal=causal, mask_kv_tail=mask_kv_tail, kv_len=kv_len,
             q_seg=qseg_ref[0] if has_segments else None,
             kv_seg=kvseg_ref[0] if has_segments else None,
+            window=window,
         )
         p, ds, q_s = _compute_p_ds(
             q, k, v, do, lse, di,
@@ -312,7 +317,7 @@ def _fa2_bwd_dq_kernel(
     *refs,
     sm_scale, causal, mask_value, kv_len,
     block_q, block_k, num_kv_blocks, tile_dtype, mask_kv_tail,
-    has_segments,
+    has_segments, window=None,
 ):
     if has_segments:
         (q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, qseg_ref, kvseg_ref,
@@ -328,10 +333,11 @@ def _fa2_bwd_dq_kernel(
     def _init():
         dq_scr[...] = jnp.zeros(dq_scr.shape, jnp.float32)
 
+    should_run = True
     if causal:
         should_run = below_or_on_diag(q_idx, block_q, kv_idx, block_k)
-    else:
-        should_run = True
+    if window is not None:
+        should_run &= within_window(q_idx, block_q, kv_idx, block_k, window)
 
     @pl.when(should_run)
     def _run():
@@ -346,6 +352,7 @@ def _fa2_bwd_dq_kernel(
             causal=causal, mask_kv_tail=mask_kv_tail, kv_len=kv_len,
             q_seg=qseg_ref[0] if has_segments else None,
             kv_seg=kvseg_ref[0] if has_segments else None,
+            window=window,
         )
         _, ds, _ = _compute_p_ds(
             q, k, v, do, lse, di,
@@ -368,7 +375,7 @@ def _fa2_bwd_dq_kernel(
     jax.jit,
     static_argnames=(
         "causal", "sm_scale", "block_q", "block_k", "kv_len",
-        "tile_dtype", "kv_groups", "interpret", "debug",
+        "tile_dtype", "kv_groups", "window", "interpret", "debug",
     ),
 )
 def fa2_backward_dkv_aligned(
@@ -383,6 +390,7 @@ def fa2_backward_dkv_aligned(
     kv_len: int,
     tile_dtype=None,
     kv_groups: int = 1,
+    window: int | None = None,
     interpret=None,
     debug: bool = False,
 ):
@@ -395,18 +403,31 @@ def fa2_backward_dkv_aligned(
     batch, heads, q_len, head_dim = q.shape
     kv_heads = k.shape[1]
     assert kv_heads * kv_groups == heads
+    if window is not None:
+        assert causal and window >= 1
     kv_len_pad = k.shape[2]
     num_q_blocks = q_len // block_q
     grid = (
         batch, kv_heads, kv_len_pad // block_k, kv_groups * num_q_blocks
     )
 
+    def _q_clamp(qi, ki):
+        """Dead Q blocks (above-diagonal, or past the sliding window for
+        this KV block) redirect their prefetch to the diagonal Q block —
+        always live under both skips."""
+        live = below_or_on_diag(qi, block_q, ki, block_k)
+        if window is not None:
+            live &= within_window(qi, block_q, ki, block_k, window)
+            diag = (ki * block_k) // block_q
+        else:
+            diag = 0
+        return lax.select(live, qi, diag)
+
     def qo_index_map(b, hk, ki, inner):
         g = inner // num_q_blocks
         qi = inner % num_q_blocks
         if causal:
-            # Above-diagonal Q blocks are skipped; prefetch Q block 0 instead.
-            qi = lax.select(below_or_on_diag(qi, block_q, ki, block_k), qi, 0)
+            qi = _q_clamp(qi, ki)
         return (b, hk * kv_groups + g, qi, 0)
 
     def kv_index_map(b, hk, ki, inner):
@@ -426,6 +447,7 @@ def fa2_backward_dkv_aligned(
         mask_kv_tail=(kv_len != kv_len_pad),
         kv_groups=kv_groups,
         has_segments=has_segments,
+        window=window,
     )
     qo_spec = pl.BlockSpec((1, 1, block_q, head_dim), qo_index_map)
     kv_spec = pl.BlockSpec((1, 1, block_k, head_dim), kv_index_map)
@@ -436,9 +458,7 @@ def fa2_backward_dkv_aligned(
         def qseg_index_map(b, hk, ki, inner):
             qi = inner % num_q_blocks
             if causal:
-                qi = lax.select(
-                    below_or_on_diag(qi, block_q, ki, block_k), qi, 0
-                )
+                qi = _q_clamp(qi, ki)
             return (b, qi, 0)
 
         def kvseg_index_map(b, hk, ki, inner):
@@ -481,7 +501,7 @@ def fa2_backward_dkv_aligned(
     jax.jit,
     static_argnames=(
         "causal", "sm_scale", "block_q", "block_k", "kv_len",
-        "tile_dtype", "kv_groups", "interpret", "debug",
+        "tile_dtype", "kv_groups", "window", "interpret", "debug",
     ),
 )
 def fa2_backward_fused_aligned(
@@ -496,6 +516,7 @@ def fa2_backward_fused_aligned(
     kv_len: int,
     tile_dtype=None,
     kv_groups: int = 1,
+    window: int | None = None,
     interpret=None,
     debug: bool = False,
 ):
@@ -505,17 +526,29 @@ def fa2_backward_fused_aligned(
     batch, heads, q_len, head_dim = q.shape
     kv_heads = k.shape[1]
     assert kv_heads * kv_groups == heads
+    if window is not None:
+        assert causal and window >= 1
     kv_len_pad = k.shape[2]
     num_q_blocks = q_len // block_q
     num_kv_blocks = kv_len_pad // block_k
     grid = (batch, kv_heads, num_kv_blocks, kv_groups * num_q_blocks)
     single_slice = num_kv_blocks == 1
 
+    def _q_clamp(qi, ki):
+        # Dead Q blocks prefetch the diagonal (always-live) Q block.
+        live = below_or_on_diag(qi, block_q, ki, block_k)
+        if window is not None:
+            live &= within_window(qi, block_q, ki, block_k, window)
+            diag = (ki * block_k) // block_q
+        else:
+            diag = 0
+        return lax.select(live, qi, diag)
+
     def qo_index_map(b, hk, ki, inner):
         g = inner // num_q_blocks
         qi = inner % num_q_blocks
         if causal:
-            qi = lax.select(below_or_on_diag(qi, block_q, ki, block_k), qi, 0)
+            qi = _q_clamp(qi, ki)
         return (b, hk * kv_groups + g, qi, 0)
 
     def kv_index_map(b, hk, ki, inner):
@@ -542,6 +575,7 @@ def fa2_backward_fused_aligned(
         kv_groups=kv_groups,
         has_segments=has_segments,
         scale_dq_in_kernel=single_slice,
+        window=window,
     )
     qo_spec = pl.BlockSpec((1, 1, block_q, head_dim), qo_index_map)
     kv_spec = pl.BlockSpec((1, 1, block_k, head_dim), kv_index_map)
@@ -550,13 +584,9 @@ def fa2_backward_fused_aligned(
     inputs = [q, k, v, do, lse_rep, di_rep]
     if has_segments:
         def qseg_index_map(b, hk, ki, inner):
-            g = inner // num_q_blocks
             qi = inner % num_q_blocks
             if causal:
-                qi = lax.select(
-                    below_or_on_diag(qi, block_q, ki, block_k), qi, 0
-                )
-            del g
+                qi = _q_clamp(qi, ki)
             return (b, qi, 0)
 
         def kvseg_index_map(b, hk, ki, inner):
@@ -608,7 +638,7 @@ def fa2_backward_fused_aligned(
     jax.jit,
     static_argnames=(
         "causal", "sm_scale", "block_q", "block_k", "kv_len",
-        "tile_dtype", "kv_groups", "interpret", "debug",
+        "tile_dtype", "kv_groups", "window", "interpret", "debug",
     ),
 )
 def fa2_backward_dq_aligned(
@@ -623,6 +653,7 @@ def fa2_backward_dq_aligned(
     kv_len: int,
     tile_dtype=None,
     kv_groups: int = 1,
+    window: int | None = None,
     interpret=None,
     debug: bool = False,
 ):
@@ -631,16 +662,27 @@ def fa2_backward_dq_aligned(
     accumulation; gradients are bitwise deterministic.  ``kv_groups`` maps
     query head h onto KV head h // kv_groups (kernel-native GQA)."""
     batch, heads, q_len, head_dim = q.shape
+    if window is not None:
+        assert causal and window >= 1
     kv_len_pad = k.shape[2]
     num_kv_blocks = kv_len_pad // block_k
     grid = (batch, heads, q_len // block_q, num_kv_blocks)
+
+    def _kv_clamp(qi, ki):
+        # Dead KV blocks prefetch the oldest in-window live block instead.
+        live = below_or_on_diag(qi, block_q, ki, block_k)
+        if window is None:
+            return lax.select(live, ki, 0)
+        live &= within_window(qi, block_q, ki, block_k, window)
+        lo = jnp.maximum(0, (qi * block_q - (window - 1)) // block_k)
+        return lax.select(live, ki, lo)
 
     def qo_index_map(b, h, qi, ki):
         return (b, h, qi, 0)
 
     def kv_index_map(b, h, qi, ki):
         if causal:
-            ki = lax.select(below_or_on_diag(qi, block_q, ki, block_k), ki, 0)
+            ki = _kv_clamp(qi, ki)
         return (b, h // kv_groups, ki, 0)
 
     has_segments = q_seg is not None
@@ -656,6 +698,7 @@ def fa2_backward_dq_aligned(
         tile_dtype=tile_dtype,
         mask_kv_tail=(kv_len != kv_len_pad),
         has_segments=has_segments,
+        window=window,
     )
     qo_spec = pl.BlockSpec((1, 1, block_q, head_dim), qo_index_map)
     kv_spec = pl.BlockSpec((1, 1, block_k, head_dim), kv_index_map)
@@ -668,9 +711,7 @@ def fa2_backward_dq_aligned(
 
         def kvseg_index_map(b, h, qi, ki):
             if causal:
-                ki = lax.select(
-                    below_or_on_diag(qi, block_q, ki, block_k), ki, 0
-                )
+                ki = _kv_clamp(qi, ki)
             return (b, 0, ki)
 
         in_specs += [

@@ -60,6 +60,7 @@ from cuda_flash_attention_tpu.kernels.common import (
     mxu_dot_tb,
     resolve_interpret,
     tile_cast,
+    within_window,
 )
 
 
@@ -125,7 +126,7 @@ def _single_kv_attention(
     q_raw, k_raw, v_raw, q_seg, kv_seg, *,
     sm_scale, causal, mask_value, kv_len, block_q, block_k,
     tile_dtype, mask_kv_tail, fold_rowsum, q_idx, out_dtype,
-    pre_scaled=False, want_lse=True,
+    pre_scaled=False, want_lse=True, window=None,
 ):
     """Direct (non-online) softmax attention for one [block_q, D] tile whose
     whole KV fits one [block_k, D] tile.  Returns (o, lse_col) — lse is None
@@ -142,7 +143,7 @@ def _single_kv_attention(
     mask = build_block_mask(
         q_idx, 0, block_q, block_k,
         causal=causal, mask_kv_tail=mask_kv_tail, kv_len=kv_len,
-        q_seg=q_seg, kv_seg=kv_seg,
+        q_seg=q_seg, kv_seg=kv_seg, window=window,
     )
     if mask is not None:
         s += jnp.where(mask, 0.0, mask_value)
@@ -174,6 +175,7 @@ def _fa2_fwd_single_kv(
     q_ref, k_ref, v_ref, qseg_ref, kvseg_ref, o_ref, lse_ref, *,
     sm_scale, causal, mask_value, kv_len, block_q, block_k,
     tile_dtype, mask_kv_tail, has_segments, fold_rowsum, q_idx,
+    window=None,
 ):
     o, lse = _single_kv_attention(
         q_ref[0, 0], k_ref[0, 0], v_ref[0, 0],
@@ -183,6 +185,7 @@ def _fa2_fwd_single_kv(
         kv_len=kv_len, block_q=block_q, block_k=block_k,
         tile_dtype=tile_dtype, mask_kv_tail=mask_kv_tail,
         fold_rowsum=fold_rowsum, q_idx=q_idx, out_dtype=o_ref.dtype,
+        window=window,
     )
     o_ref[0, 0] = o
     lse_ref[0, 0] = lse
@@ -191,7 +194,7 @@ def _fa2_fwd_single_kv(
 def _fa2_fwd_small_kernel(
     *refs,
     sm_scale, causal, mask_value, kv_len, seq_pad, group,
-    tile_dtype, mask_kv_tail, has_segments, fold_rowsum,
+    tile_dtype, mask_kv_tail, has_segments, fold_rowsum, window=None,
 ):
     """Small-shape kernel: one grid cell per (batch, head-group), with the
     group's heads PACKED along the sequence axis into a single
@@ -227,6 +230,8 @@ def _fa2_fwd_small_kernel(
     mask = (row // seq_pad) == (col // seq_pad)  # block-diagonal: same head
     if causal:
         mask &= (row % seq_pad) >= (col % seq_pad)
+    if window is not None:
+        mask &= (row % seq_pad) - (col % seq_pad) < window
     if mask_kv_tail:
         mask &= (col % seq_pad) < kv_len
     if has_segments:
@@ -270,6 +275,7 @@ def _fa2_fwd_kernel(
     mask_kv_tail: bool,
     has_segments: bool,
     fold_rowsum: bool,
+    window=None,
 ):
     if has_segments:
         (q_ref, k_ref, v_ref, qseg_ref, kvseg_ref,
@@ -302,6 +308,7 @@ def _fa2_fwd_kernel(
             kv_len=kv_len, block_q=block_q, block_k=block_k,
             tile_dtype=tile_dtype, mask_kv_tail=mask_kv_tail,
             has_segments=has_segments, fold_rowsum=fold_rowsum, q_idx=q_idx,
+            window=window,
         )
         return
 
@@ -312,10 +319,13 @@ def _fa2_fwd_kernel(
         if l_scr is not None:
             l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
 
+    should_run = True
     if causal:
         should_run = below_or_on_diag(q_idx, block_q, kv_idx, block_k)
-    else:
-        should_run = True
+    if window is not None:
+        # Sliding window kills OLD kv blocks the same way causal kills
+        # FUTURE ones — both skips compose.
+        should_run &= within_window(q_idx, block_q, kv_idx, block_k, window)
 
     @pl.when(should_run)
     def _run():
@@ -335,6 +345,7 @@ def _fa2_fwd_kernel(
             causal=causal, mask_kv_tail=mask_kv_tail, kv_len=kv_len,
             q_seg=qseg_ref[0] if has_segments else None,
             kv_seg=kvseg_ref[0] if has_segments else None,
+            window=window,
         )
         if mask is not None:
             s += jnp.where(mask, 0.0, mask_value)
@@ -391,7 +402,8 @@ def _fa2_fwd_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "causal", "sm_scale", "kv_len", "tile_dtype", "interpret", "debug",
+        "causal", "sm_scale", "kv_len", "tile_dtype", "window",
+        "interpret", "debug",
     ),
 )
 def fa2_forward_small_aligned(
@@ -404,6 +416,7 @@ def fa2_forward_small_aligned(
     sm_scale: float,
     kv_len: int,
     tile_dtype=None,
+    window: int | None = None,
     interpret=None,
     debug: bool = False,
 ):
@@ -434,7 +447,7 @@ def fa2_forward_small_aligned(
         sm_scale=sm_scale, causal=causal, mask_value=DEFAULT_MASK_VALUE,
         kv_len=kv_len, seq_pad=seq_pad, group=group, tile_dtype=tile_dtype,
         mask_kv_tail=(kv_len != seq_pad), has_segments=has_segments,
-        fold_rowsum=fold_rowsum,
+        fold_rowsum=fold_rowsum, window=window,
     )
     in_specs = [
         pl.BlockSpec((1, group, seq_pad, head_dim), qkv_map),
@@ -473,7 +486,7 @@ def fa2_forward_small_aligned(
     jax.jit,
     static_argnames=(
         "causal", "sm_scale", "block_q", "block_k", "kv_len",
-        "tile_dtype", "kv_groups", "interpret", "debug",
+        "tile_dtype", "kv_groups", "window", "interpret", "debug",
     ),
 )
 def fa2_forward_aligned(
@@ -490,6 +503,7 @@ def fa2_forward_aligned(
     kv_len: int,  # true (unpadded) kv length, for tail masking
     tile_dtype=None,
     kv_groups: int = 1,
+    window: int | None = None,
     interpret=None,
     debug: bool = False,
 ):
@@ -499,11 +513,19 @@ def fa2_forward_aligned(
 
     ``kv_groups`` enables kernel-native GQA: query head h reads KV head
     h // kv_groups straight from HBM — no repeated KV materialization, so KV
-    HBM traffic stays 1x regardless of the group size."""
+    HBM traffic stays 1x regardless of the group size.
+
+    ``window`` enables sliding-window (local) attention: query i attends
+    only to keys j with i - j < window (and j <= i; requires causal).  KV
+    blocks entirely past the window are tile-skipped, so prefill cost is
+    O(S * window) instead of O(S^2 / 2)."""
     batch, heads, q_len, head_dim = q.shape
     kv_len_pad = k.shape[2]
     assert q_len % block_q == 0 and kv_len_pad % block_k == 0
     assert k.shape[1] * kv_groups == heads
+    if window is not None:
+        assert causal, "sliding window requires causal attention"
+        assert window >= 1
     num_kv_blocks = kv_len_pad // block_k
     grid = (batch, heads, q_len // block_q, num_kv_blocks)
 
@@ -512,14 +534,27 @@ def fa2_forward_aligned(
         v = augment_v(v)
     v_width = v.shape[-1]
 
+    def _live(qi, ki):
+        live = below_or_on_diag(qi, block_q, ki, block_k)
+        if window is not None:
+            live &= within_window(qi, block_q, ki, block_k, window)
+        return live
+
+    def _kv_clamp(qi, ki):
+        """Dead (skipped) blocks redirect their prefetch to a LIVE block —
+        the oldest in-window one — instead of wasting DMA on dead data.
+        Without a window that is block 0 (always causally live)."""
+        if window is None:
+            return lax.select(_live(qi, ki), ki, 0)
+        lo = jnp.maximum(0, (qi * block_q - (window - 1)) // block_k)
+        return lax.select(_live(qi, ki), ki, lo)
+
     def q_index_map(b, h, qi, ki):
         return (b, h, qi, 0)
 
     def kv_index_map(b, h, qi, ki):
         if causal:
-            # Skipped (above-diagonal) blocks prefetch block 0 for the next
-            # Q row instead of wasting DMA bandwidth on dead data.
-            ki = lax.select(below_or_on_diag(qi, block_q, ki, block_k), ki, 0)
+            ki = _kv_clamp(qi, ki)
         return (b, h // kv_groups, ki, 0)
 
     has_segments = q_seg is not None
@@ -536,6 +571,7 @@ def fa2_forward_aligned(
         mask_kv_tail=(kv_len != kv_len_pad),
         has_segments=has_segments,
         fold_rowsum=fold_rowsum,
+        window=window,
     )
 
     in_specs = [
@@ -550,9 +586,7 @@ def fa2_forward_aligned(
 
         def kvseg_index_map(b, h, qi, ki):
             if causal:
-                ki = lax.select(
-                    below_or_on_diag(qi, block_q, ki, block_k), ki, 0
-                )
+                ki = _kv_clamp(qi, ki)
             return (b, 0, ki)
 
         in_specs += [

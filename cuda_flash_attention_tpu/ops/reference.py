@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 
 def _attention_core(q, k, v, *, causal, sm_scale, compute_dtype,
-                    q_segment_ids=None, kv_segment_ids=None):
+                    q_segment_ids=None, kv_segment_ids=None, window=None):
     """Materialized softmax(QK^T * scale) V with logsumexp, in compute_dtype."""
     orig_dtype = q.dtype
     q = q.astype(compute_dtype)
@@ -36,11 +36,15 @@ def _attention_core(q, k, v, *, causal, sm_scale, compute_dtype,
         preferred_element_type=compute_dtype, precision=precision,
     )
     s = s * compute_dtype(sm_scale)
-    if causal:
+    if causal or window is not None:
         q_len, kv_len = s.shape[-2], s.shape[-1]
         row = jax.lax.broadcasted_iota(jnp.int32, (q_len, kv_len), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (q_len, kv_len), 1)
-        s = jnp.where(col <= row, s, -jnp.inf)
+        if causal:
+            s = jnp.where(col <= row, s, -jnp.inf)
+        if window is not None:
+            # Sliding window: query i sees keys j with i - j < window.
+            s = jnp.where(row - col < window, s, -jnp.inf)
     if q_segment_ids is not None:
         seg = (
             q_segment_ids[:, None, :, None] == kv_segment_ids[:, None, None, :]
@@ -63,7 +67,9 @@ def _attention_core(q, k, v, *, causal, sm_scale, compute_dtype,
     return o.astype(orig_dtype), lse.astype(jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("causal", "sm_scale", "compute_dtype"))
+@functools.partial(
+    jax.jit, static_argnames=("causal", "sm_scale", "compute_dtype", "window")
+)
 def vanilla_attention_with_lse(
     q,  # [B, H, Sq, D]
     k,  # [B, H, Skv, D]
@@ -74,6 +80,7 @@ def vanilla_attention_with_lse(
     compute_dtype=jnp.float32,
     q_segment_ids=None,   # [B, Sq] int32
     kv_segment_ids=None,  # [B, Skv] int32
+    window: int | None = None,
 ):
     """Reference attention returning (O, logsumexp).
 
@@ -86,18 +93,23 @@ def vanilla_attention_with_lse(
         q, k, v, causal=causal, sm_scale=float(sm_scale),
         compute_dtype=compute_dtype,
         q_segment_ids=q_segment_ids, kv_segment_ids=kv_segment_ids,
+        window=window,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("causal", "sm_scale", "compute_dtype"))
+@functools.partial(
+    jax.jit, static_argnames=("causal", "sm_scale", "compute_dtype", "window")
+)
 def vanilla_attention(
     q, k, v, *, causal: bool = False, sm_scale: float | None = None,
     compute_dtype=jnp.float32, q_segment_ids=None, kv_segment_ids=None,
+    window: int | None = None,
 ):
     """Reference attention returning only O — the materialized perf floor."""
     o, _ = vanilla_attention_with_lse(
         q, k, v, causal=causal, sm_scale=sm_scale, compute_dtype=compute_dtype,
         q_segment_ids=q_segment_ids, kv_segment_ids=kv_segment_ids,
+        window=window,
     )
     return o
 

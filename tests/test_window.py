@@ -1,0 +1,158 @@
+"""Sliding-window (local) attention tests.
+
+Window semantics: query i attends to keys j with j <= i and i - j < window
+(Mistral-style local attention; requires causal).  Oracle: the materialized
+vanilla path with the same window mask.  The kernel must match on the
+forward, the gradients, GQA, segment packing, and ragged (non-block-aligned)
+lengths — and window >= S must be bit-identical to plain causal."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cuda_flash_attention_tpu.kernels.attention import flash_attention
+from cuda_flash_attention_tpu.kernels.common import BlockSizes
+from cuda_flash_attention_tpu.ops.reference import vanilla_attention
+
+
+def _qkv(s, b=1, h=2, d=64, seed=0, dtype=jnp.float32):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 3)
+    q = jax.random.normal(ks[0], (b, h, s, d), dtype)
+    k = jax.random.normal(ks[1], (b, h, s, d), dtype)
+    v = jax.random.normal(ks[2], (b, h, s, d), dtype)
+    return q, k, v
+
+
+# Small blocks force multi-block grids at test-sized S, exercising the
+# window tile-skip (dead old KV blocks) and the partial diagonal tiles.
+_BS = BlockSizes(
+    block_q=128, block_k=128, block_q_dkv=128, block_k_dkv=128,
+    block_q_dq=128, block_k_dq=128,
+)
+
+
+@pytest.mark.quick
+@pytest.mark.parametrize("s,window", [(512, 128), (512, 200), (384, 1)])
+def test_window_forward_matches_oracle(s, window):
+    q, k, v = _qkv(s)
+    o = flash_attention(
+        q, k, v, causal=True, window=window, block_sizes=_BS,
+        force_kernel=True,
+    )
+    o_ref = vanilla_attention(q, k, v, causal=True, window=window)
+    err = float(jnp.max(jnp.abs(o - o_ref)))
+    assert err < 1e-5, err
+
+
+def test_window_xla_route_matches_oracle():
+    # Small fp32 shapes dispatch to the fused-XLA path; the window must
+    # apply there too.
+    q, k, v = _qkv(256)
+    o = flash_attention(q, k, v, causal=True, window=100)
+    o_ref = vanilla_attention(q, k, v, causal=True, window=100)
+    assert float(jnp.max(jnp.abs(o - o_ref))) < 1e-6
+
+
+def test_window_ge_seq_equals_causal():
+    q, k, v = _qkv(256)
+    o_win = flash_attention(
+        q, k, v, causal=True, window=256, block_sizes=_BS, force_kernel=True
+    )
+    o_causal = flash_attention(
+        q, k, v, causal=True, block_sizes=_BS, force_kernel=True
+    )
+    np.testing.assert_array_equal(np.asarray(o_win), np.asarray(o_causal))
+
+
+def test_window_ragged_seq():
+    # Non-block-aligned S: tail masking composes with the window mask.
+    q, k, v = _qkv(300)
+    o = flash_attention(
+        q, k, v, causal=True, window=90, block_sizes=_BS, force_kernel=True
+    )
+    o_ref = vanilla_attention(q, k, v, causal=True, window=90)
+    assert float(jnp.max(jnp.abs(o - o_ref))) < 1e-5
+
+
+@pytest.mark.quick
+@pytest.mark.parametrize("window", [128, 200])
+def test_window_grads_match_oracle(window):
+    s = 512
+    q, k, v = _qkv(s)
+    w = jax.random.normal(jax.random.PRNGKey(7), q.shape, jnp.float32)
+
+    def loss(q, k, v):
+        o = flash_attention(
+            q, k, v, causal=True, window=window, block_sizes=_BS,
+            force_kernel=True,
+        )
+        return jnp.sum(o * w)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(vanilla_attention(q, k, v, causal=True, window=window) * w)
+
+    grads = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    grads_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for g, g_ref, name in zip(grads, grads_ref, "q k v".split()):
+        err = float(jnp.max(jnp.abs(g - g_ref)))
+        assert err < 1e-4, f"d{name}: {err}"
+
+
+def test_window_gqa():
+    s, hq, hkv = 512, 4, 2
+    q, _, _ = _qkv(s, h=hq, seed=1)
+    _, k, v = _qkv(s, h=hkv, seed=2)
+    o = flash_attention(
+        q, k, v, causal=True, window=160, block_sizes=_BS, force_kernel=True
+    )
+    o_ref = vanilla_attention(
+        q, jnp.repeat(k, hq // hkv, axis=1), jnp.repeat(v, hq // hkv, axis=1),
+        causal=True, window=160,
+    )
+    assert float(jnp.max(jnp.abs(o - o_ref))) < 1e-5
+
+
+def test_window_with_segments():
+    # Sequence packing composes: the window applies WITHIN the causal+segment
+    # mask (positions are global, as in packed training with windowed layers).
+    s = 384
+    q, k, v = _qkv(s)
+    seg = (jnp.arange(s) >= 192).astype(jnp.int32)[None, :]
+    o = flash_attention(
+        q, k, v, causal=True, window=100,
+        q_segment_ids=seg, kv_segment_ids=seg,
+        block_sizes=_BS, force_kernel=True,
+    )
+    from cuda_flash_attention_tpu.ops.reference import vanilla_attention as va
+    o_ref = va(
+        q, k, v, causal=True, window=100,
+        q_segment_ids=seg, kv_segment_ids=seg,
+    )
+    assert float(jnp.max(jnp.abs(o - o_ref))) < 1e-5
+
+
+def test_window_bf16_tiles():
+    q, k, v = _qkv(512, dtype=jnp.bfloat16)
+    o = flash_attention(
+        q, k, v, causal=True, window=130, block_sizes=_BS,
+        tile_dtype=jnp.bfloat16, force_kernel=True,
+    )
+    o_ref = vanilla_attention(
+        q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32),
+        causal=True, window=130,
+    )
+    err = float(jnp.max(jnp.abs(o.astype(jnp.float32) - o_ref)))
+    assert err < 5e-2, err
+
+
+def test_window_requires_causal():
+    q, k, v = _qkv(128)
+    with pytest.raises(ValueError, match="causal"):
+        flash_attention(q, k, v, causal=False, window=64)
+
+
+def test_window_rejects_nonpositive():
+    q, k, v = _qkv(128)
+    with pytest.raises(ValueError, match="window"):
+        flash_attention(q, k, v, causal=True, window=0)
