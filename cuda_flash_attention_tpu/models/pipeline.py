@@ -139,7 +139,7 @@ def _tp_layer(x, layer, positions, cfg, interpret):
     from cuda_flash_attention_tpu.kernels.attention import flash_attention
 
     o = flash_attention(q, k, v, causal=True, tile_dtype=cfg.attn_tile_dtype,
-                        interpret=interpret)
+                        window=cfg.attn_window, interpret=interpret)
     o = o.transpose(0, 2, 1, 3).reshape(b, s, nh * cfg.head_dim)
     x = x + lax.psum(_dense(o, layer["wo"]), MODEL_AXIS).astype(x.dtype)
     h = rms_norm(x, layer["mlp_norm"])
@@ -167,7 +167,7 @@ def _stage_apply(x, stage_layers, positions, cfg, interpret):
     def body(carry, layer):
         x, aux = carry
         x = _attention_block(x, layer, positions, cfg, None,
-                             interpret=interpret)
+                             window=cfg.attn_window, interpret=interpret)
         x, a = ffn_block(x, layer, cfg, None)
         return (x, aux + a), None
 
@@ -184,6 +184,12 @@ def make_pipeline_nll(cfg: TransformerConfig, mesh, n_stages: int,
     if mesh.shape[PIPE_AXIS] != n_stages:
         raise ValueError(
             f"mesh pipe axis {mesh.shape[PIPE_AXIS]} != n_stages {n_stages}"
+        )
+    if cfg.attn_window is not None and cfg.global_every > 0:
+        raise NotImplementedError(
+            "PP scans homogeneous stacked layers; the local/global "
+            "interleave (global_every > 0) is not expressible there — "
+            "use a uniform attn_window under PP"
         )
     shift = [(i, i + 1) for i in range(n_stages - 1)]
     from cuda_flash_attention_tpu.parallel.sharded import mesh_interpret_default

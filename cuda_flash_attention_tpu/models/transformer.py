@@ -58,6 +58,14 @@ class TransformerConfig:
     capacity_factor: float = 1.25
     moe_every: int = 2
     router_aux_coef: float = 0.01
+    # Sliding-window attention (kernels/attention.py `window`): attn_window
+    # None keeps every layer global; attn_window=W restricts each query to
+    # the last W keys.  global_every > 0 keeps every `global_every`-th layer
+    # global (the local/global interleave of Gemma-2/GPT-OSS-style stacks:
+    # with global_every=2, odd layers are global) so long-range information
+    # still propagates while most layers pay O(S*W) attention.
+    attn_window: int | None = None
+    global_every: int = 0
     # Rematerialization (jax.checkpoint) of the per-layer forward under
     # autodiff — trades recompute FLOPs for activation memory so bigger
     # B*S fits HBM (the task's remat requirement; the reference has no
@@ -72,6 +80,14 @@ class TransformerConfig:
 
     def is_moe_layer(self, i: int) -> bool:
         return self.n_experts > 0 and i % self.moe_every == self.moe_every - 1
+
+    def layer_window(self, i: int) -> int | None:
+        """Sliding window for layer i, or None when the layer is global."""
+        if self.attn_window is None:
+            return None
+        if self.global_every > 0 and i % self.global_every == self.global_every - 1:
+            return None
+        return self.attn_window
 
     @property
     def q_dim(self) -> int:
@@ -248,7 +264,8 @@ def rope(x, positions, theta: float):
 
 
 def gqa_flash_attention(q, k, v, *, cfg: TransformerConfig, mesh=None,
-                        causal: bool = True, interpret=None):
+                        causal: bool = True, window: int | None = None,
+                        interpret=None):
     """Grouped-query attention over the FA2 kernel.
 
     q: [B, Hq, S, D]; k/v: [B, Hkv, S, D].  GQA is kernel-native: the FA2
@@ -268,14 +285,22 @@ def gqa_flash_attention(q, k, v, *, cfg: TransformerConfig, mesh=None,
             v = jnp.repeat(v, groups, axis=1)
     if mesh is None:
         return flash_attention(q, k, v, causal=causal, tile_dtype=tile,
-                               interpret=interpret)
+                               window=window, interpret=interpret)
     if CTX_AXIS in mesh.axis_names and mesh.shape[CTX_AXIS] > 1:
+        if window is not None:
+            raise NotImplementedError(
+                "sliding window with context parallelism is not supported: "
+                "ring attention rotates full KV shards; use a mesh without a "
+                "ctx axis for windowed layers (window << shard length makes "
+                "ring rotation wasted work anyway)"
+            )
         return ring_attention(mesh, q, k, v, causal=causal, tile_dtype=tile)
-    return head_parallel_attention(mesh, q, k, v, causal=causal, tile_dtype=tile)
+    return head_parallel_attention(mesh, q, k, v, causal=causal, tile_dtype=tile,
+                                   window=window)
 
 
 def _attention_block(x, layer, positions, cfg: TransformerConfig, mesh,
-                     interpret=None):
+                     window: int | None = None, interpret=None):
     b, s, _ = x.shape
     h = rms_norm(x, layer["attn_norm"])
     q = _dense(h, layer["wq"]).reshape(b, s, cfg.n_heads, cfg.head_dim)
@@ -285,7 +310,7 @@ def _attention_block(x, layer, positions, cfg: TransformerConfig, mesh,
     k = rope(k, positions, cfg.rope_theta).transpose(0, 2, 1, 3)
     v = v.transpose(0, 2, 1, 3)
     o = gqa_flash_attention(q, k, v, cfg=cfg, mesh=mesh, causal=True,
-                            interpret=interpret)
+                            window=window, interpret=interpret)
     o = o.transpose(0, 2, 1, 3).reshape(b, s, cfg.q_dim)
     return x + _dense(o, layer["wo"])
 
@@ -325,23 +350,24 @@ def forward(params, tokens, cfg: TransformerConfig, mesh=None,
         x = jax.lax.with_sharding_constraint(
             x, NamedSharding(mesh, _activation_spec(mesh))
         )
-    def _layer(x, layer):
-        x = _attention_block(x, layer, positions, cfg, mesh)
+    def _layer(x, layer, window):
+        x = _attention_block(x, layer, positions, cfg, mesh, window=window)
         return ffn_block(x, layer, cfg, mesh)
 
     if cfg.remat == "full":
-        _layer = jax.checkpoint(_layer)
+        _layer = jax.checkpoint(_layer, static_argnums=(2,))
     elif cfg.remat == "dots":
         _layer = jax.checkpoint(
             _layer,
             policy=jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims,
+            static_argnums=(2,),
         )
     elif cfg.remat != "none":
         raise ValueError(f"unknown remat policy {cfg.remat!r}")
 
     aux_total = 0.0
-    for layer in params["layers"]:
-        x, aux = _layer(x, layer)
+    for i, layer in enumerate(params["layers"]):
+        x, aux = _layer(x, layer, cfg.layer_window(i))
         aux_total = aux_total + aux
     x = rms_norm(x, params["final_norm"])
     logits = _dense(x, params["lm_head"]).astype(jnp.float32)

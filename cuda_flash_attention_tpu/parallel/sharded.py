@@ -45,12 +45,14 @@ def head_parallel_attention(
     causal: bool = False,
     sm_scale: float | None = None,
     tile_dtype=None,
+    window: int | None = None,
     data_axis: str = DATA_AXIS,
     model_axis: str = MODEL_AXIS,
 ):
     """shard_map'd FA2: per-device local kernel over (batch/data, heads/model)
     shards. Differentiable (custom_vjp runs shard-local; gradients shard the
-    same way)."""
+    same way).  The sequence axis stays unsharded here, so a sliding
+    ``window`` passes straight through to the local kernel."""
     spec = qkv_partition_spec(mesh, data_axis=data_axis, model_axis=model_axis)
     interpret = mesh_interpret_default(mesh)
 
@@ -62,7 +64,7 @@ def head_parallel_attention(
     def _local(q, k, v):
         return flash_attention(
             q, k, v, causal=causal, sm_scale=sm_scale, tile_dtype=tile_dtype,
-            interpret=interpret,
+            window=window, interpret=interpret,
         )
 
     return _local(q, k, v)
