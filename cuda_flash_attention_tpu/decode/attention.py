@@ -71,6 +71,7 @@ def _decode_kernel(
     page_size: int,
     pages_per_seq: int,
     compute_dtype,
+    window=None,
 ):
     """All KV heads of one sequence in ONE grid cell: they share the same
     physical page, so batching them trades n_kv_heads grid launches for one
@@ -86,7 +87,14 @@ def _decode_kernel(
         l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
         acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
 
-    @pl.when(p * page_size < length)
+    # Sliding window: the sole query sits at position length-1 and sees keys
+    # j >= length - window, so pages entirely before the window are dead —
+    # per-step compute is O(window), not O(length).
+    live = p * page_size < length
+    if window is not None:
+        live &= (p + 1) * page_size > length - window
+
+    @pl.when(live)
     def _run():
         hkv, group = q_ref.shape[1], q_ref.shape[2]
         q = q_ref[0].astype(compute_dtype)          # [Hkv, group, D]
@@ -98,11 +106,15 @@ def _decode_kernel(
         )  # [Hkv, group, page_size]
         s *= ks_ref[:, 0] * sm_scale  # [Hkv, 1, page_size] broadcast
 
-        # Mask the tail of the last active page (positions >= length).
+        # Mask the tail of the last active page (positions >= length) and,
+        # with a sliding window, the stale head of the oldest live page.
         col = p * page_size + lax.broadcasted_iota(
             jnp.int32, (hkv, group, page_size), 2
         )
-        s += jnp.where(col < length, 0.0, DEFAULT_MASK_VALUE)
+        keep = col < length
+        if window is not None:
+            keep &= col >= length - window
+        s += jnp.where(keep, 0.0, DEFAULT_MASK_VALUE)
 
         m_prev = m_scr[...]
         l_prev = l_scr[...]
@@ -131,7 +143,7 @@ def _decode_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("sm_scale", "compute_dtype", "interpret"),
+    static_argnames=("sm_scale", "compute_dtype", "window", "interpret"),
 )
 def paged_decode_attention(
     q,           # [num_seqs, n_heads, head_dim] — one token per slot
@@ -141,13 +153,23 @@ def paged_decode_attention(
     *,
     sm_scale: float | None = None,
     compute_dtype=jnp.bfloat16,
+    window: int | None = None,
     interpret=None,
 ):
-    """Flash-decoding over the paged cache. Returns [num_seqs, n_heads, D]."""
+    """Flash-decoding over the paged cache. Returns [num_seqs, n_heads, D].
+
+    ``window`` restricts each query (position length-1) to the last
+    ``window`` keys: out-of-window pages are skipped (no DMA, no compute),
+    so per-token cost is bounded by the window, not the context length.
+    Stale page-table entries behind the window may be freed/reused by the
+    engine — the index map never dereferences them."""
     num_seqs, n_heads, head_dim = q.shape
     n_kv_heads, num_pages, page_size, _ = pages.k_pages.shape
     pages_per_seq = page_table.shape[1]
     assert n_heads % n_kv_heads == 0
+    if window is not None:
+        window = int(window)
+        assert window >= 1
     group = n_heads // n_kv_heads
     if sm_scale is None:
         sm_scale = 1.0 / (head_dim ** 0.5)
@@ -159,9 +181,14 @@ def paged_decode_attention(
         return (s, 0, 0, 0)
 
     def page_map(s, p, pt_ref, len_ref):
-        # Clamp dead pages (p beyond length) to the null page 0 so the
-        # prefetch DMA doesn't touch cold HBM.
+        # Clamp dead pages (beyond length, or entirely behind the sliding
+        # window) to the null page 0 so the prefetch DMA doesn't touch cold
+        # HBM — and never dereferences a recycled table entry.
         live = p * page_size < len_ref[s]
+        if window is not None:
+            live = jnp.logical_and(
+                live, (p + 1) * page_size > len_ref[s] - window
+            )
         return (0, lax.select(live, pt_ref[s, p], 0), 0, 0)
 
     kernel = functools.partial(
@@ -170,6 +197,7 @@ def paged_decode_attention(
         page_size=page_size,
         pages_per_seq=pages_per_seq,
         compute_dtype=compute_dtype,
+        window=window,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

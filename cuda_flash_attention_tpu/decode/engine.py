@@ -107,6 +107,17 @@ class DecodeEngine:
         self.mesh = mesh
         self.max_seqs = max_seqs
         self.page_size = page_size
+        # Sliding-window serving (cfg.attn_window): the decode kernel skips
+        # out-of-window pages, and the engine FREES pages entirely behind
+        # the window (rolling KV cache) — per-sequence HBM is bounded by the
+        # window, not the total generated length.  The scanned layer body
+        # requires a uniform window (see decode.model._check_uniform_window).
+        from cuda_flash_attention_tpu.decode.model import (
+            _check_uniform_window,
+        )
+
+        _check_uniform_window(cfg)
+        self.window = cfg.attn_window
         self.pages_per_seq = _cdiv(max_seq_len, page_size)
         self.temperature = temperature
         self.top_k = top_k
@@ -271,7 +282,7 @@ class DecodeEngine:
                 f"prompt+generation ({len(prompt)}+{max_new_tokens}) exceeds "
                 f"max_seq_len {self.pages_per_seq * self.page_size}"
             )
-        worst = _cdiv(len(prompt) + max_new_tokens, self.page_size)
+        worst = self._worst_pages_for(len(prompt), max_new_tokens)
         # Local page 0 of each data shard is its reserved null page.
         if worst > self.shard_pages - 1:
             raise ValueError(
@@ -310,8 +321,45 @@ class DecodeEngine:
         return [i for i in range(self.max_seqs) if not self.active[i]
                 and self._slot_req[i] is None]
 
+    def _worst_pages_for(self, prompt_len: int, max_new_tokens: int) -> int:
+        """Worst-case CONCURRENT page need for admission gating.  With a
+        sliding window, stale pages are recycled every step, so concurrency
+        is bounded by max(prefill footprint, window-live pages) instead of
+        the whole prompt+generation length."""
+        total = _cdiv(prompt_len + max_new_tokens, self.page_size)
+        if self.window is None:
+            return total
+        # Live span covers [len - window, len] — it straddles at most
+        # cdiv(window, page) + 1 pages; prefill writes the whole prompt
+        # before any recycling can happen.
+        live = _cdiv(self.window, self.page_size) + 1
+        prefill = _cdiv(prompt_len, self.page_size)
+        return min(total, max(live, prefill))
+
     def _worst_pages(self, req: Request) -> int:
-        return _cdiv(len(req.prompt) + req.max_new_tokens, self.page_size)
+        return self._worst_pages_for(len(req.prompt), req.max_new_tokens)
+
+    def _live_page_count(self, slot: int) -> int:
+        return sum(1 for p in self._slot_pages[slot] if p is not None)
+
+    def _recycle_stale(self, slot: int):
+        """Free pages entirely behind the sliding window (rolling cache).
+        Logical page indices keep their position in _slot_pages (None
+        placeholder) so append targeting stays length-indexed; the kernel's
+        page map never dereferences dead entries."""
+        if self.window is None:
+            return
+        horizon = int(self.lengths[slot]) - self.window
+        if horizon <= 0:
+            return
+        pages = self._slot_pages[slot]
+        shard = self._slot_shard(slot)
+        for pi, pid in enumerate(pages):
+            if pid is None or (pi + 1) * self.page_size > horizon:
+                continue
+            self.allocators[shard].free([pid])
+            pages[pi] = None
+            self.page_table[slot, pi] = 0
 
     def _slot_shard(self, slot: int) -> int:
         return slot // self._slots_per_shard
@@ -328,11 +376,12 @@ class DecodeEngine:
 
     def _shard_budgets(self) -> list[int]:
         """Allocatable pages per data shard, minus pages already promised
-        to that shard's active slots but not yet allocated."""
+        to that shard's active slots but not yet allocated (live pages only
+        — recycled window pages return to the pool)."""
         budgets = [a.available for a in self.allocators]
         for s in range(self.max_seqs):
             budgets[self._slot_shard(s)] -= max(
-                0, self._slot_worst[s] - len(self._slot_pages[s])
+                0, self._slot_worst[s] - self._live_page_count(s)
             )
         return budgets
 
@@ -440,6 +489,10 @@ class DecodeEngine:
             self.lengths[slot] = prompt_len
             self.active[slot] = True
             self.last_token[slot] = first
+            # Long prompts under a sliding window: everything behind the
+            # window is already dead — return those pages before the next
+            # admission round.
+            self._recycle_stale(slot)
             self._maybe_finish(req, first)
 
     def _ensure_page(self, slot: int):
@@ -459,7 +512,9 @@ class DecodeEngine:
 
     def _retire(self, slot: int) -> Request:
         req = self._slot_req[slot]
-        self.allocators[self._slot_shard(slot)].free(self._slot_pages[slot])
+        self.allocators[self._slot_shard(slot)].free(
+            [p for p in self._slot_pages[slot] if p is not None]
+        )
         self._slot_pages[slot] = []
         self.page_table[slot, :] = 0
         self.lengths[slot] = 0
@@ -492,6 +547,7 @@ class DecodeEngine:
 
         for slot in range(self.max_seqs):
             if self.active[slot]:
+                self._recycle_stale(slot)
                 self._ensure_page(slot)
 
         self._key, sub = jax.random.split(self._key)

@@ -57,6 +57,7 @@ def _prefill_layer(x, layer, positions, cfg: TransformerConfig, mesh):
     o = gqa_flash_attention(
         q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
         v.transpose(0, 2, 1, 3), cfg=cfg, mesh=mesh, causal=True,
+        window=cfg.attn_window,
     )
     o = o.transpose(0, 2, 1, 3).reshape(b, s, cfg.q_dim)
     x = x + dense(o, layer["wo"])
@@ -71,6 +72,7 @@ def prefill_forward(params, tokens, cfg: TransformerConfig, mesh=None):
     (k [L, B, S, Hkv, D], v [L, ...]) pair for stacked params (the
     engine's scanned form).  With `mesh`, attention runs
     head-parallel/ring exactly like training forward."""
+    _check_uniform_window(cfg)
     b, s = tokens.shape
     positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s))
     # Gather THEN convert: casting the whole [vocab, d] table costs a
@@ -115,6 +117,7 @@ def _decode_layer(x, layer, pages, pos2, positions, attn_lengths, page_table,
         o, pages = dp_tp_append_attend(
             mesh, q.astype(cfg.dtype), k, v, pages, page_table, positions,
             active, attn_lengths, compute_dtype=compute_dtype,
+            window=cfg.attn_window,
         )
     else:
         pages = append_token_kv(pages, k, v, page_table, positions, active)
@@ -125,17 +128,28 @@ def _decode_layer(x, layer, pages, pos2, positions, attn_lengths, page_table,
 
             o = tp_paged_decode_attention(
                 mesh, q.astype(cfg.dtype), pages, page_table, attn_lengths,
-                compute_dtype=compute_dtype,
+                compute_dtype=compute_dtype, window=cfg.attn_window,
             )
         else:
             o = paged_decode_attention(
                 q.astype(cfg.dtype), pages, page_table, attn_lengths,
-                compute_dtype=compute_dtype,
+                compute_dtype=compute_dtype, window=cfg.attn_window,
                 interpret=interpret,
             )  # [n, Hq, D]
     x = x + dense(o.reshape(n, cfg.q_dim), layer["wo"])
     x, _ = ffn_block(x, layer, cfg, mesh)  # dense or MoE (aux unused)
     return x, pages
+
+
+def _check_uniform_window(cfg: TransformerConfig) -> None:
+    """The serving path scans ONE homogeneous layer body over stacked
+    params, so a per-layer local/global interleave (global_every > 0) is
+    not expressible here — every layer must share cfg.attn_window."""
+    if cfg.attn_window is not None and cfg.global_every > 0:
+        raise NotImplementedError(
+            "the decode/prefill serving path supports only a uniform "
+            "attn_window (global_every must be 0)"
+        )
 
 
 def decode_step(
@@ -154,6 +168,7 @@ def decode_step(
     paged cache, attend over pages, return (logits [num_seqs, vocab],
     new_caches).  With `mesh`, attention runs head-parallel over the model
     axis (decode/sharded.py) and dense projections partition under pjit."""
+    _check_uniform_window(cfg)
     # Gather THEN convert: casting the whole [vocab, d] table costs a
     # full-table HBM pass per step (profiled 0.3 ms at vocab 32k).
     x = params["embed"][tokens].astype(cfg.dtype)  # [n, d_model]

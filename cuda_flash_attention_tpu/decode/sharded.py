@@ -74,6 +74,7 @@ def tp_paged_decode_attention(
     *,
     sm_scale: float | None = None,
     compute_dtype=jnp.bfloat16,
+    window: int | None = None,
     model_axis: str = MODEL_AXIS,
 ):
     """Head-parallel flash-decoding: each device runs the paged kernel on its
@@ -81,7 +82,7 @@ def tp_paged_decode_attention(
     if model_axis not in mesh.axis_names or mesh.shape[model_axis] == 1:
         return paged_decode_attention(
             q, pages, page_table, lengths,
-            sm_scale=sm_scale, compute_dtype=compute_dtype,
+            sm_scale=sm_scale, compute_dtype=compute_dtype, window=window,
             interpret=mesh_interpret_default(mesh) if mesh is not None else None,
         )
     tp = mesh.shape[model_axis]
@@ -106,7 +107,7 @@ def tp_paged_decode_attention(
     def _local(q, pages, page_table, lengths):
         return paged_decode_attention(
             q, pages, page_table, lengths,
-            sm_scale=sm_scale, compute_dtype=compute_dtype,
+            sm_scale=sm_scale, compute_dtype=compute_dtype, window=window,
             interpret=interpret,
         )
 
@@ -126,6 +127,7 @@ def dp_tp_append_attend(
     *,
     sm_scale: float | None = None,
     compute_dtype=jnp.bfloat16,
+    window: int | None = None,
     data_axis: str = DATA_AXIS,
     model_axis: str = MODEL_AXIS,
 ):
@@ -158,7 +160,7 @@ def dp_tp_append_attend(
         )
         o = paged_decode_attention(
             q, pages, page_table, lengths,
-            sm_scale=sm_scale, compute_dtype=compute_dtype,
+            sm_scale=sm_scale, compute_dtype=compute_dtype, window=window,
             interpret=interpret,
         )
         return o, pages
