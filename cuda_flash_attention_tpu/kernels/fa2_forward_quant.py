@@ -45,6 +45,7 @@ from cuda_flash_attention_tpu.kernels.common import (
     pad_to_block,
     resolve_interpret,
     storage_cast,
+    within_window,
 )
 from cuda_flash_attention_tpu.quant.qtensor import QuantizedTensor, quantize_kv
 
@@ -65,6 +66,7 @@ def _fa2_fwd_quant_kernel(
     compute_dtype,
     mask_kv_tail: bool,
     has_segments: bool,
+    window=None,
 ):
     if has_segments:
         (q_ref, k_ref, k_scale_ref, v_ref, v_scale_ref, qseg_ref, kvseg_ref,
@@ -82,10 +84,11 @@ def _fa2_fwd_quant_kernel(
         l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
         acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
 
+    should_run = True
     if causal:
         should_run = below_or_on_diag(q_idx, block_q, kv_idx, block_k)
-    else:
-        should_run = True
+    if window is not None:
+        should_run &= within_window(q_idx, block_q, kv_idx, block_k, window)
 
     @pl.when(should_run)
     def _run():
@@ -111,6 +114,7 @@ def _fa2_fwd_quant_kernel(
             causal=causal, mask_kv_tail=mask_kv_tail, kv_len=kv_len,
             q_seg=qseg_ref[0] if has_segments else None,
             kv_seg=kvseg_ref[0] if has_segments else None,
+            window=window,
         )
         if mask is not None:
             s += jnp.where(mask, 0.0, mask_value)
@@ -150,7 +154,7 @@ def _fa2_fwd_quant_kernel(
     jax.jit,
     static_argnames=(
         "causal", "sm_scale", "block_q", "block_k", "kv_len",
-        "compute_dtype", "kv_groups", "interpret", "debug",
+        "compute_dtype", "kv_groups", "window", "interpret", "debug",
     ),
 )
 def fa2_forward_quant_aligned(
@@ -169,6 +173,7 @@ def fa2_forward_quant_aligned(
     kv_len: int,
     compute_dtype=jnp.bfloat16,
     kv_groups: int = 1,
+    window: int | None = None,
     interpret=None,
     debug: bool = False,
 ):
@@ -181,20 +186,32 @@ def fa2_forward_quant_aligned(
     kv_len_pad = k_vals.shape[2]
     assert q_len % block_q == 0 and kv_len_pad % block_k == 0
     assert k_vals.shape[1] * kv_groups == heads
+    if window is not None:
+        assert causal and window >= 1
     num_kv_blocks = kv_len_pad // block_k
     grid = (batch, heads, q_len // block_q, num_kv_blocks)
+
+    def _kv_clamp(qi, ki):
+        # Dead blocks (above-diagonal or behind the window) prefetch the
+        # oldest in-window live block instead (see fa2_forward.py).
+        live = below_or_on_diag(qi, block_q, ki, block_k)
+        if window is None:
+            return lax.select(live, ki, 0)
+        live &= within_window(qi, block_q, ki, block_k, window)
+        lo = jnp.maximum(0, (qi * block_q - (window - 1)) // block_k)
+        return lax.select(live, ki, lo)
 
     def q_index_map(b, h, qi, ki):
         return (b, h, qi, 0)
 
     def kv_index_map(b, h, qi, ki):
         if causal:
-            ki = lax.select(below_or_on_diag(qi, block_q, ki, block_k), ki, 0)
+            ki = _kv_clamp(qi, ki)
         return (b, h // kv_groups, ki, 0)
 
     def kv_scale_index_map(b, h, qi, ki):
         if causal:
-            ki = lax.select(below_or_on_diag(qi, block_q, ki, block_k), ki, 0)
+            ki = _kv_clamp(qi, ki)
         return (b, h // kv_groups, 0, ki)
 
     has_segments = q_seg is not None
@@ -210,6 +227,7 @@ def fa2_forward_quant_aligned(
         compute_dtype=compute_dtype,
         mask_kv_tail=(kv_len != kv_len_pad),
         has_segments=has_segments,
+        window=window,
     )
 
     in_specs = [
@@ -226,9 +244,7 @@ def fa2_forward_quant_aligned(
 
         def kvseg_index_map(b, h, qi, ki):
             if causal:
-                ki = lax.select(
-                    below_or_on_diag(qi, block_q, ki, block_k), ki, 0
-                )
+                ki = _kv_clamp(qi, ki)
             return (b, 0, ki)
 
         in_specs += [
@@ -325,6 +341,7 @@ def flash_attention_quantized_kv_with_lse(
     compute_dtype=jnp.bfloat16,
     q_segment_ids=None,   # [B, Sq] int32 — sequence-packing segment ids
     kv_segment_ids=None,  # [B, Skv] int32
+    window: int | None = None,
     interpret=None,
 ):
     """Quantized-KV FA2 forward returning (O, logsumexp [B, H, Sq] fp32) —
@@ -337,8 +354,11 @@ def flash_attention_quantized_kv_with_lse(
         _validate_segments,
     )
 
+    from cuda_flash_attention_tpu.kernels.attention import _normalize_window
+
     _validate_quant_shapes(q, k_q, v_q)
     _validate_segments(q_segment_ids, kv_segment_ids, q, k_q.values)
+    window = _normalize_window(window, causal, k_q.values.shape[2])
     if sm_scale is None:
         sm_scale = 1.0 / (q.shape[-1] ** 0.5)
     q_len, kv_len = q.shape[2], k_q.values.shape[2]
@@ -364,7 +384,7 @@ def flash_attention_quantized_kv_with_lse(
         block_q=fit_block(block_q, q_pad.shape[2]),
         block_k=fit_block(block_k, k_vals.shape[2]),
         kv_len=kv_len, compute_dtype=compute_dtype, kv_groups=kv_groups,
-        interpret=interpret,
+        window=window, interpret=interpret,
     )
     return o[:, :, :q_len, :], lse_col[:, :, :q_len, 0]
 

@@ -213,3 +213,26 @@ def test_window_head_parallel_mesh():
     o = head_parallel_attention(mesh, q, k, v, causal=True, window=96)
     o_ref = vanilla_attention(q, k, v, causal=True, window=96)
     assert float(jnp.max(jnp.abs(o - o_ref))) < 1e-5
+
+
+def test_window_quantized_kv():
+    """Quantized-KV forward with a window == dequantized oracle with the
+    same mask (int8 round-trip isolated by attending over the round-tripped
+    K/V)."""
+    from cuda_flash_attention_tpu.kernels.fa2_forward_quant import (
+        flash_attention_quantized_kv,
+    )
+    from cuda_flash_attention_tpu.quant import quantize_kv
+
+    s = 512
+    q, k, v = _qkv(s, h=4)
+    k_q, v_q = quantize_kv(k, v, jnp.int8)
+    o = flash_attention_quantized_kv(
+        q, k_q, v_q, causal=True, window=160,
+        block_q=128, block_k=128, compute_dtype=jnp.float32,
+    )
+    k_rt = (k_q.values.astype(jnp.float32) * k_q.scales)
+    v_rt = (v_q.values.astype(jnp.float32) * v_q.scales)
+    o_ref = vanilla_attention(q, k_rt, v_rt, causal=True, window=160)
+    err = float(jnp.max(jnp.abs(o - o_ref)))
+    assert err < 1e-5, err
