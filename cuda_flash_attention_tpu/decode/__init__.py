@@ -1,11 +1,15 @@
 """Serving layer: paged quantized KV cache, flash-decoding kernel,
 continuous-batching engine (SURVEY.md §7.9)."""
 
-from cuda_flash_attention_tpu.decode.attention import paged_decode_attention
+from cuda_flash_attention_tpu.decode.attention import (
+    paged_chunk_attention,
+    paged_decode_attention,
+)
 from cuda_flash_attention_tpu.decode.engine import DecodeEngine, Request
 from cuda_flash_attention_tpu.decode.kv_cache import (
     KVPages,
     PageAllocator,
+    append_chunk_kv,
     append_token_kv,
     init_kv_pages,
     init_kv_pages_stacked,
@@ -20,11 +24,13 @@ from cuda_flash_attention_tpu.decode.sharded import (
 )
 
 __all__ = [
+    "paged_chunk_attention",
     "paged_decode_attention",
     "DecodeEngine",
     "Request",
     "KVPages",
     "PageAllocator",
+    "append_chunk_kv",
     "append_token_kv",
     "init_kv_pages",
     "init_kv_pages_stacked",

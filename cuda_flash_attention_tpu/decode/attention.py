@@ -234,3 +234,192 @@ def paged_decode_attention(
     )(page_table, lengths, q4, pages.k_pages, k_scales,
       pages.v_pages, v_scales)
     return o.reshape(num_seqs, n_heads, head_dim)
+
+
+def _chunk_kernel(
+    # scalar prefetch
+    page_table_ref,  # [num_seqs, pages_per_seq] int32 (SMEM)
+    lengths_ref,     # [num_seqs] int32 — TOTAL length incl. the chunk
+    # inputs
+    q_ref,   # [1, Hkv, T*group, D]
+    k_ref, ks_ref, v_ref, vs_ref,  # as in _decode_kernel
+    # outputs
+    o_ref,   # [1, Hkv, T*group, D]
+    # scratch
+    m_scr, l_scr, acc_scr,
+    *,
+    sm_scale: float,
+    page_size: int,
+    pages_per_seq: int,
+    compute_dtype,
+    chunk: int,   # T — queries per sequence
+    group: int,   # query heads per KV head
+    window=None,
+):
+    """Speculative-verification attention: T consecutive queries per
+    sequence (positions length-T .. length-1) against the paged cache the
+    chunk's K/V were just appended to.  Identical online-softmax scheme to
+    `_decode_kernel`; the only new machinery is the per-ROW causal bound
+    (query t sees positions <= length - T + t), which also covers the
+    chunk's internal causality because its tokens live in the cache."""
+    seq = pl.program_id(0)
+    p = pl.program_id(1)
+    length = lengths_ref[seq]
+
+    @pl.when(p == 0)
+    def _init():
+        m_scr[...] = jnp.full(m_scr.shape, -jnp.inf, jnp.float32)
+        l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
+        acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
+
+    live = p * page_size < length
+    if window is not None:
+        # Oldest key any query needs: (length - chunk) - (window - 1).
+        live &= (p + 1) * page_size > length - chunk - window + 1
+
+    @pl.when(live)
+    def _run():
+        hkv, rows = q_ref.shape[1], q_ref.shape[2]
+        q = q_ref[0].astype(compute_dtype)            # [Hkv, rows, D]
+        k = storage_cast(k_ref[:, 0], compute_dtype)  # [Hkv, page_size, D]
+        s = lax.dot_general(
+            q, k, _BATCHED_QKT,
+            preferred_element_type=jnp.float32,
+            precision=matmul_precision(q.dtype),
+        )  # [Hkv, rows, page_size]
+        s *= ks_ref[:, 0] * sm_scale
+
+        col = p * page_size + lax.broadcasted_iota(
+            jnp.int32, (hkv, rows, page_size), 2
+        )
+        # Row r is query t = r // group at global position length-chunk+t.
+        pos = (
+            length - chunk
+            + lax.broadcasted_iota(jnp.int32, (hkv, rows, page_size), 1)
+            // group
+        )
+        keep = col <= pos
+        if window is not None:
+            keep &= col > pos - window
+        s += jnp.where(keep, 0.0, DEFAULT_MASK_VALUE)
+
+        m_prev = m_scr[...]
+        l_prev = l_scr[...]
+        m_curr = jnp.max(s, axis=2)[..., None]
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        prob = jnp.exp(s - m_next[..., :1])
+        prob = jnp.where(keep, prob, 0.0)  # fully-masked rows stay exact 0
+        l_scr[...] = alpha * l_prev + jnp.sum(prob, axis=2)[..., None]
+        m_scr[...] = m_next
+
+        v = storage_cast(v_ref[:, 0], compute_dtype)
+        prob_scaled = (prob * vs_ref[:, 0]).astype(compute_dtype)
+        pv = lax.dot_general(
+            prob_scaled, v, _BATCHED_PV,
+            preferred_element_type=jnp.float32,
+            precision=matmul_precision(v.dtype),
+        )
+        acc_scr[...] = acc_scr[...] * alpha[..., :1] + pv
+
+    @pl.when(p == pages_per_seq - 1)
+    def _store():
+        l = l_scr[...]
+        l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
+        o_ref[0] = (acc_scr[...] * l_inv[..., :1]).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sm_scale", "compute_dtype", "window", "interpret"),
+)
+def paged_chunk_attention(
+    q,           # [num_seqs, T, n_heads, head_dim] — T new tokens per slot
+    pages: KVPages,
+    page_table,  # [num_seqs, pages_per_seq] int32
+    lengths,     # [num_seqs] int32 — TOTAL length incl. the T chunk tokens
+    *,
+    sm_scale: float | None = None,
+    compute_dtype=jnp.bfloat16,
+    window: int | None = None,
+    interpret=None,
+):
+    """Multi-query flash-decoding for speculative-decoding verification /
+    chunked decode: the T chunk tokens' K/V must already be appended
+    (`append_chunk_kv`), and query t attends causally up to its own global
+    position length - T + t.  Returns [num_seqs, T, n_heads, D]."""
+    num_seqs, chunk, n_heads, head_dim = q.shape
+    n_kv_heads, num_pages, page_size, _ = pages.k_pages.shape
+    pages_per_seq = page_table.shape[1]
+    assert n_heads % n_kv_heads == 0
+    group = n_heads // n_kv_heads
+    if sm_scale is None:
+        sm_scale = 1.0 / (head_dim ** 0.5)
+    if window is not None:
+        window = int(window)
+        assert window >= 1
+
+    # Rows t-major within each KV head: [seqs, T, Hkv, group, D] ->
+    # [seqs, Hkv, T*group, D] so row // group recovers the query index.
+    q5 = q.reshape(num_seqs, chunk, n_kv_heads, group, head_dim)
+    q4 = q5.transpose(0, 2, 1, 3, 4).reshape(
+        num_seqs, n_kv_heads, chunk * group, head_dim
+    )
+
+    def q_map(s, p, pt_ref, len_ref):
+        return (s, 0, 0, 0)
+
+    def page_map(s, p, pt_ref, len_ref):
+        live = p * page_size < len_ref[s]
+        if window is not None:
+            live = jnp.logical_and(
+                live,
+                (p + 1) * page_size > len_ref[s] - chunk - window + 1,
+            )
+        return (0, lax.select(live, pt_ref[s, p], 0), 0, 0)
+
+    kernel = functools.partial(
+        _chunk_kernel,
+        sm_scale=float(sm_scale),
+        page_size=page_size,
+        pages_per_seq=pages_per_seq,
+        compute_dtype=compute_dtype,
+        chunk=chunk,
+        group=group,
+        window=window,
+    )
+    rows = chunk * group
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_seqs, pages_per_seq),
+        in_specs=[
+            pl.BlockSpec((1, n_kv_heads, rows, head_dim), q_map),
+            pl.BlockSpec((n_kv_heads, 1, page_size, head_dim), page_map),
+            pl.BlockSpec((n_kv_heads, 1, 1, page_size), page_map),
+            pl.BlockSpec((n_kv_heads, 1, page_size, head_dim), page_map),
+            pl.BlockSpec((n_kv_heads, 1, 1, page_size), page_map),
+        ],
+        out_specs=pl.BlockSpec((1, n_kv_heads, rows, head_dim), q_map),
+        scratch_shapes=[
+            pltpu.VMEM((n_kv_heads, rows, NUM_LANES), jnp.float32),
+            pltpu.VMEM((n_kv_heads, rows, NUM_LANES), jnp.float32),
+            pltpu.VMEM((n_kv_heads, rows, head_dim), jnp.float32),
+        ],
+    )
+    k_scales = pages.k_scales[:, :, None, :]
+    v_scales = pages.v_scales[:, :, None, :]
+    o = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(q4.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=resolve_interpret(interpret),
+    )(page_table, lengths, q4, pages.k_pages, k_scales,
+      pages.v_pages, v_scales)
+    return (
+        o.reshape(num_seqs, n_kv_heads, chunk, group, head_dim)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(num_seqs, chunk, n_heads, head_dim)
+    )

@@ -193,6 +193,27 @@ def append_token_kv(
     )
 
 
+def append_chunk_kv(
+    pages: KVPages,
+    k_chunk,  # [num_seqs, T, n_kv_heads, head_dim] — T new tokens per slot
+    v_chunk,
+    page_table,
+    positions,   # [num_seqs] int32 — write position of the chunk's FIRST token
+    active,      # [num_seqs] bool
+) -> KVPages:
+    """Multi-token append (speculative-decoding verification chunks): T
+    consecutive tokens per slot, possibly crossing a page boundary.  T is
+    small (the draft length + 1), so T single-token scatters — each an XLA
+    in-place dynamic-update-slice — beat a gather-heavy general scatter."""
+    t = k_chunk.shape[1]
+    for i in range(t):
+        pages = append_token_kv(
+            pages, k_chunk[:, i], v_chunk[:, i], page_table,
+            positions + i, active,
+        )
+    return pages
+
+
 def write_prompt_kv(
     pages: KVPages,
     k_prompt,  # [prompt_len, n_kv_heads, head_dim]
