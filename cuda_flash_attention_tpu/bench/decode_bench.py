@@ -184,6 +184,8 @@ def measure_engine_throughput(
     gen_tokens: int = 64,
     cache_dtype=jnp.int8,
     mesh=None,
+    spec_tokens: int = 0,
+    draft_layers: int = 1,
 ) -> dict:
     """END-TO-END engine tokens/sec including the host scheduler (admission,
     page allocation, retire) — the number a serving deployment sees; the
@@ -200,10 +202,28 @@ def measure_engine_throughput(
     from cuda_flash_attention_tpu.models.transformer import init_params
 
     params = init_params(jax.random.PRNGKey(0), cfg)
-    max_len = prompt_len + gen_tokens + 1
+    max_len = prompt_len + gen_tokens + 1 + spec_tokens
+    spec_kw = {}
+    if spec_tokens:
+        # Draft = a truncated copy of the target (first draft_layers layers,
+        # same embeddings) — a realistic high-acceptance draft without
+        # training a second model.
+        import dataclasses
+
+        draft_cfg = dataclasses.replace(cfg, n_layers=draft_layers)
+        draft_params = {
+            "embed": params["embed"],
+            "layers": params["layers"][:draft_layers],
+            "final_norm": params["final_norm"],
+            "lm_head": params["lm_head"],
+        }
+        spec_kw = dict(
+            draft_params=draft_params, draft_cfg=draft_cfg,
+            spec_tokens=spec_tokens,
+        )
     eng = DecodeEngine(
         params, cfg, max_seqs=batch, max_seq_len=max_len,
-        cache_dtype=cache_dtype, mesh=mesh,
+        cache_dtype=cache_dtype, mesh=mesh, **spec_kw,
     )
     prompts = np.random.default_rng(0).integers(
         0, cfg.vocab_size, (batch, prompt_len)
@@ -225,6 +245,7 @@ def measure_engine_throughput(
         "timed_tokens": timed_tokens,
         "cache_dtype": str(jnp.dtype(cache_dtype)),
         "tp": 1 if mesh is None else int(np.prod(list(mesh.shape.values()))),
+        "spec_tokens": spec_tokens,
     }
 
 
@@ -270,6 +291,11 @@ def main():
     p.add_argument("--w8a8", action="store_true",
                    help="with --weight-dtype int8: quantize activations too "
                         "(native int8 MXU matmul)")
+    p.add_argument("--spec", type=int, default=0, metavar="K",
+                   help="with --engine: speculative decoding, K draft "
+                        "tokens per round (draft = first --draft-layers "
+                        "layers of the target)")
+    p.add_argument("--draft-layers", type=int, default=1)
     p.add_argument("--engine", action="store_true",
                    help="measure END-TO-END engine throughput (host "
                         "scheduler included) instead of the device loop")
@@ -294,6 +320,7 @@ def main():
         out = measure_engine_throughput(
             cfg, batch=args.batch, prompt_len=args.prompt_len,
             gen_tokens=args.gen, cache_dtype=jnp.dtype(args.cache_dtype),
+            spec_tokens=args.spec, draft_layers=args.draft_layers,
         )
     else:
         out = measure_decode_throughput(

@@ -36,7 +36,11 @@ from cuda_flash_attention_tpu.decode.kv_cache import (
     write_prompt_kv,
     write_prompt_kv_stacked,
 )
-from cuda_flash_attention_tpu.decode.model import decode_step, prefill_forward
+from cuda_flash_attention_tpu.decode.model import (
+    decode_step,
+    prefill_forward,
+    verify_step,
+)
 from cuda_flash_attention_tpu.decode.sampling import sample_tokens
 from cuda_flash_attention_tpu.models.transformer import (
     TransformerConfig,
@@ -77,6 +81,9 @@ class DecodeEngine:
         top_p: float = 1.0,
         seed: int = 0,
         mesh=None,
+        draft_params=None,
+        draft_cfg: TransformerConfig | None = None,
+        spec_tokens: int = 0,
         interpret=None,
     ):
         if page_size % 128 != 0:
@@ -250,6 +257,96 @@ class DecodeEngine:
             donate_argnums=(0,),
         )
 
+        # Speculative decoding (draft-and-verify): a small greedy draft
+        # model proposes `spec_tokens` tokens per round; the target scores
+        # all of them in ONE chunked forward (decode/model.verify_step) and
+        # the host accepts the longest matching prefix + one bonus token —
+        # 1..spec_tokens+1 tokens per target pass, exact greedy parity.
+        # The draft shares the allocator, page table, and page GEOMETRY
+        # (same num_pages/page_size, its own KVPages pools), so lengths and
+        # page ids stay valid for both models with zero extra bookkeeping.
+        self.spec_tokens = int(spec_tokens)
+        if self.spec_tokens:
+            if draft_params is None or draft_cfg is None:
+                raise ValueError(
+                    "spec_tokens > 0 requires draft_params and draft_cfg"
+                )
+            if mesh is not None:
+                raise NotImplementedError(
+                    "speculative decoding is single-host (the draft loop "
+                    "is host-driven)"
+                )
+            if temperature != 0.0:
+                raise NotImplementedError(
+                    "speculative decoding implements the greedy acceptance "
+                    "rule; use temperature=0.0"
+                )
+            if draft_cfg.vocab_size != cfg.vocab_size:
+                raise ValueError("draft and target must share the vocab")
+            from cuda_flash_attention_tpu.decode.model import (
+                _check_uniform_window,
+            )
+
+            _check_uniform_window(draft_cfg)
+            self.draft_cfg = draft_cfg
+            self.draft_params = jax.tree.map(
+                lambda p: (
+                    p.astype(draft_cfg.dtype)
+                    if isinstance(p, jax.Array)
+                    and p.ndim >= 2 and jnp.issubdtype(p.dtype, jnp.floating)
+                    else p
+                ),
+                draft_params,
+                is_leaf=lambda x: isinstance(x, QuantizedTensor),
+            )
+            try:
+                self.draft_params = {
+                    **self.draft_params,
+                    "layers": stack_layer_params(self.draft_params["layers"]),
+                }
+                self._draft_scanned = True
+            except ValueError:
+                self._draft_scanned = False
+            if self._draft_scanned:
+                self.draft_caches = init_kv_pages_stacked(
+                    draft_cfg.n_layers, draft_cfg.n_kv_heads, num_pages,
+                    page_size, draft_cfg.head_dim, cache_dtype,
+                )
+            else:
+                self.draft_caches = [
+                    init_kv_pages(
+                        draft_cfg.n_kv_heads, num_pages, page_size,
+                        draft_cfg.head_dim, cache_dtype,
+                    )
+                    for _ in range(draft_cfg.n_layers)
+                ]
+            self._propose_fn = jax.jit(
+                functools.partial(
+                    self._device_propose, cfg=draft_cfg,
+                    k=self.spec_tokens, interpret=interpret,
+                ),
+                donate_argnums=(1,),
+            )
+            self._verify_fn = jax.jit(
+                functools.partial(
+                    self._device_verify, cfg=cfg, interpret=interpret,
+                ),
+                donate_argnums=(1,),
+            )
+            self._draft_prefill_fn = jax.jit(
+                lambda params, tokens: prefill_forward(
+                    params, tokens, draft_cfg
+                )
+            )
+            dwrite = (
+                write_prompt_kv_stacked if self._draft_scanned
+                else write_prompt_kv
+            )
+            self._draft_write_fn = jax.jit(
+                lambda pages, k, v, ids: dwrite(pages, k, v, ids),
+                donate_argnums=(0,),
+            )
+
     # ------------------------------------------------------------------
     # Device step
     # ------------------------------------------------------------------
@@ -269,6 +366,34 @@ class DecodeEngine:
             logits, key, temperature=temperature, top_k=top_k, top_p=top_p,
         )
         return next_tokens, new_caches
+
+    @staticmethod
+    def _device_propose(params, caches, tokens, positions, page_table,
+                        active, *, cfg, k, interpret):
+        """k+1 greedy draft steps in one program: proposes d1..dk AND runs
+        the extra step feeding dk, so the draft cache holds KV for every
+        chunk position before the next round (its output is discarded)."""
+        tok = tokens
+        out = []
+        for i in range(k + 1):
+            logits, caches = decode_step(
+                params, tok, positions + i, caches, page_table, active,
+                cfg, interpret=interpret,
+            )
+            tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            out.append(tok)
+        return jnp.stack(out[:k], axis=1), caches  # [n, k]
+
+    @staticmethod
+    def _device_verify(params, caches, chunk_tokens, first_positions,
+                       page_table, active, *, cfg, interpret):
+        """Target-side verification: greedy argmax at every chunk position
+        from ONE chunked forward (the chunk's KV is appended inside)."""
+        logits, caches = verify_step(
+            params, chunk_tokens, first_positions, caches, page_table,
+            active, cfg, interpret=interpret,
+        )
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32), caches
 
     # ------------------------------------------------------------------
     # Scheduler (host)
@@ -326,13 +451,17 @@ class DecodeEngine:
         sliding window, stale pages are recycled every step, so concurrency
         is bounded by max(prefill footprint, window-live pages) instead of
         the whole prompt+generation length."""
-        total = _cdiv(prompt_len + max_new_tokens, self.page_size)
+        # Speculative chunks overshoot the final length by up to
+        # spec_tokens appended-but-rejected positions.
+        total = _cdiv(
+            prompt_len + max_new_tokens + self.spec_tokens, self.page_size
+        )
         if self.window is None:
             return total
-        # Live span covers [len - window, len] — it straddles at most
-        # cdiv(window, page) + 1 pages; prefill writes the whole prompt
-        # before any recycling can happen.
-        live = _cdiv(self.window, self.page_size) + 1
+        # Live span covers [len - window, len + spec] — it straddles at
+        # most cdiv(window + spec, page) + 1 pages; prefill writes the
+        # whole prompt before any recycling can happen.
+        live = _cdiv(self.window + self.spec_tokens, self.page_size) + 1
         prefill = _cdiv(prompt_len, self.page_size)
         return min(total, max(live, prefill))
 
@@ -444,6 +573,12 @@ class DecodeEngine:
             tokens[i, :len(r.prompt)] = r.prompt
         logits, kv = self._prefill_fn(self.params, jnp.asarray(tokens))
         logits = logits[:n_real]
+        if self.spec_tokens:
+            # The draft model's cache must mirror the prompt too (same page
+            # ids, its own pools).
+            _, draft_kv = self._draft_prefill_fn(
+                self.draft_params, jnp.asarray(tokens)
+            )
 
         last_idx = jnp.asarray(
             [len(r.prompt) - 1 for r in reqs], jnp.int32
@@ -481,6 +616,20 @@ class DecodeEngine:
                     self.caches[li] = self._write_fn(
                         self.caches[li], k[i, :kv_len], v[i, :kv_len], ids_dev
                     )
+            if self.spec_tokens:
+                if self._draft_scanned:
+                    dk_all, dv_all = draft_kv
+                    self.draft_caches = self._draft_write_fn(
+                        self.draft_caches, dk_all[:, i, :kv_len],
+                        dv_all[:, i, :kv_len], ids_dev,
+                    )
+                else:
+                    for li in range(self.draft_cfg.n_layers):
+                        dk, dv = draft_kv[li]
+                        self.draft_caches[li] = self._draft_write_fn(
+                            self.draft_caches[li], dk[i, :kv_len],
+                            dv[i, :kv_len], ids_dev,
+                        )
             first = int(firsts[i])
             req.generated.append(first)
             req.slot = slot
@@ -495,9 +644,11 @@ class DecodeEngine:
             self._recycle_stale(slot)
             self._maybe_finish(req, first)
 
-    def _ensure_page(self, slot: int):
-        """Grow the slot's page list so position lengths[slot] is writable."""
-        needed = self.lengths[slot] // self.page_size + 1
+    def _ensure_page(self, slot: int, extra: int = 0):
+        """Grow the slot's page list so positions lengths[slot] ..
+        lengths[slot]+extra are writable (extra > 0 for speculative chunks
+        that append several tokens in one round)."""
+        needed = (self.lengths[slot] + extra) // self.page_size + 1
         while len(self._slot_pages[slot]) < needed:
             (pid,) = self.allocators[self._slot_shard(slot)].alloc(1)
             self._slot_pages[slot].append(pid)
@@ -544,6 +695,9 @@ class DecodeEngine:
                 break
         if not self.active.any():
             return finished
+        if self.spec_tokens:
+            self._spec_round()
+            return finished
 
         for slot in range(self.max_seqs):
             if self.active[slot]:
@@ -572,6 +726,55 @@ class DecodeEngine:
             self.last_token[slot] = tok
             self._maybe_finish(req, tok)
         return finished
+
+    def _spec_round(self):
+        """One draft-and-verify round: up to spec_tokens+1 tokens per slot
+        from a single target forward.  Greedy acceptance: take draft tokens
+        while the target's argmax agrees, then the target's own token at the
+        first disagreement (or as the bonus when all agree).  Chunk K/V for
+        rejected positions stays in the cache but is never attended (the
+        causal length gate) and is overwritten by later appends."""
+        k = self.spec_tokens
+        for slot in range(self.max_seqs):
+            if self.active[slot]:
+                self._recycle_stale(slot)
+                self._ensure_page(slot, extra=k)
+
+        positions = jnp.asarray(self.lengths)
+        pt = jnp.asarray(self.page_table)
+        act = jnp.asarray(self.active)
+        drafts_dev, self.draft_caches = self._propose_fn(
+            self.draft_params, self.draft_caches,
+            jnp.asarray(self.last_token), positions, pt, act,
+        )
+        drafts = np.asarray(drafts_dev)  # [max_seqs, k]
+        chunk = np.concatenate([self.last_token[:, None], drafts], axis=1)
+        greedy_dev, self.caches = self._verify_fn(
+            self.params, self.caches, jnp.asarray(chunk), positions, pt, act,
+        )
+        greedy = np.asarray(greedy_dev)  # [max_seqs, k+1]
+
+        for slot in range(self.max_seqs):
+            if not self.active[slot]:
+                continue
+            req = self._slot_req[slot]
+            m = 0
+            while m < k and greedy[slot, m] == drafts[slot, m]:
+                m += 1
+            accepted = [int(t) for t in drafts[slot, :m]]
+            accepted.append(int(greedy[slot, m]))  # bonus / correction
+            take: list[int] = []
+            for tok in accepted:
+                take.append(tok)
+                hit_eos = req.eos_id is not None and tok == req.eos_id
+                if hit_eos or len(req.generated) + len(take) >= req.max_new_tokens:
+                    break
+            req.generated.extend(take)
+            # KV is now committed for the previous last_token plus the
+            # accepted draft inputs; the new last_token's KV lands next round.
+            self.lengths[slot] += len(take)
+            self.last_token[slot] = take[-1]
+            self._maybe_finish(req, take[-1])
 
     def run(self, prompts, max_new_tokens: int = 32, eos_id: int | None = None,
             max_steps: int = 10000):

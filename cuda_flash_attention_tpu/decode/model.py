@@ -29,9 +29,13 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from cuda_flash_attention_tpu.decode.attention import paged_decode_attention
+from cuda_flash_attention_tpu.decode.attention import (
+    paged_chunk_attention,
+    paged_decode_attention,
+)
 from cuda_flash_attention_tpu.decode.kv_cache import (
     KVPages,
+    append_chunk_kv,
     append_token_kv,
 )
 from cuda_flash_attention_tpu.models.transformer import (
@@ -139,6 +143,75 @@ def _decode_layer(x, layer, pages, pos2, positions, attn_lengths, page_table,
     x = x + dense(o.reshape(n, cfg.q_dim), layer["wo"])
     x, _ = ffn_block(x, layer, cfg, mesh)  # dense or MoE (aux unused)
     return x, pages
+
+
+def _chunk_layer(x, layer, pages, pos_t, first_positions, total_lengths,
+                 page_table, active, cfg: TransformerConfig, interpret,
+                 compute_dtype):
+    """One verification layer: T new tokens per slot flow [n, T, d_model];
+    their K/V append to the paged cache, then chunked paged attention reads
+    it back (each token causally bounded at its own position)."""
+    n, t = x.shape[:2]
+    h = rms_norm(x, layer["attn_norm"])
+    q = dense(h, layer["wq"]).reshape(n, t, cfg.n_heads, cfg.head_dim)
+    k = dense(h, layer["wk"]).reshape(n, t, cfg.n_kv_heads, cfg.head_dim)
+    v = dense(h, layer["wv"]).reshape(n, t, cfg.n_kv_heads, cfg.head_dim)
+    q = rope(q, pos_t, cfg.rope_theta)
+    k = rope(k, pos_t, cfg.rope_theta)
+    pages = append_chunk_kv(pages, k, v, page_table, first_positions, active)
+    o = paged_chunk_attention(
+        q.astype(cfg.dtype), pages, page_table, total_lengths,
+        compute_dtype=compute_dtype, window=cfg.attn_window,
+        interpret=interpret,
+    )  # [n, T, Hq, D]
+    x = x + dense(o.reshape(n, t, cfg.q_dim), layer["wo"])
+    x, _ = ffn_block(x, layer, cfg, None)
+    return x, pages
+
+
+def verify_step(
+    params,
+    chunk_tokens,     # [num_seqs, T] int32 — last accepted token + T-1 drafts
+    first_positions,  # [num_seqs] int32 — write position of the chunk start
+    caches,           # stacked KVPages or list[KVPages]
+    page_table,       # [num_seqs, pages_per_seq] int32
+    active,           # [num_seqs] bool
+    cfg: TransformerConfig,
+    *,
+    interpret=None,
+):
+    """Speculative-decoding verification: ONE forward scores all T chunk
+    positions (logits [num_seqs, T, vocab]) while appending their K/V —
+    the target model's side of draft-and-verify.  T=1 degenerates to
+    `decode_step`.  Single-host only (the draft loop is host-driven)."""
+    _check_uniform_window(cfg)
+    n, t = chunk_tokens.shape
+    x = params["embed"][chunk_tokens].astype(cfg.dtype)  # [n, T, d]
+    pos_t = first_positions[:, None] + jnp.arange(t, dtype=jnp.int32)[None]
+    total_lengths = jnp.where(active, first_positions + t, 0)
+    compute_dtype = (
+        jnp.float32 if cfg.attn_tile_dtype is None else jnp.bfloat16
+    )
+    step = functools.partial(
+        _chunk_layer,
+        pos_t=pos_t, first_positions=first_positions,
+        total_lengths=total_lengths, page_table=page_table, active=active,
+        cfg=cfg, interpret=interpret, compute_dtype=compute_dtype,
+    )
+    if isinstance(caches, KVPages):
+        def body(x, xs):
+            layer, pages = xs
+            return step(x, layer, pages)
+
+        x, new_caches = lax.scan(body, x, (params["layers"], caches))
+    else:
+        new_caches = []
+        for layer, pages in zip(params["layers"], caches):
+            x, pages = step(x, layer, pages)
+            new_caches.append(pages)
+    x = rms_norm(x, params["final_norm"])
+    logits = dense(x, params["lm_head"]).astype(jnp.float32)
+    return logits, new_caches
 
 
 def _check_uniform_window(cfg: TransformerConfig) -> None:

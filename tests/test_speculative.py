@@ -1,0 +1,108 @@
+"""Speculative decoding: draft-and-verify must produce EXACTLY the greedy
+sequence of the plain path (acceptance only reorders work, never changes
+results), regardless of draft quality.  A perfect draft (draft == target)
+must accept whole chunks — fewer target passes per token.
+
+Parity tests run in fp32: in bf16, logits can TIE exactly (observed: two
+tokens both at 2.34375) and different compiled programs (single-token step
+vs chunked verify) may break the tie through 1-ulp fusion differences —
+spec decode guarantees the target's greedy rule under its own program's
+numerics, not bitwise parity with a differently-compiled program."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cuda_flash_attention_tpu.decode import DecodeEngine
+from cuda_flash_attention_tpu.models import (
+    TransformerConfig,
+    forward,
+    init_params,
+)
+
+PAGE = 128
+
+
+def _models():
+    cfg = dataclasses.replace(
+        TransformerConfig.tiny(), dtype=jnp.float32, attn_tile_dtype=None,
+    )
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    # A real (smaller/other-weights) draft: same vocab, different seed — a
+    # BAD draft, so acceptance must survive frequent rejection.
+    draft_cfg = dataclasses.replace(cfg, n_layers=1)
+    draft_params = init_params(jax.random.PRNGKey(9), draft_cfg)
+    return cfg, params, draft_cfg, draft_params
+
+
+def _spec_engine(cfg, params, draft_cfg, draft_params, k, **kw):
+    return DecodeEngine(
+        params, cfg, max_seqs=2, max_seq_len=512, page_size=PAGE,
+        cache_dtype=jnp.float32, draft_params=draft_params,
+        draft_cfg=draft_cfg, spec_tokens=k, **kw,
+    )
+
+
+@pytest.mark.slow
+def test_spec_matches_plain_greedy_and_full_forward():
+    cfg, params, draft_cfg, draft_params = _models()
+    prompts = [[5, 17, 100, 42], [7, 3]]
+    steps = 7
+    spec = _spec_engine(cfg, params, draft_cfg, draft_params, k=3)
+    spec_out = [r.generated for r in spec.run(prompts, max_new_tokens=steps)]
+
+    plain = DecodeEngine(params, cfg, max_seqs=2, max_seq_len=512,
+                         page_size=PAGE, cache_dtype=jnp.float32)
+    plain_out = [r.generated for r in plain.run(prompts, max_new_tokens=steps)]
+    assert spec_out == plain_out, f"spec {spec_out} vs plain {plain_out}"
+
+    # ... and both match repeated full forwards (the independent oracle).
+    for p_idx, prompt in enumerate(prompts):
+        toks = list(prompt)
+        full = []
+        for _ in range(steps):
+            logits = forward(params, jnp.asarray([toks], jnp.int32), cfg)
+            nxt = int(jnp.argmax(logits[0, -1]))
+            full.append(nxt)
+            toks.append(nxt)
+        assert spec_out[p_idx] == full
+
+
+@pytest.mark.slow
+def test_perfect_draft_accepts_chunks():
+    """Draft == target: every draft token verifies, so each round commits
+    spec_tokens+1 tokens and the target runs ~steps/(k+1) verify passes."""
+    cfg = dataclasses.replace(
+        TransformerConfig.tiny(), dtype=jnp.float32, attn_tile_dtype=None,
+    )
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    k = 3
+    eng = _spec_engine(cfg, params, cfg, params, k=k)
+    rounds = 0
+    orig = eng._verify_fn
+
+    def probe(*a, **kw):
+        nonlocal rounds
+        rounds += 1
+        return orig(*a, **kw)
+
+    eng._verify_fn = probe
+    steps = 12
+    req = eng.run([[5, 17, 100]], max_new_tokens=steps)[0]
+    assert len(req.generated) == steps
+    # 12 tokens at k+1=4 per round = 3 rounds (prefill's first token counts
+    # toward the 12, so allow one extra round of slack).
+    assert rounds <= -(-steps // (k + 1)) + 1, rounds
+
+
+def test_spec_rejects_bad_config():
+    cfg, params, draft_cfg, draft_params = _models()
+    with pytest.raises(ValueError, match="draft_params"):
+        DecodeEngine(params, cfg, max_seqs=1, max_seq_len=256,
+                     page_size=PAGE, spec_tokens=2)
+    with pytest.raises(NotImplementedError, match="greedy"):
+        _spec_engine(cfg, params, draft_cfg, draft_params, k=2,
+                     temperature=0.7)
