@@ -16,7 +16,11 @@ from cuda_flash_attention_tpu.decode.kv_cache import (
     write_prompt_kv,
     write_prompt_kv_stacked,
 )
-from cuda_flash_attention_tpu.decode.model import decode_step, prefill_forward
+from cuda_flash_attention_tpu.decode.model import (
+    decode_step,
+    prefill_forward,
+    verify_step,
+)
 from cuda_flash_attention_tpu.decode.sampling import sample_tokens
 from cuda_flash_attention_tpu.decode.sharded import (
     shard_kv_pages,
@@ -38,6 +42,7 @@ __all__ = [
     "write_prompt_kv_stacked",
     "decode_step",
     "prefill_forward",
+    "verify_step",
     "sample_tokens",
     "shard_kv_pages",
     "tp_paged_decode_attention",
