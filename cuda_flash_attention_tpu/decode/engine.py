@@ -84,6 +84,7 @@ class DecodeEngine:
         draft_params=None,
         draft_cfg: TransformerConfig | None = None,
         spec_tokens: int = 0,
+        prefix_cache: bool = False,
         interpret=None,
     ):
         if page_size % 128 != 0:
@@ -347,6 +348,39 @@ class DecodeEngine:
                 donate_argnums=(0,),
             )
 
+        # Prefix caching: immutable fully-written prompt pages are REGISTERED
+        # under their token-prefix key; a later request whose prompt starts
+        # with the same page-aligned prefix SHARES those physical pages
+        # (allocator refcounts) and pushes only its uncached SUFFIX through
+        # the model (verify_step as a chunked prefill attending the shared
+        # pages).  Entries live as long as some sequence holds the page —
+        # the allocator's on_last_free hook evicts dead entries.
+        self.prefix_cache = bool(prefix_cache)
+        if self.prefix_cache:
+            if self.dp != 1:
+                raise NotImplementedError(
+                    "prefix caching keeps one per-pool page map; "
+                    "data-parallel serving is not wired yet"
+                )
+            self._prefix_map: dict[tuple, int] = {}
+            self._page_key: dict[int, tuple] = {}
+            self.allocators[0].on_last_free = self._drop_prefix_entry
+            self._suffix_fn = jax.jit(
+                functools.partial(
+                    verify_step, cfg=cfg, paged_write=True,
+                    interpret=interpret,
+                ),
+                donate_argnums=(3,),
+            )
+            if self.spec_tokens:
+                self._draft_suffix_fn = jax.jit(
+                    functools.partial(
+                        verify_step, cfg=draft_cfg, paged_write=True,
+                        interpret=interpret,
+                    ),
+                    donate_argnums=(3,),
+                )
+
     # ------------------------------------------------------------------
     # Device step
     # ------------------------------------------------------------------
@@ -537,6 +571,19 @@ class DecodeEngine:
             take.append((self._pending.popleft(), slot))
         if not take:
             return
+        if self.prefix_cache:
+            # Prefix hits prefill individually (suffix-only chunked step);
+            # misses fall through to the bucketed batch path below.
+            missed = []
+            for r, slot in take:
+                hits = self._prefix_hits(r.prompt)
+                if hits:
+                    self._prefill_with_prefix(r, slot, hits)
+                else:
+                    missed.append((r, slot))
+            take = missed
+            if not take:
+                return
         # Bucket quantum covers both the FA2 block grid (128) and the page
         # size, so the prefill KV slice is always a page multiple within the
         # padded prompt.
@@ -642,7 +689,92 @@ class DecodeEngine:
             # window is already dead — return those pages before the next
             # admission round.
             self._recycle_stale(slot)
+            if self.prefix_cache:
+                self._register_prefix(req, slot)
             self._maybe_finish(req, first)
+
+    def _prefix_hits(self, prompt: list[int]) -> list[int]:
+        """Longest chain of cached pages covering this prompt's head.
+        Always leaves at least one suffix token so the prefill has a
+        position to produce next-token logits from."""
+        ps = self.page_size
+        n_full = len(prompt) // ps
+        if n_full and len(prompt) == n_full * ps:
+            n_full -= 1
+        hits: list[int] = []
+        for i in range(n_full):
+            pid = self._prefix_map.get(tuple(prompt[:(i + 1) * ps]))
+            if pid is None:
+                break
+            hits.append(pid)
+        return hits
+
+    def _register_prefix(self, req: Request, slot: int):
+        """Publish this slot's fully-prompt-covered pages: they are
+        append-only and all further writes land at positions >= prompt
+        length, so the content is immutable for the page's lifetime."""
+        ps = self.page_size
+        pages = self._slot_pages[slot]
+        for i in range(len(req.prompt) // ps):
+            pid = pages[i] if i < len(pages) else None
+            if pid is None or pid in self._page_key:
+                continue
+            key = tuple(req.prompt[:(i + 1) * ps])
+            if key in self._prefix_map:
+                continue
+            self._prefix_map[key] = pid
+            self._page_key[pid] = key
+
+    def _drop_prefix_entry(self, pid: int):
+        key = self._page_key.pop(pid, None)
+        if key is not None:
+            self._prefix_map.pop(key, None)
+
+    def _prefill_with_prefix(self, req: Request, slot: int,
+                             hits: list[int]):
+        """Admission for a prefix-cache hit: share the cached pages and
+        push only the uncached suffix through the model (chunked prefill
+        attending the shared prefix)."""
+        ps = self.page_size
+        prefix_len = len(hits) * ps
+        suffix = req.prompt[prefix_len:]
+        quantum = max(128, ps)
+        pad_len = _cdiv(len(suffix), quantum) * quantum
+        shard = self._slot_shard(slot)
+        self.allocators[shard].share(hits)
+        new_ids = self.allocators[shard].alloc(pad_len // ps)
+        pages = list(hits) + new_ids
+        self._slot_pages[slot] = pages
+        self.page_table[slot, :] = 0
+        self.page_table[slot, :len(pages)] = pages
+
+        tokens = np.zeros((1, pad_len), np.int32)
+        tokens[0, :len(suffix)] = suffix
+        first_pos = jnp.asarray([prefix_len], jnp.int32)
+        row_table = jnp.asarray(self.page_table[slot:slot + 1])
+        act = jnp.asarray([True])
+        logits, self.caches = self._suffix_fn(
+            self.params, jnp.asarray(tokens), first_pos, self.caches,
+            row_table, act,
+        )
+        if self.spec_tokens:
+            _, self.draft_caches = self._draft_suffix_fn(
+                self.draft_params, jnp.asarray(tokens), first_pos,
+                self.draft_caches, row_table, act,
+            )
+        first = int(np.asarray(
+            self._sample(logits[:, len(suffix) - 1, :])
+        )[0])
+        req.generated.append(first)
+        req.slot = slot
+        self._slot_req[slot] = req
+        self._slot_worst[slot] = self._worst_pages(req)
+        self.lengths[slot] = len(req.prompt)
+        self.active[slot] = True
+        self.last_token[slot] = first
+        self._recycle_stale(slot)
+        self._register_prefix(req, slot)
+        self._maybe_finish(req, first)
 
     def _ensure_page(self, slot: int, extra: int = 0):
         """Grow the slot's page list so positions lengths[slot] ..

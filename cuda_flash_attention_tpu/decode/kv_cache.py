@@ -214,6 +214,47 @@ def append_chunk_kv(
     return pages
 
 
+def write_chunk_kv_paged(
+    pages: KVPages,
+    k_chunk,  # [num_seqs, T, n_kv_heads, head_dim], T % page_size == 0
+    v_chunk,
+    page_table,
+    first_positions,  # [num_seqs] int32 — MUST be page-aligned
+    active,           # [num_seqs] bool
+) -> KVPages:
+    """Page-granular multi-token append for chunked (suffix) prefill: the
+    chunk starts on a page boundary and spans whole pages, so every
+    (slot, page) lands in ONE vectorized scatter instead of T per-token
+    scatters (append_chunk_kv's form, built for small speculative chunks).
+    Inactive slots write the reserved null page 0."""
+    page_size = pages.page_size
+    n, t, hkv, d = k_chunk.shape
+    assert t % page_size == 0
+    npg = t // page_size
+    lo = first_positions // page_size
+    ids = jnp.take_along_axis(
+        page_table, lo[:, None] + jnp.arange(npg, dtype=jnp.int32)[None],
+        axis=1,
+    )  # [n, npg]
+    ids = jnp.where(active[:, None], ids, 0).reshape(-1)
+    dtype = pages.k_pages.dtype
+    kq, ks = _quantize_rows(k_chunk.reshape(n * t, hkv, d), dtype)
+    vq, vs = _quantize_rows(v_chunk.reshape(n * t, hkv, d), dtype)
+
+    def to_pages(x):  # [n*T, Hkv, D] -> [Hkv, n*npg, page_size, D]
+        return x.transpose(1, 0, 2).reshape(hkv, n * npg, page_size, -1)
+
+    def to_scale_pages(x):  # [n*T, Hkv] -> [Hkv, n*npg, page_size]
+        return x.T.reshape(hkv, n * npg, page_size)
+
+    return KVPages(
+        k_pages=pages.k_pages.at[:, ids].set(to_pages(kq)),
+        k_scales=pages.k_scales.at[:, ids].set(to_scale_pages(ks)),
+        v_pages=pages.v_pages.at[:, ids].set(to_pages(vq)),
+        v_scales=pages.v_scales.at[:, ids].set(to_scale_pages(vs)),
+    )
+
+
 def write_prompt_kv(
     pages: KVPages,
     k_prompt,  # [prompt_len, n_kv_heads, head_dim]
@@ -245,13 +286,20 @@ def write_prompt_kv(
 
 
 class PageAllocator:
-    """Host-side free-list page allocator (not traced; runs between steps)."""
+    """Host-side refcounted free-list page allocator (not traced; runs
+    between steps).  Plain alloc/free is refcount 1; `share` lets several
+    sequences point their page tables at ONE physical page (prefix caching)
+    — the page returns to the free list when its last user frees it."""
 
     def __init__(self, num_pages: int):
         # Page 0 is reserved as the null page the table points at for
         # unallocated logical blocks (kernels skip them via lengths).
         self._free = list(range(num_pages - 1, 0, -1))
+        self._rc: dict[int, int] = {}
         self.num_pages = num_pages
+        # Called with the page id when a page's last reference is freed —
+        # the engine hooks this to drop prefix-cache entries for dead pages.
+        self.on_last_free = None
 
     @property
     def available(self) -> int:
@@ -262,9 +310,30 @@ class PageAllocator:
             raise MemoryError(
                 f"KV cache out of pages: need {n}, have {len(self._free)}"
             )
-        return [self._free.pop() for _ in range(n)]
+        out = [self._free.pop() for _ in range(n)]
+        for p in out:
+            self._rc[p] = 1
+        return out
+
+    def share(self, pages) -> None:
+        """Add a reference to already-allocated pages (prefix reuse)."""
+        for p in pages:
+            if p != 0:
+                self._rc[int(p)] += 1
+
+    def refcount(self, page: int) -> int:
+        return self._rc.get(int(page), 0)
 
     def free(self, pages) -> None:
         for p in pages:
-            if p != 0:
-                self._free.append(int(p))
+            p = int(p)
+            if p == 0:
+                continue
+            rc = self._rc.get(p, 1) - 1
+            if rc > 0:
+                self._rc[p] = rc
+                continue
+            self._rc.pop(p, None)
+            self._free.append(p)
+            if self.on_last_free is not None:
+                self.on_last_free(p)

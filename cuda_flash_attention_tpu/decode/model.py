@@ -37,6 +37,7 @@ from cuda_flash_attention_tpu.decode.kv_cache import (
     KVPages,
     append_chunk_kv,
     append_token_kv,
+    write_chunk_kv_paged,
 )
 from cuda_flash_attention_tpu.models.transformer import (
     TransformerConfig,
@@ -147,10 +148,14 @@ def _decode_layer(x, layer, pages, pos2, positions, attn_lengths, page_table,
 
 def _chunk_layer(x, layer, pages, pos_t, first_positions, total_lengths,
                  page_table, active, cfg: TransformerConfig, interpret,
-                 compute_dtype):
+                 compute_dtype, paged_write=False):
     """One verification layer: T new tokens per slot flow [n, T, d_model];
     their K/V append to the paged cache, then chunked paged attention reads
-    it back (each token causally bounded at its own position)."""
+    it back (each token causally bounded at its own position).
+
+    ``paged_write`` switches the cache write from T per-token scatters
+    (speculative chunks: tiny T, arbitrary alignment) to one page-granular
+    scatter (chunked/suffix prefill: page-aligned start, whole pages)."""
     n, t = x.shape[:2]
     h = rms_norm(x, layer["attn_norm"])
     q = dense(h, layer["wq"]).reshape(n, t, cfg.n_heads, cfg.head_dim)
@@ -158,7 +163,8 @@ def _chunk_layer(x, layer, pages, pos_t, first_positions, total_lengths,
     v = dense(h, layer["wv"]).reshape(n, t, cfg.n_kv_heads, cfg.head_dim)
     q = rope(q, pos_t, cfg.rope_theta)
     k = rope(k, pos_t, cfg.rope_theta)
-    pages = append_chunk_kv(pages, k, v, page_table, first_positions, active)
+    write = write_chunk_kv_paged if paged_write else append_chunk_kv
+    pages = write(pages, k, v, page_table, first_positions, active)
     o = paged_chunk_attention(
         q.astype(cfg.dtype), pages, page_table, total_lengths,
         compute_dtype=compute_dtype, window=cfg.attn_window,
@@ -178,12 +184,18 @@ def verify_step(
     active,           # [num_seqs] bool
     cfg: TransformerConfig,
     *,
+    paged_write: bool = False,
     interpret=None,
 ):
     """Speculative-decoding verification: ONE forward scores all T chunk
     positions (logits [num_seqs, T, vocab]) while appending their K/V —
     the target model's side of draft-and-verify.  T=1 degenerates to
-    `decode_step`.  Single-host only (the draft loop is host-driven)."""
+    `decode_step`.  Single-host only (the draft loop is host-driven).
+
+    With ``paged_write=True`` (page-aligned first_positions, T a multiple
+    of the page size) this doubles as the CHUNKED-PREFILL step: prefix-
+    cached requests push only their uncached suffix through the model
+    while attending the shared prefix pages."""
     _check_uniform_window(cfg)
     n, t = chunk_tokens.shape
     x = params["embed"][chunk_tokens].astype(cfg.dtype)  # [n, T, d]
@@ -197,6 +209,7 @@ def verify_step(
         pos_t=pos_t, first_positions=first_positions,
         total_lengths=total_lengths, page_table=page_table, active=active,
         cfg=cfg, interpret=interpret, compute_dtype=compute_dtype,
+        paged_write=paged_write,
     )
     if isinstance(caches, KVPages):
         def body(x, xs):
