@@ -163,18 +163,32 @@ def _validate_shapes(q, k, v):
         )
 
 
-def _normalize_window(window, causal, kv_len):
+def _normalize_window(window, causal, q_len, kv_len):
     """Validate sliding-window args; fold a no-op window away so it cannot
-    force an extra compile cache entry or dead mask work."""
+    force an extra compile cache entry or dead mask work.
+
+    With causal=True this is the standard sliding window (last `window`
+    keys).  With causal=False it is a RECENCY BAND: query i keeps keys
+    j > i - window with no future bound — primarily an internal mode (ring
+    attention decomposes a global sliding window into per-shard bands)."""
     if window is None:
         return None
-    if not causal:
-        raise ValueError("sliding window requires causal=True")
     window = int(window)
-    if window < 1:
-        raise ValueError(f"window must be >= 1; got {window}")
-    # window >= kv_len keeps every causal key — identical to no window.
-    return None if window >= kv_len else window
+    if causal and window < 1:
+        raise ValueError(f"causal window must be >= 1; got {window}")
+    # Non-causal bands may carry a NEGATIVE offset (ring decomposition:
+    # only a past shard's newest keys serve the oldest queries) but must
+    # keep at least one (i, j) pair alive.
+    if not causal and window <= -(kv_len - 1):
+        raise ValueError(
+            f"band window {window} masks every key (kv_len {kv_len})"
+        )
+    # A window covering every in-range key distance is identical to no
+    # window: causal needs i - j < window for j <= i (kv side); the
+    # non-causal band also needs it for the largest i (q side).
+    if window >= kv_len and (causal or window >= q_len):
+        return None
+    return window
 
 
 def _normalize(q, k, v, sm_scale, block_sizes, causal=False):
@@ -339,7 +353,7 @@ def flash_attention(
     kernel (the benchmark harness does, to measure the kernel itself).
     """
     _validate_segments(q_segment_ids, kv_segment_ids, q, k)
-    window = _normalize_window(window, causal, k.shape[2])
+    window = _normalize_window(window, causal, q.shape[2], k.shape[2])
     if _use_xla_path(q, k, tile_dtype, force_kernel):
         return _xla_attention(
             q, k, v, causal, sm_scale, with_lse=False,
@@ -375,7 +389,7 @@ def flash_attention_with_lse(
     (/root/reference/src/main.cpp:110-113). Not differentiable; use
     `flash_attention` for autodiff."""
     _validate_segments(q_segment_ids, kv_segment_ids, q, k)
-    window = _normalize_window(window, causal, k.shape[2])
+    window = _normalize_window(window, causal, q.shape[2], k.shape[2])
     if _use_xla_path(q, k, tile_dtype, force_kernel):
         return _xla_attention(
             q, k, v, causal, sm_scale, with_lse=True,
@@ -411,7 +425,7 @@ def fa2_backward(
     """
     if do is None:
         do = jnp.ones_like(o)
-    window = _normalize_window(window, causal, k.shape[2])
+    window = _normalize_window(window, causal, q.shape[2], k.shape[2])
     q_pad, k_pad, v_pad, sm_scale, block_sizes, q_len, kv_len = _normalize(
         q, k, v, sm_scale, block_sizes, causal
     )

@@ -231,7 +231,7 @@ def _fa2_bwd_fused_kernel(
             dq_blk = dq_blk * sm_scale
         dq_part_ref[0, 0, 0] = dq_blk.astype(dq_part_ref.dtype)
 
-    if causal:
+    if causal or window is not None:
         @pl.when(jnp.logical_not(should_run))
         def _zero_dq():
             # Every (kv, q) cell owns a dq_part block; skipped above-diagonal
@@ -404,7 +404,9 @@ def fa2_backward_dkv_aligned(
     kv_heads = k.shape[1]
     assert kv_heads * kv_groups == heads
     if window is not None:
-        assert causal and window >= 1
+        # causal: standard sliding window (>= 1); causal=False: recency
+        # band whose offset may be <= 0 (ring shard decomposition).
+        assert (not causal) or window >= 1
     kv_len_pad = k.shape[2]
     num_q_blocks = q_len // block_q
     grid = (
@@ -527,7 +529,9 @@ def fa2_backward_fused_aligned(
     kv_heads = k.shape[1]
     assert kv_heads * kv_groups == heads
     if window is not None:
-        assert causal and window >= 1
+        # causal: standard sliding window (>= 1); causal=False: recency
+        # band whose offset may be <= 0 (ring shard decomposition).
+        assert (not causal) or window >= 1
     kv_len_pad = k.shape[2]
     num_q_blocks = q_len // block_q
     num_kv_blocks = kv_len_pad // block_k
@@ -663,7 +667,9 @@ def fa2_backward_dq_aligned(
     query head h onto KV head h // kv_groups (kernel-native GQA)."""
     batch, heads, q_len, head_dim = q.shape
     if window is not None:
-        assert causal and window >= 1
+        # causal: standard sliding window (>= 1); causal=False: recency
+        # band whose offset may be <= 0 (ring shard decomposition).
+        assert (not causal) or window >= 1
     kv_len_pad = k.shape[2]
     num_kv_blocks = kv_len_pad // block_k
     grid = (batch, heads, q_len // block_q, num_kv_blocks)

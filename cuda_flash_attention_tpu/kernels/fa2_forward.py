@@ -524,8 +524,9 @@ def fa2_forward_aligned(
     assert q_len % block_q == 0 and kv_len_pad % block_k == 0
     assert k.shape[1] * kv_groups == heads
     if window is not None:
-        assert causal, "sliding window requires causal attention"
-        assert window >= 1
+        # causal: standard sliding window (>= 1); causal=False: recency
+        # band whose offset may be <= 0 (ring shard decomposition).
+        assert (not causal) or window >= 1
     num_kv_blocks = kv_len_pad // block_k
     grid = (batch, heads, q_len // block_q, num_kv_blocks)
 

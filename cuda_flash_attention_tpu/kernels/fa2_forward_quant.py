@@ -187,7 +187,9 @@ def fa2_forward_quant_aligned(
     assert q_len % block_q == 0 and kv_len_pad % block_k == 0
     assert k_vals.shape[1] * kv_groups == heads
     if window is not None:
-        assert causal and window >= 1
+        # causal: standard sliding window (>= 1); causal=False: recency
+        # band whose offset may be <= 0 (ring shard decomposition).
+        assert (not causal) or window >= 1
     num_kv_blocks = kv_len_pad // block_k
     grid = (batch, heads, q_len // block_q, num_kv_blocks)
 
@@ -358,7 +360,7 @@ def flash_attention_quantized_kv_with_lse(
 
     _validate_quant_shapes(q, k_q, v_q)
     _validate_segments(q_segment_ids, kv_segment_ids, q, k_q.values)
-    window = _normalize_window(window, causal, k_q.values.shape[2])
+    window = _normalize_window(window, causal, q.shape[2], k_q.values.shape[2])
     if sm_scale is None:
         sm_scale = 1.0 / (q.shape[-1] ** 0.5)
     q_len, kv_len = q.shape[2], k_q.values.shape[2]

@@ -287,14 +287,12 @@ def gqa_flash_attention(q, k, v, *, cfg: TransformerConfig, mesh=None,
         return flash_attention(q, k, v, causal=causal, tile_dtype=tile,
                                window=window, interpret=interpret)
     if CTX_AXIS in mesh.axis_names and mesh.shape[CTX_AXIS] > 1:
-        if window is not None:
-            raise NotImplementedError(
-                "sliding window with context parallelism is not supported: "
-                "ring attention rotates full KV shards; use a mesh without a "
-                "ctx axis for windowed layers (window << shard length makes "
-                "ring rotation wasted work anyway)"
-            )
-        return ring_attention(mesh, q, k, v, causal=causal, tile_dtype=tile)
+        # The ring decomposes a global window into a windowed-causal
+        # diagonal step plus per-shard recency bands, and SKIPS rotations
+        # entirely behind the window (parallel/ring.py) — windowed layers
+        # cost O(window), not O(S), in both MXU and ICI terms.
+        return ring_attention(mesh, q, k, v, causal=causal, tile_dtype=tile,
+                              window=window)
     return head_parallel_attention(mesh, q, k, v, causal=causal, tile_dtype=tile,
                                    window=window)
 

@@ -59,11 +59,15 @@ def _attention_core(q, k, v, *, causal, sm_scale, compute_dtype,
         "bhqk,bhkd->bhqd", p, v,
         preferred_element_type=compute_dtype, precision=precision,
     )
-    # Fully-masked rows (possible with segment ids): O = 0, not NaN —
-    # matching the kernels' l == 0 guard.
+    # Fully-masked rows (possible with segment ids or band windows): O = 0,
+    # not NaN — matching the kernels' l == 0 guard — and lse = -inf so a
+    # partial-attention merge (parallel/ring.py) gives the row ZERO weight
+    # instead of exp(0).
     l_safe = jnp.where(l == 0.0, 1.0, l)
     o = o / l_safe
-    lse = (jnp.log(l_safe) + m_safe)[..., 0]
+    lse = jnp.where(
+        l[..., 0] == 0.0, -jnp.inf, (jnp.log(l_safe) + m_safe)[..., 0]
+    )
     return o.astype(orig_dtype), lse.astype(jnp.float32)
 
 

@@ -146,10 +146,15 @@ def test_window_bf16_tiles():
     assert err < 5e-2, err
 
 
-def test_window_requires_causal():
-    q, k, v = _qkv(128)
-    with pytest.raises(ValueError, match="causal"):
-        flash_attention(q, k, v, causal=False, window=64)
+def test_window_without_causal_is_recency_band():
+    # causal=False + window = recency band (keys j > i - window, future
+    # unrestricted) — the per-shard mode ring attention decomposes into.
+    q, k, v = _qkv(384)
+    o = flash_attention(
+        q, k, v, causal=False, window=100, block_sizes=_BS, force_kernel=True
+    )
+    o_ref = vanilla_attention(q, k, v, causal=False, window=100)
+    assert float(jnp.max(jnp.abs(o - o_ref))) < 1e-5
 
 
 def test_window_rejects_nonpositive():
@@ -236,3 +241,86 @@ def test_window_quantized_kv():
     o_ref = vanilla_attention(q, k_rt, v_rt, causal=True, window=160)
     err = float(jnp.max(jnp.abs(o - o_ref)))
     assert err < 1e-5, err
+
+
+# ---------------------------------------------------------------------------
+# Ring (context-parallel) sliding window: global window decomposed into the
+# windowed-causal diagonal step + per-shard recency bands; out-of-window
+# rotations are skipped entirely.
+# ---------------------------------------------------------------------------
+
+needs8 = pytest.mark.skipif(
+    len(jax.devices("cpu")) < 8, reason="needs 8 virtual CPU devices"
+)
+
+
+def _ring_qkv(s, b=1, h=2, d=64, seed=5):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 3)
+    return tuple(jax.random.normal(k, (b, h, s, d), jnp.float32) for k in ks)
+
+
+@needs8
+@pytest.mark.parametrize("window", [1, 100, 200, 450])
+def test_ring_window_forward_matches_oracle(window):
+    from cuda_flash_attention_tpu.parallel import ring_attention
+    from cuda_flash_attention_tpu.parallel.mesh import cpu_test_mesh
+
+    mesh = cpu_test_mesh({"ctx": 4})
+    q, k, v = _ring_qkv(512)  # 128-token shards
+    o = ring_attention(mesh, q, k, v, causal=True, window=window)
+    o_ref = vanilla_attention(q, k, v, causal=True, window=window)
+    err = float(jnp.max(jnp.abs(np.asarray(o) - o_ref)))
+    assert err < 2e-5, f"window={window}: {err}"
+
+
+@needs8
+def test_ring_window_ge_seq_equals_causal():
+    from cuda_flash_attention_tpu.parallel import ring_attention
+    from cuda_flash_attention_tpu.parallel.mesh import cpu_test_mesh
+
+    mesh = cpu_test_mesh({"ctx": 4})
+    q, k, v = _ring_qkv(512, seed=6)
+    o_win = ring_attention(mesh, q, k, v, causal=True, window=10_000)
+    o_causal = ring_attention(mesh, q, k, v, causal=True)
+    np.testing.assert_array_equal(np.asarray(o_win), np.asarray(o_causal))
+
+
+@needs8
+@pytest.mark.slow
+def test_ring_window_grads_match_oracle():
+    from cuda_flash_attention_tpu.parallel import ring_attention
+    from cuda_flash_attention_tpu.parallel.mesh import cpu_test_mesh
+
+    mesh = cpu_test_mesh({"ctx": 4})
+    q, k, v = _ring_qkv(512, seed=7)
+    w = jax.random.normal(jax.random.PRNGKey(8), q.shape, jnp.float32)
+
+    def loss(q, k, v):
+        return jnp.sum(
+            ring_attention(mesh, q, k, v, causal=True, window=150) * w
+        )
+
+    def loss_ref(q, k, v):
+        return jnp.sum(vanilla_attention(q, k, v, causal=True, window=150) * w)
+
+    grads = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    grads_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for g, g_ref, name in zip(grads, grads_ref, "q k v".split()):
+        err = float(jnp.max(jnp.abs(np.asarray(g) - g_ref)))
+        assert err < 1e-4, f"d{name}: {err}"
+
+
+@needs8
+@pytest.mark.slow
+def test_ring_window_quantized():
+    from cuda_flash_attention_tpu.parallel.mesh import cpu_test_mesh
+    from cuda_flash_attention_tpu.parallel.ring import ring_attention_quantized
+
+    mesh = cpu_test_mesh({"ctx": 4})
+    q, k, v = _ring_qkv(512, seed=9)
+    o = ring_attention_quantized(
+        mesh, q, k, v, causal=True, window=200, compute_dtype=jnp.float32,
+    )
+    o_ref = vanilla_attention(q, k, v, causal=True, window=200)
+    err = float(jnp.max(jnp.abs(np.asarray(o) - o_ref)))
+    assert err < 5e-2, err  # includes the int8 KV round trip
