@@ -61,15 +61,51 @@ def init_train_state(params, optimizer) -> TrainState:
     )
 
 
-def make_optax_train_step(cfg: TransformerConfig, optimizer, mesh=None):
+def make_optax_train_step(cfg: TransformerConfig, optimizer, mesh=None,
+                          grad_accum: int = 1):
     """Returns step(state, tokens) -> (state, metrics). Jittable/pjittable;
-    grads and optimizer update shard with the params."""
+    grads and optimizer update shard with the params.
+
+    ``grad_accum`` > 1 enables gradient accumulation (microbatching): the
+    leading batch dim splits into `grad_accum` microbatches scanned
+    sequentially, so the EFFECTIVE batch grows `grad_accum`x at the
+    activation-memory cost of one microbatch — the standard trade for
+    large-batch training past HBM limits.  Gradients are MEAN-reduced over
+    microbatches (loss_fn is already per-token mean), so optimizer
+    hyperparameters are batch-size-invariant."""
     import optax
 
-    def step(state: TrainState, tokens) -> tuple[TrainState, dict]:
-        loss, grads = jax.value_and_grad(loss_fn)(
-            state.params, tokens, cfg, mesh
+    def _grads(params, tokens):
+        if grad_accum <= 1:
+            return jax.value_and_grad(loss_fn)(params, tokens, cfg, mesh)
+        b = tokens.shape[0]
+        assert b % grad_accum == 0, (
+            f"batch {b} must divide into grad_accum={grad_accum} "
+            "microbatches"
         )
+        micro = tokens.reshape(grad_accum, b // grad_accum, *tokens.shape[1:])
+
+        def body(carry, mb):
+            loss_sum, g_acc = carry
+            loss, g = jax.value_and_grad(loss_fn)(params, mb, cfg, mesh)
+            g_acc = jax.tree.map(
+                lambda a, x: a + x.astype(jnp.float32), g_acc, g
+            )
+            return (loss_sum + loss, g_acc), None
+
+        zeros = jax.tree.map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), params
+        )
+        (loss_sum, g_sum), _ = jax.lax.scan(
+            body, (jnp.float32(0.0), zeros), micro
+        )
+        inv = 1.0 / grad_accum
+        grads = jax.tree.map(lambda g, p: (g * inv).astype(p.dtype),
+                             g_sum, params)
+        return loss_sum * inv, grads
+
+    def step(state: TrainState, tokens) -> tuple[TrainState, dict]:
+        loss, grads = _grads(state.params, tokens)
         updates, opt_state = optimizer.update(
             grads, state.opt_state, state.params
         )

@@ -122,3 +122,54 @@ def test_remat_unknown_policy_rejected():
     tokens = jnp.zeros((1, 8), jnp.int32)
     with pytest.raises(ValueError, match="remat"):
         forward(params, tokens, cfg)
+
+
+def test_grad_accum_matches_full_batch():
+    """grad_accum=2 over a B=4 batch must produce (numerically) the same
+    update as the full-batch step: microbatch means average to the global
+    mean, so optimizer hyperparameters stay batch-invariant."""
+    import dataclasses
+
+    from cuda_flash_attention_tpu.models.training import (
+        init_train_state,
+        make_optax_train_step,
+        make_optimizer,
+    )
+
+    cfg = dataclasses.replace(
+        TransformerConfig.tiny(), dtype=jnp.float32, attn_tile_dtype=None,
+        param_dtype=jnp.float32,
+    )
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    opt = make_optimizer(decay_steps=10)
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (4, 128), 0,
+                                cfg.vocab_size)
+
+    s_full = init_train_state(params, opt)
+    s_acc = init_train_state(params, opt)
+    step_full = jax.jit(make_optax_train_step(cfg, opt))
+    step_acc = jax.jit(make_optax_train_step(cfg, opt, grad_accum=2))
+    s_full, m_full = step_full(s_full, tokens)
+    s_acc, m_acc = step_acc(s_acc, tokens)
+    assert abs(float(m_full["loss"]) - float(m_acc["loss"])) < 1e-5
+    for a, b in zip(jax.tree.leaves(s_full.params),
+                    jax.tree.leaves(s_acc.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6
+        )
+
+
+def test_grad_accum_rejects_ragged_batch():
+    from cuda_flash_attention_tpu.models.training import (
+        init_train_state,
+        make_optax_train_step,
+        make_optimizer,
+    )
+
+    cfg = TransformerConfig.tiny()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    opt = make_optimizer(decay_steps=10)
+    step = make_optax_train_step(cfg, opt, grad_accum=3)
+    tokens = jnp.zeros((4, 64), jnp.int32)
+    with pytest.raises(AssertionError, match="microbatch"):
+        step(init_train_state(params, opt), tokens)
