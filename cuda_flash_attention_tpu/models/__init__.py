@@ -21,6 +21,13 @@ from cuda_flash_attention_tpu.models.pipeline import (  # noqa: F401
     pipeline_param_shardings,
     stack_pipeline_params,
 )
+from cuda_flash_attention_tpu.models.lora import (  # noqa: F401
+    LoRATensor,
+    apply_lora,
+    lora_trainable_mask,
+    make_lora_optimizer,
+    merge_lora,
+)
 from cuda_flash_attention_tpu.models.training import (  # noqa: F401
     TrainState,
     init_train_state,

@@ -64,8 +64,18 @@ def w8a8_matmul(x: jax.Array, w_q: QuantizedTensor) -> jax.Array:
 
 
 def dense(x: jax.Array, w) -> jax.Array:
-    """Dense matmul accepting either a plain array or a QuantizedTensor —
-    the single dispatch point the model layer uses for every projection."""
+    """Dense matmul accepting a plain array, a QuantizedTensor, or a
+    LoRATensor — the single dispatch point the model layer uses for every
+    projection."""
+    from cuda_flash_attention_tpu.models.lora import LoRATensor
+
+    if isinstance(w, LoRATensor):
+        # Frozen base: stop_gradient keeps autodiff from materializing a
+        # base-sized gradient (the LoRA memory win); the low-rank delta's
+        # [*, r] intermediate is tiny and XLA fuses the add.
+        y = dense(x, jax.lax.stop_gradient(w.base))
+        delta = (x @ w.a.astype(x.dtype)) @ w.b.astype(x.dtype)
+        return y + delta * jnp.asarray(w.scale, x.dtype)
     if isinstance(w, QuantizedTensor):
         return quantized_matmul(x, w)
     return x @ w.astype(x.dtype)
