@@ -57,8 +57,8 @@ def _prefill_layer(x, layer, positions, cfg: TransformerConfig, mesh):
     q = dense(h, layer["wq"]).reshape(b, s, cfg.n_heads, cfg.head_dim)
     k = dense(h, layer["wk"]).reshape(b, s, cfg.n_kv_heads, cfg.head_dim)
     v = dense(h, layer["wv"]).reshape(b, s, cfg.n_kv_heads, cfg.head_dim)
-    q = rope(q, positions, cfg.rope_theta)
-    k = rope(k, positions, cfg.rope_theta)
+    q = rope(q, positions, *cfg.rope_args)
+    k = rope(k, positions, *cfg.rope_args)
     o = gqa_flash_attention(
         q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
         v.transpose(0, 2, 1, 3), cfg=cfg, mesh=mesh, causal=True,
@@ -108,8 +108,8 @@ def _decode_layer(x, layer, pages, pos2, positions, attn_lengths, page_table,
     q = dense(h, layer["wq"]).reshape(n, 1, cfg.n_heads, cfg.head_dim)
     k = dense(h, layer["wk"]).reshape(n, 1, cfg.n_kv_heads, cfg.head_dim)
     v = dense(h, layer["wv"]).reshape(n, 1, cfg.n_kv_heads, cfg.head_dim)
-    q = rope(q, pos2, cfg.rope_theta)[:, 0]  # [n, Hq, D]
-    k = rope(k, pos2, cfg.rope_theta)[:, 0]  # [n, Hkv, D]
+    q = rope(q, pos2, *cfg.rope_args)[:, 0]  # [n, Hq, D]
+    k = rope(k, pos2, *cfg.rope_args)[:, 0]  # [n, Hkv, D]
     v = v[:, 0]
     from cuda_flash_attention_tpu.parallel.mesh import DATA_AXIS
 
@@ -161,8 +161,8 @@ def _chunk_layer(x, layer, pages, pos_t, first_positions, total_lengths,
     q = dense(h, layer["wq"]).reshape(n, t, cfg.n_heads, cfg.head_dim)
     k = dense(h, layer["wk"]).reshape(n, t, cfg.n_kv_heads, cfg.head_dim)
     v = dense(h, layer["wv"]).reshape(n, t, cfg.n_kv_heads, cfg.head_dim)
-    q = rope(q, pos_t, cfg.rope_theta)
-    k = rope(k, pos_t, cfg.rope_theta)
+    q = rope(q, pos_t, *cfg.rope_args)
+    k = rope(k, pos_t, *cfg.rope_args)
     write = write_chunk_kv_paged if paged_write else append_chunk_kv
     pages = write(pages, k, v, page_table, first_positions, active)
     o = paged_chunk_attention(

@@ -133,8 +133,8 @@ def _tp_layer(x, layer, positions, cfg, interpret):
     q = _dense(h, layer["wq"]).reshape(b, s, nh, cfg.head_dim)
     k = _dense(h, layer["wk"]).reshape(b, s, nkv, cfg.head_dim)
     v = _dense(h, layer["wv"]).reshape(b, s, nkv, cfg.head_dim)
-    q = rope(q, positions, cfg.rope_theta).transpose(0, 2, 1, 3)
-    k = rope(k, positions, cfg.rope_theta).transpose(0, 2, 1, 3)
+    q = rope(q, positions, *cfg.rope_args).transpose(0, 2, 1, 3)
+    k = rope(k, positions, *cfg.rope_args).transpose(0, 2, 1, 3)
     v = v.transpose(0, 2, 1, 3)
     from cuda_flash_attention_tpu.kernels.attention import flash_attention
 

@@ -66,6 +66,14 @@ class TransformerConfig:
     # still propagates while most layers pay O(S*W) attention.
     attn_window: int | None = None
     global_every: int = 0
+    # Long-context RoPE extension: "none"; "linear" (position
+    # interpolation: positions divided by rope_scale_factor, fine-tune
+    # briefly at the longer length); "ntk" (NTK-aware: the base theta is
+    # inflated so low frequencies stretch while high frequencies — local
+    # order — stay intact; usable zero-shot).  Factor = target_len /
+    # trained_len.
+    rope_scaling: str = "none"
+    rope_scale_factor: float = 1.0
     # Rematerialization (jax.checkpoint) of the per-layer forward under
     # autodiff — trades recompute FLOPs for activation memory so bigger
     # B*S fits HBM (the task's remat requirement; the reference has no
@@ -80,6 +88,20 @@ class TransformerConfig:
 
     def is_moe_layer(self, i: int) -> bool:
         return self.n_experts > 0 and i % self.moe_every == self.moe_every - 1
+
+    @property
+    def rope_args(self) -> tuple[float, float]:
+        """(effective theta, position divisor) for `rope` under the
+        configured long-context scaling."""
+        if self.rope_scaling == "none" or self.rope_scale_factor == 1.0:
+            return (self.rope_theta, 1.0)
+        if self.rope_scaling == "linear":
+            return (self.rope_theta, float(self.rope_scale_factor))
+        if self.rope_scaling == "ntk":
+            d = self.head_dim
+            theta = self.rope_theta * self.rope_scale_factor ** (d / (d - 2))
+            return (float(theta), 1.0)
+        raise ValueError(f"unknown rope_scaling {self.rope_scaling!r}")
 
     def layer_window(self, i: int) -> int | None:
         """Sliding window for layer i, or None when the layer is global."""
@@ -246,14 +268,20 @@ def rms_norm(x, scale, eps: float = 1e-6):
     return (normed * scale.astype(jnp.float32)).astype(x.dtype)
 
 
-def rope(x, positions, theta: float):
-    """Half-rotation RoPE. x: [B, S, H, D]; positions: [B, S]."""
+def rope(x, positions, theta: float, pos_scale: float = 1.0):
+    """Half-rotation RoPE. x: [B, S, H, D]; positions: [B, S].
+
+    ``pos_scale`` > 1 is linear position interpolation (positions divided
+    by the scale — the PI long-context extension); NTK-aware scaling
+    instead inflates ``theta`` (see TransformerConfig.rope_args)."""
     d = x.shape[-1]
     half = d // 2
     freqs = jnp.exp(
         -jnp.log(theta) * jnp.arange(0, half, dtype=jnp.float32) / half
     )
-    angles = positions[..., None].astype(jnp.float32) * freqs  # [B, S, half]
+    angles = (
+        positions[..., None].astype(jnp.float32) / pos_scale
+    ) * freqs  # [B, S, half]
     cos = jnp.cos(angles)[:, :, None, :]
     sin = jnp.sin(angles)[:, :, None, :]
     x1, x2 = x[..., :half], x[..., half:]
@@ -304,8 +332,8 @@ def _attention_block(x, layer, positions, cfg: TransformerConfig, mesh,
     q = _dense(h, layer["wq"]).reshape(b, s, cfg.n_heads, cfg.head_dim)
     k = _dense(h, layer["wk"]).reshape(b, s, cfg.n_kv_heads, cfg.head_dim)
     v = _dense(h, layer["wv"]).reshape(b, s, cfg.n_kv_heads, cfg.head_dim)
-    q = rope(q, positions, cfg.rope_theta).transpose(0, 2, 1, 3)
-    k = rope(k, positions, cfg.rope_theta).transpose(0, 2, 1, 3)
+    q = rope(q, positions, *cfg.rope_args).transpose(0, 2, 1, 3)
+    k = rope(k, positions, *cfg.rope_args).transpose(0, 2, 1, 3)
     v = v.transpose(0, 2, 1, 3)
     o = gqa_flash_attention(q, k, v, cfg=cfg, mesh=mesh, causal=True,
                             window=window, interpret=interpret)
