@@ -40,3 +40,34 @@ done
 timeout 3600 python -m cuda_flash_attention_tpu.bench.autotune \
   --kernels fused --seq 2048 --tile bf16 --causal both \
   --json plots/autotune_bwd_r3.json 2>&1 | tee logs/autotune_bwd.log
+
+# 8. Speculative decoding: bf16 engine throughput, plain vs --spec (draft =
+#    first 2 layers of the base target) — the accepted-tokens-per-pass win.
+for sflags in "" "--spec 4 --draft-layers 2"; do
+  timeout 1800 python -m cuda_flash_attention_tpu.bench.decode_bench \
+    --config base --engine --batch 8 --prompt-len 128 --gen 64 \
+    --cache-dtype bfloat16 $sflags 2>&1 | tee -a logs/spec_decode.log
+done
+
+# 9. Sliding-window long-context prefill: S=16k global vs window=4k — the
+#    O(S*W) vs O(S^2/2) wall-clock gap on the real chip.
+timeout 1800 python - <<'PY' 2>&1 | tee logs/window_prefill.log
+import json
+import jax, jax.numpy as jnp
+from cuda_flash_attention_tpu import flash_attention
+from cuda_flash_attention_tpu.utils.timing import device_benchmark
+
+ks = jax.random.split(jax.random.PRNGKey(0), 3)
+B, H, S, D = 1, 8, 16384, 64
+q, k, v = (jax.random.normal(kk, (B, H, S, D), jnp.bfloat16) for kk in ks)
+rows = {}
+for label, win in (("global", None), ("win4096", 4096)):
+    fn = jax.jit(lambda q, k, v, w=win: flash_attention(
+        q, k, v, causal=True, window=w, tile_dtype=jnp.bfloat16,
+        force_kernel=True))
+    ms = device_benchmark(fn, q, k, v)
+    rows[label] = round(ms, 3)
+    print(label, ms)
+rows["speedup"] = round(rows["global"] / rows["win4096"], 2)
+print(json.dumps({"window_prefill_ms": rows}))
+PY
