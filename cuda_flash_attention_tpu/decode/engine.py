@@ -277,10 +277,11 @@ class DecodeEngine:
                     "speculative decoding is single-host (the draft loop "
                     "is host-driven)"
                 )
-            if temperature != 0.0:
+            if temperature > 0.0 and (top_k > 0 or top_p < 1.0):
                 raise NotImplementedError(
-                    "speculative decoding implements the greedy acceptance "
-                    "rule; use temperature=0.0"
+                    "speculative sampling supports pure temperature "
+                    "sampling (top_k=0, top_p=1.0) — the acceptance rule "
+                    "needs the unmodified draft/target distributions"
                 )
             if draft_cfg.vocab_size != cfg.vocab_size:
                 raise ValueError("draft and target must share the vocab")
@@ -321,19 +322,36 @@ class DecodeEngine:
                     )
                     for _ in range(draft_cfg.n_layers)
                 ]
-            self._propose_fn = jax.jit(
-                functools.partial(
-                    self._device_propose, cfg=draft_cfg,
-                    k=self.spec_tokens, interpret=interpret,
-                ),
-                donate_argnums=(1,),
-            )
-            self._verify_fn = jax.jit(
-                functools.partial(
-                    self._device_verify, cfg=cfg, interpret=interpret,
-                ),
-                donate_argnums=(1,),
-            )
+            if temperature > 0.0:
+                self._propose_fn = jax.jit(
+                    functools.partial(
+                        self._device_propose_sampled, cfg=draft_cfg,
+                        k=self.spec_tokens, temperature=temperature,
+                        interpret=interpret,
+                    ),
+                    donate_argnums=(1,),
+                )
+                self._verify_fn = jax.jit(
+                    functools.partial(
+                        self._device_verify_sampled, cfg=cfg,
+                        temperature=temperature, interpret=interpret,
+                    ),
+                    donate_argnums=(1,),
+                )
+            else:
+                self._propose_fn = jax.jit(
+                    functools.partial(
+                        self._device_propose, cfg=draft_cfg,
+                        k=self.spec_tokens, interpret=interpret,
+                    ),
+                    donate_argnums=(1,),
+                )
+                self._verify_fn = jax.jit(
+                    functools.partial(
+                        self._device_verify, cfg=cfg, interpret=interpret,
+                    ),
+                    donate_argnums=(1,),
+                )
             self._draft_prefill_fn = jax.jit(
                 lambda params, tokens: prefill_forward(
                     params, tokens, draft_cfg
@@ -428,6 +446,57 @@ class DecodeEngine:
             active, cfg, interpret=interpret,
         )
         return jnp.argmax(logits, axis=-1).astype(jnp.int32), caches
+
+    @staticmethod
+    def _device_propose_sampled(params, caches, tokens, positions,
+                                page_table, active, key, *, cfg, k,
+                                temperature, interpret):
+        """Sampled draft: k+1 temperature-categorical steps, recording the
+        k proposals AND the full distributions they were drawn from (the
+        acceptance rule needs pd)."""
+        tok = tokens
+        toks, probs = [], []
+        for i in range(k + 1):
+            logits, caches = decode_step(
+                params, tok, positions + i, caches, page_table, active,
+                cfg, interpret=interpret,
+            )
+            scaled = logits / temperature
+            key, sub = jax.random.split(key)
+            tok = jax.random.categorical(sub, scaled, axis=-1).astype(
+                jnp.int32
+            )
+            if i < k:
+                toks.append(tok)
+                probs.append(jax.nn.softmax(scaled, axis=-1))
+        return (
+            jnp.stack(toks, axis=1),      # [n, k]
+            jnp.stack(probs, axis=1),     # [n, k, V]
+            caches,
+        )
+
+    @staticmethod
+    def _device_verify_sampled(params, caches, chunk_tokens,
+                               first_positions, page_table, active,
+                               draft_probs, key, *, cfg, temperature,
+                               interpret):
+        """Target-side speculative SAMPLING: one chunked forward, then the
+        Leviathan/Chen acceptance entirely on device — returns (m accepted
+        drafts, final correction/bonus token) per slot.  The emitted stream
+        is distributed exactly as target-only sampling."""
+        from cuda_flash_attention_tpu.decode.sampling import (
+            speculative_accept,
+        )
+
+        logits, caches = verify_step(
+            params, chunk_tokens, first_positions, caches, page_table,
+            active, cfg, interpret=interpret,
+        )
+        pt = jax.nn.softmax(logits / temperature, axis=-1)
+        m, final = speculative_accept(
+            pt, chunk_tokens[:, 1:], draft_probs, key
+        )
+        return m, final, caches
 
     # ------------------------------------------------------------------
     # Scheduler (host)
@@ -875,26 +944,52 @@ class DecodeEngine:
         positions = jnp.asarray(self.lengths)
         pt = jnp.asarray(self.page_table)
         act = jnp.asarray(self.active)
-        drafts_dev, self.draft_caches = self._propose_fn(
-            self.draft_params, self.draft_caches,
-            jnp.asarray(self.last_token), positions, pt, act,
-        )
-        drafts = np.asarray(drafts_dev)  # [max_seqs, k]
-        chunk = np.concatenate([self.last_token[:, None], drafts], axis=1)
-        greedy_dev, self.caches = self._verify_fn(
-            self.params, self.caches, jnp.asarray(chunk), positions, pt, act,
-        )
-        greedy = np.asarray(greedy_dev)  # [max_seqs, k+1]
+        sampled = self.temperature > 0.0
+        if sampled:
+            self._key, k1, k2 = jax.random.split(self._key, 3)
+            drafts_dev, draft_probs, self.draft_caches = self._propose_fn(
+                self.draft_params, self.draft_caches,
+                jnp.asarray(self.last_token), positions, pt, act, k1,
+            )
+            drafts = np.asarray(drafts_dev)  # [max_seqs, k]
+            chunk = np.concatenate(
+                [self.last_token[:, None], drafts], axis=1
+            )
+            m_dev, final_dev, self.caches = self._verify_fn(
+                self.params, self.caches, jnp.asarray(chunk), positions,
+                pt, act, draft_probs, k2,
+            )
+            m_all = np.asarray(m_dev)
+            final_all = np.asarray(final_dev)
+        else:
+            drafts_dev, self.draft_caches = self._propose_fn(
+                self.draft_params, self.draft_caches,
+                jnp.asarray(self.last_token), positions, pt, act,
+            )
+            drafts = np.asarray(drafts_dev)  # [max_seqs, k]
+            chunk = np.concatenate(
+                [self.last_token[:, None], drafts], axis=1
+            )
+            greedy_dev, self.caches = self._verify_fn(
+                self.params, self.caches, jnp.asarray(chunk), positions,
+                pt, act,
+            )
+            greedy = np.asarray(greedy_dev)  # [max_seqs, k+1]
 
         for slot in range(self.max_seqs):
             if not self.active[slot]:
                 continue
             req = self._slot_req[slot]
-            m = 0
-            while m < k and greedy[slot, m] == drafts[slot, m]:
-                m += 1
-            accepted = [int(t) for t in drafts[slot, :m]]
-            accepted.append(int(greedy[slot, m]))  # bonus / correction
+            if sampled:
+                m = int(m_all[slot])
+                accepted = [int(t) for t in drafts[slot, :m]]
+                accepted.append(int(final_all[slot]))
+            else:
+                m = 0
+                while m < k and greedy[slot, m] == drafts[slot, m]:
+                    m += 1
+                accepted = [int(t) for t in drafts[slot, :m]]
+                accepted.append(int(greedy[slot, m]))  # bonus / correction
             take: list[int] = []
             for tok in accepted:
                 take.append(tok)

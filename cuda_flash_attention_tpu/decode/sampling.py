@@ -52,3 +52,51 @@ def sample_tokens(
             jnp.int32
         )
     return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+
+
+def speculative_accept(
+    pt,           # [n, k+1, V] target probs at chunk positions 0..k
+    drafts,       # [n, k] int32 draft tokens d1..dk
+    draft_probs,  # [n, k, V] draft probs the drafts were sampled from
+    key,
+):
+    """Speculative-SAMPLING acceptance (Leviathan et al. / Chen et al.):
+    accept draft d_i with prob min(1, pt_i(d_i) / pd_i(d_i)); at the first
+    rejection sample from the residual normalize(max(pt - pd, 0)); if all
+    k drafts survive, sample the bonus token from pt_k.  The resulting
+    token stream is distributed EXACTLY as target-only sampling.
+
+    Returns (m [n] int32 — accepted draft count, final [n] int32 — the
+    correction/bonus token emitted after the m accepted drafts)."""
+    n, k = drafts.shape
+    k_acc, k_fin = jax.random.split(key)
+    pt_d = jnp.take_along_axis(
+        pt[:, :k], drafts[..., None], axis=-1
+    )[..., 0]  # [n, k] target prob of each draft
+    pd_d = jnp.take_along_axis(
+        draft_probs, drafts[..., None], axis=-1
+    )[..., 0]
+    u = jax.random.uniform(k_acc, (n, k))
+    # accept_i  <=>  u < pt/pd  (pd == 0 can't occur for a sampled token,
+    # but guard anyway: then accept iff pt > 0).
+    accept = u * jnp.maximum(pd_d, 1e-38) < pt_d
+    m = jnp.sum(
+        jnp.cumprod(accept.astype(jnp.int32), axis=1), axis=1
+    ).astype(jnp.int32)  # leading-accept count
+
+    # Distribution for the final token: residual at the first rejection,
+    # or pt_k when everything was accepted.  Padding draft_probs with a
+    # zero row at index k makes max(pt - pd, 0) cover both cases.
+    pd_pad = jnp.concatenate(
+        [draft_probs, jnp.zeros_like(pt[:, :1])], axis=1
+    )  # [n, k+1, V]
+    pt_m = jnp.take_along_axis(pt, m[:, None, None], axis=1)[:, 0]
+    pd_m = jnp.take_along_axis(pd_pad, m[:, None, None], axis=1)[:, 0]
+    residual = jnp.maximum(pt_m - pd_m, 0.0)
+    norm = jnp.sum(residual, axis=-1, keepdims=True)
+    # Degenerate residual (pt == pd exactly): fall back to pt itself.
+    residual = jnp.where(norm > 0.0, residual, pt_m)
+    final = jax.random.categorical(
+        k_fin, jnp.log(jnp.maximum(residual, 1e-38)), axis=-1
+    ).astype(jnp.int32)
+    return m, final

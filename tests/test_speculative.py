@@ -103,6 +103,66 @@ def test_spec_rejects_bad_config():
     with pytest.raises(ValueError, match="draft_params"):
         DecodeEngine(params, cfg, max_seqs=1, max_seq_len=256,
                      page_size=PAGE, spec_tokens=2)
-    with pytest.raises(NotImplementedError, match="greedy"):
+    # Pure temperature sampling is supported (speculative sampling); only
+    # the modified distributions (top-k / nucleus) are not.
+    with pytest.raises(NotImplementedError, match="temperature"):
         _spec_engine(cfg, params, draft_cfg, draft_params, k=2,
-                     temperature=0.7)
+                     temperature=0.7, top_k=5)
+
+
+# ---------------------------------------------------------------------------
+# Speculative SAMPLING (temperature > 0): the acceptance rule must emit
+# tokens distributed exactly as target-only sampling.
+# ---------------------------------------------------------------------------
+
+
+def test_speculative_accept_matches_target_distribution():
+    """First emitted token across many trials ~ pt_0 regardless of how far
+    the draft distribution is from the target (the algorithm's defining
+    guarantee)."""
+    from cuda_flash_attention_tpu.decode.sampling import speculative_accept
+
+    v, k, n = 5, 2, 40_000
+    pt0 = jnp.asarray([0.05, 0.40, 0.25, 0.20, 0.10])
+    ptk = jnp.asarray([0.20] * 5)
+    pd0 = jnp.asarray([0.50, 0.10, 0.10, 0.10, 0.20])  # deliberately bad
+    pt = jnp.broadcast_to(
+        jnp.stack([pt0, ptk, ptk]), (n, k + 1, v)
+    )
+    draft_probs = jnp.broadcast_to(jnp.stack([pd0, ptk]), (n, k, v))
+    key = jax.random.PRNGKey(0)
+    kd, ka = jax.random.split(key)
+    drafts = jnp.stack(
+        [
+            jax.random.categorical(
+                jax.random.fold_in(kd, i), jnp.log(draft_probs[:, i]), axis=-1
+            )
+            for i in range(k)
+        ],
+        axis=1,
+    ).astype(jnp.int32)
+    m, final = speculative_accept(pt, drafts, draft_probs, ka)
+    first = jnp.where(m >= 1, drafts[:, 0], final)
+    freq = np.bincount(np.asarray(first), minlength=v) / n
+    np.testing.assert_allclose(freq, np.asarray(pt0), atol=0.02)
+    # Sanity: both acceptance and rejection paths actually fired.
+    assert 0.05 < float(jnp.mean((m >= 1))) < 0.95
+
+
+@pytest.mark.slow
+def test_spec_sampled_engine_generates():
+    cfg, params, draft_cfg, draft_params = _models()
+    eng = _spec_engine(cfg, params, draft_cfg, draft_params, k=3,
+                       temperature=0.8)
+    reqs = eng.run([[5, 17, 100, 42], [7, 3]], max_new_tokens=8)
+    for r in reqs:
+        assert r.done and len(r.generated) == 8
+        assert all(0 <= t < cfg.vocab_size for t in r.generated)
+    assert eng.allocator.available == eng.allocator.num_pages - 1
+
+
+def test_spec_sampled_rejects_nucleus():
+    cfg, params, draft_cfg, draft_params = _models()
+    with pytest.raises(NotImplementedError, match="temperature"):
+        _spec_engine(cfg, params, draft_cfg, draft_params, k=2,
+                     temperature=0.8, top_p=0.9)
