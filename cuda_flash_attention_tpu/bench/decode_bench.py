@@ -246,6 +246,7 @@ def measure_engine_throughput(
         "cache_dtype": str(jnp.dtype(cache_dtype)),
         "tp": 1 if mesh is None else int(np.prod(list(mesh.shape.values()))),
         "spec_tokens": spec_tokens,
+        "spec_acceptance": eng.acceptance_rate,
     }
 
 

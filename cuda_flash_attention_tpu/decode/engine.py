@@ -240,6 +240,14 @@ class DecodeEngine:
         self._pending: deque[Request] = deque()
         self._next_uid = 0
         self._key = jax.random.PRNGKey(seed)
+        # Serving telemetry (host counters; no device syncs): device steps,
+        # emitted tokens, and — under speculation — proposed vs accepted
+        # draft tokens (acceptance_rate drives the draft/k tuning loop).
+        self.stats = {
+            "steps": 0, "tokens": 0, "spec_rounds": 0,
+            "spec_proposed": 0, "spec_accepted": 0,
+        }
+
 
         self._decode_fn = jax.jit(
             functools.partial(
@@ -597,6 +605,14 @@ class DecodeEngine:
         return slot // self._slots_per_shard
 
     @property
+    def acceptance_rate(self) -> float | None:
+        """Fraction of proposed draft tokens the target accepted (None
+        before any speculative round)."""
+        if not self.stats["spec_proposed"]:
+            return None
+        return self.stats["spec_accepted"] / self.stats["spec_proposed"]
+
+    @property
     def allocator(self) -> PageAllocator:
         """Single-shard convenience accessor (dp == 1)."""
         if self.dp != 1:
@@ -748,6 +764,7 @@ class DecodeEngine:
                         )
             first = int(firsts[i])
             req.generated.append(first)
+            self.stats["tokens"] += 1
             req.slot = slot
             self._slot_req[slot] = req
             self._slot_worst[slot] = self._worst_pages(req)
@@ -835,6 +852,7 @@ class DecodeEngine:
             self._sample(logits[:, len(suffix) - 1, :])
         )[0])
         req.generated.append(first)
+        self.stats["tokens"] += 1
         req.slot = slot
         self._slot_req[slot] = req
         self._slot_worst[slot] = self._worst_pages(req)
@@ -916,6 +934,7 @@ class DecodeEngine:
             sub,
         )
         next_tokens = np.asarray(next_tokens_dev)
+        self.stats["steps"] += 1
 
         for slot in range(self.max_seqs):
             if not self.active[slot]:
@@ -925,6 +944,7 @@ class DecodeEngine:
             self.lengths[slot] += 1  # KV of last_token is now in the cache
             req.generated.append(tok)
             self.last_token[slot] = tok
+            self.stats["tokens"] += 1
             self._maybe_finish(req, tok)
         return finished
 
@@ -961,6 +981,8 @@ class DecodeEngine:
             )
             m_all = np.asarray(m_dev)
             final_all = np.asarray(final_dev)
+            self.stats["steps"] += 1
+            self.stats["spec_rounds"] += 1
         else:
             drafts_dev, self.draft_caches = self._propose_fn(
                 self.draft_params, self.draft_caches,
@@ -975,6 +997,9 @@ class DecodeEngine:
                 pt, act,
             )
             greedy = np.asarray(greedy_dev)  # [max_seqs, k+1]
+
+        self.stats["steps"] += 1
+        self.stats["spec_rounds"] += 1
 
         for slot in range(self.max_seqs):
             if not self.active[slot]:
@@ -997,6 +1022,9 @@ class DecodeEngine:
                 if hit_eos or len(req.generated) + len(take) >= req.max_new_tokens:
                     break
             req.generated.extend(take)
+            self.stats["spec_proposed"] += k
+            self.stats["spec_accepted"] += m
+            self.stats["tokens"] += len(take)
             # KV is now committed for the previous last_token plus the
             # accepted draft inputs; the new last_token's KV lands next round.
             self.lengths[slot] += len(take)

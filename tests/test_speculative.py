@@ -166,3 +166,20 @@ def test_spec_sampled_rejects_nucleus():
     with pytest.raises(NotImplementedError, match="temperature"):
         _spec_engine(cfg, params, draft_cfg, draft_params, k=2,
                      temperature=0.8, top_p=0.9)
+
+
+def test_acceptance_stats():
+    cfg = dataclasses.replace(
+        TransformerConfig.tiny(), dtype=jnp.float32, attn_tile_dtype=None,
+    )
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    perfect = _spec_engine(cfg, params, cfg, params, k=3)
+    perfect.run([[5, 17, 100]], max_new_tokens=8)
+    assert perfect.acceptance_rate == 1.0  # draft == target: all accepted
+    assert perfect.stats["tokens"] >= 8
+
+    plain = DecodeEngine(params, cfg, max_seqs=1, max_seq_len=512,
+                         page_size=PAGE, cache_dtype=jnp.float32)
+    plain.run([[5, 17, 100]], max_new_tokens=4)
+    assert plain.acceptance_rate is None
+    assert plain.stats["tokens"] >= 4 and plain.stats["steps"] >= 3
