@@ -72,6 +72,7 @@ def _decode_kernel(
     pages_per_seq: int,
     compute_dtype,
     window=None,
+    sinks=0,
 ):
     """All KV heads of one sequence in ONE grid cell: they share the same
     physical page, so batching them trades n_kv_heads grid launches for one
@@ -92,7 +93,10 @@ def _decode_kernel(
     # per-step compute is O(window), not O(length).
     live = p * page_size < length
     if window is not None:
-        live &= (p + 1) * page_size > length - window
+        in_win = (p + 1) * page_size > length - window
+        if sinks > 0:
+            in_win |= p * page_size < sinks
+        live &= in_win
 
     @pl.when(live)
     def _run():
@@ -113,7 +117,10 @@ def _decode_kernel(
         )
         keep = col < length
         if window is not None:
-            keep &= col >= length - window
+            in_win = col >= length - window
+            if sinks > 0:
+                in_win |= col < sinks
+            keep &= in_win
         s += jnp.where(keep, 0.0, DEFAULT_MASK_VALUE)
 
         m_prev = m_scr[...]
@@ -143,7 +150,9 @@ def _decode_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("sm_scale", "compute_dtype", "window", "interpret"),
+    static_argnames=(
+        "sm_scale", "compute_dtype", "window", "sinks", "interpret",
+    ),
 )
 def paged_decode_attention(
     q,           # [num_seqs, n_heads, head_dim] — one token per slot
@@ -154,6 +163,7 @@ def paged_decode_attention(
     sm_scale: float | None = None,
     compute_dtype=jnp.bfloat16,
     window: int | None = None,
+    sinks: int = 0,
     interpret=None,
 ):
     """Flash-decoding over the paged cache. Returns [num_seqs, n_heads, D].
@@ -170,6 +180,7 @@ def paged_decode_attention(
     if window is not None:
         window = int(window)
         assert window >= 1
+    sinks = int(sinks) if window is not None else 0
     group = n_heads // n_kv_heads
     if sm_scale is None:
         sm_scale = 1.0 / (head_dim ** 0.5)
@@ -186,9 +197,10 @@ def paged_decode_attention(
         # HBM — and never dereferences a recycled table entry.
         live = p * page_size < len_ref[s]
         if window is not None:
-            live = jnp.logical_and(
-                live, (p + 1) * page_size > len_ref[s] - window
-            )
+            in_win = (p + 1) * page_size > len_ref[s] - window
+            if sinks > 0:
+                in_win = jnp.logical_or(in_win, p * page_size < sinks)
+            live = jnp.logical_and(live, in_win)
         return (0, lax.select(live, pt_ref[s, p], 0), 0, 0)
 
     kernel = functools.partial(
@@ -198,6 +210,7 @@ def paged_decode_attention(
         pages_per_seq=pages_per_seq,
         compute_dtype=compute_dtype,
         window=window,
+        sinks=sinks,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -255,6 +268,7 @@ def _chunk_kernel(
     chunk: int,   # T — queries per sequence
     group: int,   # query heads per KV head
     window=None,
+    sinks=0,
 ):
     """Speculative-verification attention: T consecutive queries per
     sequence (positions length-T .. length-1) against the paged cache the
@@ -275,7 +289,10 @@ def _chunk_kernel(
     live = p * page_size < length
     if window is not None:
         # Oldest key any query needs: (length - chunk) - (window - 1).
-        live &= (p + 1) * page_size > length - chunk - window + 1
+        in_win = (p + 1) * page_size > length - chunk - window + 1
+        if sinks > 0:
+            in_win |= p * page_size < sinks
+        live &= in_win
 
     @pl.when(live)
     def _run():
@@ -300,7 +317,10 @@ def _chunk_kernel(
         )
         keep = col <= pos
         if window is not None:
-            keep &= col > pos - window
+            in_win = col > pos - window
+            if sinks > 0:
+                in_win |= col < sinks
+            keep &= in_win
         s += jnp.where(keep, 0.0, DEFAULT_MASK_VALUE)
 
         m_prev = m_scr[...]
@@ -331,7 +351,9 @@ def _chunk_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("sm_scale", "compute_dtype", "window", "interpret"),
+    static_argnames=(
+        "sm_scale", "compute_dtype", "window", "sinks", "interpret",
+    ),
 )
 def paged_chunk_attention(
     q,           # [num_seqs, T, n_heads, head_dim] — T new tokens per slot
@@ -342,6 +364,7 @@ def paged_chunk_attention(
     sm_scale: float | None = None,
     compute_dtype=jnp.bfloat16,
     window: int | None = None,
+    sinks: int = 0,
     interpret=None,
 ):
     """Multi-query flash-decoding for speculative-decoding verification /
@@ -358,6 +381,7 @@ def paged_chunk_attention(
     if window is not None:
         window = int(window)
         assert window >= 1
+    sinks = int(sinks) if window is not None else 0
 
     # Rows t-major within each KV head: [seqs, T, Hkv, group, D] ->
     # [seqs, Hkv, T*group, D] so row // group recovers the query index.
@@ -372,10 +396,10 @@ def paged_chunk_attention(
     def page_map(s, p, pt_ref, len_ref):
         live = p * page_size < len_ref[s]
         if window is not None:
-            live = jnp.logical_and(
-                live,
-                (p + 1) * page_size > len_ref[s] - chunk - window + 1,
-            )
+            in_win = (p + 1) * page_size > len_ref[s] - chunk - window + 1
+            if sinks > 0:
+                in_win = jnp.logical_or(in_win, p * page_size < sinks)
+            live = jnp.logical_and(live, in_win)
         return (0, lax.select(live, pt_ref[s, p], 0), 0, 0)
 
     kernel = functools.partial(
@@ -387,6 +411,7 @@ def paged_chunk_attention(
         chunk=chunk,
         group=group,
         window=window,
+        sinks=sinks,
     )
     rows = chunk * group
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -126,6 +126,7 @@ class DecodeEngine:
 
         _check_uniform_window(cfg)
         self.window = cfg.attn_window
+        self.sinks = cfg.attn_sinks if cfg.attn_window is not None else 0
         self.pages_per_seq = _cdiv(max_seq_len, page_size)
         self.temperature = temperature
         self.top_k = top_k
@@ -570,9 +571,13 @@ class DecodeEngine:
         if self.window is None:
             return total
         # Live span covers [len - window, len + spec] — it straddles at
-        # most cdiv(window + spec, page) + 1 pages; prefill writes the
-        # whole prompt before any recycling can happen.
-        live = _cdiv(self.window + self.spec_tokens, self.page_size) + 1
+        # most cdiv(window + spec, page) + 1 pages — plus the resident
+        # attention-sink pages; prefill writes the whole prompt before any
+        # recycling can happen.
+        live = (
+            _cdiv(self.window + self.spec_tokens, self.page_size) + 1
+            + _cdiv(self.sinks, self.page_size)
+        )
         prefill = _cdiv(prompt_len, self.page_size)
         return min(total, max(live, prefill))
 
@@ -597,6 +602,8 @@ class DecodeEngine:
         for pi, pid in enumerate(pages):
             if pid is None or (pi + 1) * self.page_size > horizon:
                 continue
+            if pi * self.page_size < self.sinks:
+                continue  # attention-sink pages stay resident forever
             self.allocators[shard].free([pid])
             pages[pi] = None
             self.page_table[slot, pi] = 0

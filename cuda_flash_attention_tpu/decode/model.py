@@ -122,7 +122,7 @@ def _decode_layer(x, layer, pages, pos2, positions, attn_lengths, page_table,
         o, pages = dp_tp_append_attend(
             mesh, q.astype(cfg.dtype), k, v, pages, page_table, positions,
             active, attn_lengths, compute_dtype=compute_dtype,
-            window=cfg.attn_window,
+            window=cfg.attn_window, sinks=cfg.attn_sinks,
         )
     else:
         pages = append_token_kv(pages, k, v, page_table, positions, active)
@@ -134,12 +134,13 @@ def _decode_layer(x, layer, pages, pos2, positions, attn_lengths, page_table,
             o = tp_paged_decode_attention(
                 mesh, q.astype(cfg.dtype), pages, page_table, attn_lengths,
                 compute_dtype=compute_dtype, window=cfg.attn_window,
+                sinks=cfg.attn_sinks,
             )
         else:
             o = paged_decode_attention(
                 q.astype(cfg.dtype), pages, page_table, attn_lengths,
                 compute_dtype=compute_dtype, window=cfg.attn_window,
-                interpret=interpret,
+                sinks=cfg.attn_sinks, interpret=interpret,
             )  # [n, Hq, D]
     x = x + dense(o.reshape(n, cfg.q_dim), layer["wo"])
     x, _ = ffn_block(x, layer, cfg, mesh)  # dense or MoE (aux unused)
@@ -168,7 +169,7 @@ def _chunk_layer(x, layer, pages, pos_t, first_positions, total_lengths,
     o = paged_chunk_attention(
         q.astype(cfg.dtype), pages, page_table, total_lengths,
         compute_dtype=compute_dtype, window=cfg.attn_window,
-        interpret=interpret,
+        sinks=cfg.attn_sinks, interpret=interpret,
     )  # [n, T, Hq, D]
     x = x + dense(o.reshape(n, t, cfg.q_dim), layer["wo"])
     x, _ = ffn_block(x, layer, cfg, None)
@@ -231,6 +232,8 @@ def _check_uniform_window(cfg: TransformerConfig) -> None:
     """The serving path scans ONE homogeneous layer body over stacked
     params, so a per-layer local/global interleave (global_every > 0) is
     not expressible here — every layer must share cfg.attn_window."""
+    if cfg.attn_sinks and cfg.attn_window is None:
+        raise ValueError("attn_sinks require attn_window")
     if cfg.attn_window is not None and cfg.global_every > 0:
         raise NotImplementedError(
             "the decode/prefill serving path supports only a uniform "

@@ -75,6 +75,7 @@ def tp_paged_decode_attention(
     sm_scale: float | None = None,
     compute_dtype=jnp.bfloat16,
     window: int | None = None,
+    sinks: int = 0,
     model_axis: str = MODEL_AXIS,
 ):
     """Head-parallel flash-decoding: each device runs the paged kernel on its
@@ -83,6 +84,7 @@ def tp_paged_decode_attention(
         return paged_decode_attention(
             q, pages, page_table, lengths,
             sm_scale=sm_scale, compute_dtype=compute_dtype, window=window,
+            sinks=sinks,
             interpret=mesh_interpret_default(mesh) if mesh is not None else None,
         )
     tp = mesh.shape[model_axis]
@@ -108,7 +110,7 @@ def tp_paged_decode_attention(
         return paged_decode_attention(
             q, pages, page_table, lengths,
             sm_scale=sm_scale, compute_dtype=compute_dtype, window=window,
-            interpret=interpret,
+            sinks=sinks, interpret=interpret,
         )
 
     return _local(q, pages, page_table, lengths)
@@ -128,6 +130,7 @@ def dp_tp_append_attend(
     sm_scale: float | None = None,
     compute_dtype=jnp.bfloat16,
     window: int | None = None,
+    sinks: int = 0,
     data_axis: str = DATA_AXIS,
     model_axis: str = MODEL_AXIS,
 ):
@@ -161,7 +164,7 @@ def dp_tp_append_attend(
         o = paged_decode_attention(
             q, pages, page_table, lengths,
             sm_scale=sm_scale, compute_dtype=compute_dtype, window=window,
-            interpret=interpret,
+            sinks=sinks, interpret=interpret,
         )
         return o, pages
 

@@ -82,7 +82,8 @@ def _use_xla_path(q, k, tile_dtype, force_kernel) -> bool:
 
 
 def _xla_attention(q, k, v, causal, sm_scale, with_lse,
-                   q_segment_ids=None, kv_segment_ids=None, window=None):
+                   q_segment_ids=None, kv_segment_ids=None, window=None,
+                   sinks=0):
     from cuda_flash_attention_tpu.ops.reference import (
         vanilla_attention,
         vanilla_attention_with_lse,
@@ -97,7 +98,7 @@ def _xla_attention(q, k, v, causal, sm_scale, with_lse,
     fn = vanilla_attention_with_lse if with_lse else vanilla_attention
     return fn(q, k, v, causal=causal, sm_scale=sm_scale,
               q_segment_ids=q_segment_ids, kv_segment_ids=kv_segment_ids,
-              window=window)
+              window=window, sinks=sinks)
 
 
 def _validate_segments(q_segment_ids, kv_segment_ids, q, k):
@@ -163,6 +164,15 @@ def _validate_shapes(q, k, v):
         )
 
 
+def _normalize_sinks(sinks, window) -> int:
+    sinks = int(sinks)
+    if sinks < 0:
+        raise ValueError(f"sinks must be >= 0; got {sinks}")
+    if sinks and window is None:
+        raise ValueError("attention sinks require a sliding window")
+    return sinks if window is not None else 0
+
+
 def _normalize_window(window, causal, q_len, kv_len):
     """Validate sliding-window args; fold a no-op window away so it cannot
     force an extra compile cache entry or dead mask work.
@@ -216,19 +226,21 @@ def _replicate_lanes(x):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11)
+)
 def _fa2(q, k, v, segs, kv_len, causal, sm_scale, block_sizes, tile_dtype,
-         interpret, window=None):
+         interpret, window=None, sinks=0):
     """segs: None or (q_seg [B, Sq_pad, 1], kv_seg [B, 1, Skv_pad]) int32."""
     o, _ = _fa2_fwd_impl(
         q, k, v, segs, kv_len, causal, sm_scale, block_sizes, tile_dtype,
-        interpret, window,
+        interpret, window, sinks,
     )
     return o
 
 
 def _fa2_fwd_impl(q, k, v, segs, kv_len, causal, sm_scale, block_sizes,
-                  tile_dtype, interpret=None, window=None):
+                  tile_dtype, interpret=None, window=None, sinks=0):
     block_q = _fit_block(block_sizes.block_q, q.shape[2])
     block_k = _fit_block(block_sizes.block_k, k.shape[2])
     q_seg, kv_seg = segs if segs is not None else (None, None)
@@ -242,29 +254,30 @@ def _fa2_fwd_impl(q, k, v, segs, kv_len, causal, sm_scale, block_sizes,
         return fa2_forward_small_aligned(
             q, k, v, q_seg, kv_seg,
             causal=causal, sm_scale=sm_scale, kv_len=kv_len,
-            tile_dtype=tile_dtype, window=window, interpret=interpret,
+            tile_dtype=tile_dtype, window=window, sinks=sinks,
+            interpret=interpret,
         )
     return fa2_forward_aligned(
         q, k, v, q_seg, kv_seg,
         causal=causal, sm_scale=sm_scale,
         block_q=block_q, block_k=block_k,
         kv_len=kv_len, tile_dtype=tile_dtype,
-        kv_groups=q.shape[1] // k.shape[1], window=window,
+        kv_groups=q.shape[1] // k.shape[1], window=window, sinks=sinks,
         interpret=interpret,
     )
 
 
 def _fa2_fwd(q, k, v, segs, kv_len, causal, sm_scale, block_sizes, tile_dtype,
-             interpret, window=None):
+             interpret, window=None, sinks=0):
     o, lse_rep = _fa2_fwd_impl(
         q, k, v, segs, kv_len, causal, sm_scale, block_sizes, tile_dtype,
-        interpret, window,
+        interpret, window, sinks,
     )
     return o, (q, k, v, segs, o, lse_rep)
 
 
 def _fa2_bwd(kv_len, causal, sm_scale, block_sizes, tile_dtype, interpret,
-             window, residuals, do):
+             window, sinks, residuals, do):
     q, k, v, segs, o, lse_rep = residuals
     # D_i = rowsum(dO * O): the reference runs a separate reduction kernel
     # (f-attn2-backward.cu:342-380); on TPU this is a single fused XLA
@@ -283,7 +296,7 @@ def _fa2_bwd(kv_len, causal, sm_scale, block_sizes, tile_dtype, interpret,
             causal=causal, sm_scale=sm_scale,
             block_q=bq_dkv, block_k=bk_dkv,
             kv_len=kv_len, tile_dtype=tile_dtype, kv_groups=kv_groups,
-            window=window, interpret=interpret,
+            window=window, sinks=sinks, interpret=interpret,
         )
         return dq, dk, dv, dsegs
     dq = fa2_backward_dq_aligned(
@@ -292,14 +305,14 @@ def _fa2_bwd(kv_len, causal, sm_scale, block_sizes, tile_dtype, interpret,
         block_q=_fit_block(block_sizes.block_q_dq, q.shape[2]),
         block_k=_fit_block(block_sizes.block_k_dq, k.shape[2]),
         kv_len=kv_len, tile_dtype=tile_dtype, kv_groups=kv_groups,
-        window=window, interpret=interpret,
+        window=window, sinks=sinks, interpret=interpret,
     )
     dk, dv = fa2_backward_dkv_aligned(
         q, k, v, do, lse_rep, di_rep, q_seg, kv_seg,
         causal=causal, sm_scale=sm_scale,
         block_q=bq_dkv, block_k=bk_dkv,
         kv_len=kv_len, tile_dtype=tile_dtype, kv_groups=kv_groups,
-        window=window, interpret=interpret,
+        window=window, sinks=sinks, interpret=interpret,
     )
     return dq, dk, dv, dsegs
 
@@ -324,6 +337,7 @@ def flash_attention(
     q_segment_ids=None,   # [B, Sq] int32 — sequence-packing segment ids
     kv_segment_ids=None,  # [B, Skv] int32
     window: int | None = None,
+    sinks: int = 0,
     force_kernel: bool = False,
     interpret=None,
 ):
@@ -341,7 +355,9 @@ def flash_attention(
     ``window`` enables sliding-window (local) attention: query i attends to
     keys j with j <= i and i - j < window (requires causal=True; composable
     with GQA and segments).  Out-of-window KV tiles are skipped entirely, so
-    cost scales O(S * window).
+    cost scales O(S * window).  ``sinks`` > 0 (StreamingLLM attention
+    sinks) keeps the first `sinks` keys attendable regardless of the
+    window — the bounded-cache recipe for unbounded-length generation.
 
     ``tile_dtype`` is the SHM_PRECISION analog: Q/K/V/P tiles are cast to it
     (bf16/fp16) inside the kernel before the MXU matmuls while all softmax
@@ -354,11 +370,12 @@ def flash_attention(
     """
     _validate_segments(q_segment_ids, kv_segment_ids, q, k)
     window = _normalize_window(window, causal, q.shape[2], k.shape[2])
+    sinks = _normalize_sinks(sinks, window)
     if _use_xla_path(q, k, tile_dtype, force_kernel):
         return _xla_attention(
             q, k, v, causal, sm_scale, with_lse=False,
             q_segment_ids=q_segment_ids, kv_segment_ids=kv_segment_ids,
-            window=window,
+            window=window, sinks=sinks,
         )
     segs = _pack_segments(q_segment_ids, kv_segment_ids, q, k)
     q_pad, k_pad, v_pad, sm_scale, block_sizes, q_len, kv_len = _normalize(
@@ -366,7 +383,7 @@ def flash_attention(
     )
     o = _fa2(
         q_pad, k_pad, v_pad, segs, kv_len, causal, sm_scale, block_sizes,
-        tile_dtype, interpret, window,
+        tile_dtype, interpret, window, sinks,
     )
     return o[:, :, :q_len, :]
 
@@ -381,6 +398,7 @@ def flash_attention_with_lse(
     q_segment_ids=None,
     kv_segment_ids=None,
     window: int | None = None,
+    sinks: int = 0,
     force_kernel: bool = False,
     interpret=None,
 ):
@@ -390,11 +408,12 @@ def flash_attention_with_lse(
     `flash_attention` for autodiff."""
     _validate_segments(q_segment_ids, kv_segment_ids, q, k)
     window = _normalize_window(window, causal, q.shape[2], k.shape[2])
+    sinks = _normalize_sinks(sinks, window)
     if _use_xla_path(q, k, tile_dtype, force_kernel):
         return _xla_attention(
             q, k, v, causal, sm_scale, with_lse=True,
             q_segment_ids=q_segment_ids, kv_segment_ids=kv_segment_ids,
-            window=window,
+            window=window, sinks=sinks,
         )
     segs = _pack_segments(q_segment_ids, kv_segment_ids, q, k)
     q_pad, k_pad, v_pad, sm_scale, block_sizes, q_len, kv_len = _normalize(
@@ -402,7 +421,7 @@ def flash_attention_with_lse(
     )
     o, lse_rep = _fa2_fwd_impl(
         q_pad, k_pad, v_pad, segs, kv_len, causal, sm_scale, block_sizes,
-        tile_dtype, interpret, window,
+        tile_dtype, interpret, window, sinks,
     )
     return o[:, :, :q_len, :], lse_rep[:, :, :q_len, 0]
 

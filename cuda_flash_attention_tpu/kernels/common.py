@@ -112,13 +112,20 @@ def below_or_on_diag(q_idx, block_q: int, kv_idx, block_k: int):
     return ((q_idx + 1) * block_q - 1) >= (kv_idx * block_k)
 
 
-def within_window(q_idx, block_q: int, kv_idx, block_k: int, window: int):
+def within_window(q_idx, block_q: int, kv_idx, block_k: int, window: int,
+                  sinks: int = 0):
     """True if the (q_idx, kv_idx) tile holds ANY pair with i - j < window
     (sliding-window attention: query i sees the last `window` keys j <= i).
     The oldest live key for the tile's first query row i0 = q_idx*block_q is
     j = i0 - window + 1; the tile is dead when its newest key predates it —
-    the window twin of the causal tile-skip predicate."""
-    return (kv_idx + 1) * block_k - 1 >= q_idx * block_q - (window - 1)
+    the window twin of the causal tile-skip predicate.
+
+    ``sinks`` > 0 (StreamingLLM attention sinks) additionally keeps tiles
+    containing the first `sinks` global keys alive."""
+    live = (kv_idx + 1) * block_k - 1 >= q_idx * block_q - (window - 1)
+    if sinks > 0:
+        live |= kv_idx * block_k < sinks
+    return live
 
 
 def build_block_mask(
@@ -127,12 +134,14 @@ def build_block_mask(
     q_seg=None,   # [block_q, 1] int32 or None
     kv_seg=None,  # [1, block_k] int32 or None
     window: int | None = None,
+    sinks: int = 0,
 ):
     """Boolean keep-mask for one (q_idx, kv_idx) tile, or None if nothing
     masks. Combines the ragged-KV tail check, the causal triangle, the
-    sliding window (query i keeps only keys j with i - j < window), and
-    segment equality (sequence packing: token i attends to j only when
-    their segment ids match)."""
+    sliding window (query i keeps only keys j with i - j < window, plus
+    the first `sinks` keys — StreamingLLM attention sinks), and segment
+    equality (sequence packing: token i attends to j only when their
+    segment ids match)."""
     import jax.numpy as jnp
     from jax import lax
 
@@ -157,6 +166,8 @@ def build_block_mask(
             )
         if window is not None:
             win_mask = row_ids - col_ids < window
+            if sinks > 0:
+                win_mask = jnp.logical_or(win_mask, col_ids < sinks)
             mask = (
                 win_mask if mask is None else jnp.logical_and(mask, win_mask)
             )

@@ -155,7 +155,7 @@ def _fa2_bwd_fused_kernel(
     *refs,
     sm_scale, causal, mask_value, kv_len,
     block_q, block_k, num_q_blocks, tile_dtype, mask_kv_tail, kv_groups,
-    has_segments, scale_dq_in_kernel=False, window=None,
+    has_segments, scale_dq_in_kernel=False, window=None, sinks=0,
 ):
     """dK/dV accumulation + per-KV-slice dQ partial in ONE recompute.
 
@@ -188,7 +188,9 @@ def _fa2_bwd_fused_kernel(
     if causal:
         should_run = below_or_on_diag(q_idx, block_q, kv_idx, block_k)
     if window is not None:
-        should_run &= within_window(q_idx, block_q, kv_idx, block_k, window)
+        should_run &= within_window(
+            q_idx, block_q, kv_idx, block_k, window, sinks
+        )
 
     @pl.when(should_run)
     def _run():
@@ -203,7 +205,7 @@ def _fa2_bwd_fused_kernel(
             causal=causal, mask_kv_tail=mask_kv_tail, kv_len=kv_len,
             q_seg=qseg_ref[0] if has_segments else None,
             kv_seg=kvseg_ref[0] if has_segments else None,
-            window=window,
+            window=window, sinks=sinks,
         )
         p, ds, q_s = _compute_p_ds(
             q, k, v, do, lse, di,
@@ -252,7 +254,7 @@ def _fa2_bwd_dkv_kernel(
     *refs,
     sm_scale, causal, mask_value, kv_len,
     block_q, block_k, num_q_blocks, tile_dtype, mask_kv_tail, kv_groups,
-    has_segments, window=None,
+    has_segments, window=None, sinks=0,
 ):
     if has_segments:
         (q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, qseg_ref, kvseg_ref,
@@ -277,7 +279,9 @@ def _fa2_bwd_dkv_kernel(
     if causal:
         should_run = below_or_on_diag(q_idx, block_q, kv_idx, block_k)
     if window is not None:
-        should_run &= within_window(q_idx, block_q, kv_idx, block_k, window)
+        should_run &= within_window(
+            q_idx, block_q, kv_idx, block_k, window, sinks
+        )
 
     @pl.when(should_run)
     def _run():
@@ -292,7 +296,7 @@ def _fa2_bwd_dkv_kernel(
             causal=causal, mask_kv_tail=mask_kv_tail, kv_len=kv_len,
             q_seg=qseg_ref[0] if has_segments else None,
             kv_seg=kvseg_ref[0] if has_segments else None,
-            window=window,
+            window=window, sinks=sinks,
         )
         p, ds, q_s = _compute_p_ds(
             q, k, v, do, lse, di,
@@ -317,7 +321,7 @@ def _fa2_bwd_dq_kernel(
     *refs,
     sm_scale, causal, mask_value, kv_len,
     block_q, block_k, num_kv_blocks, tile_dtype, mask_kv_tail,
-    has_segments, window=None,
+    has_segments, window=None, sinks=0,
 ):
     if has_segments:
         (q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, qseg_ref, kvseg_ref,
@@ -337,7 +341,9 @@ def _fa2_bwd_dq_kernel(
     if causal:
         should_run = below_or_on_diag(q_idx, block_q, kv_idx, block_k)
     if window is not None:
-        should_run &= within_window(q_idx, block_q, kv_idx, block_k, window)
+        should_run &= within_window(
+            q_idx, block_q, kv_idx, block_k, window, sinks
+        )
 
     @pl.when(should_run)
     def _run():
@@ -352,7 +358,7 @@ def _fa2_bwd_dq_kernel(
             causal=causal, mask_kv_tail=mask_kv_tail, kv_len=kv_len,
             q_seg=qseg_ref[0] if has_segments else None,
             kv_seg=kvseg_ref[0] if has_segments else None,
-            window=window,
+            window=window, sinks=sinks,
         )
         _, ds, _ = _compute_p_ds(
             q, k, v, do, lse, di,
@@ -375,7 +381,8 @@ def _fa2_bwd_dq_kernel(
     jax.jit,
     static_argnames=(
         "causal", "sm_scale", "block_q", "block_k", "kv_len",
-        "tile_dtype", "kv_groups", "window", "interpret", "debug",
+        "tile_dtype", "kv_groups", "window", "sinks", "interpret",
+        "debug",
     ),
 )
 def fa2_backward_dkv_aligned(
@@ -391,6 +398,7 @@ def fa2_backward_dkv_aligned(
     tile_dtype=None,
     kv_groups: int = 1,
     window: int | None = None,
+    sinks: int = 0,
     interpret=None,
     debug: bool = False,
 ):
@@ -419,7 +427,7 @@ def fa2_backward_dkv_aligned(
         always live under both skips."""
         live = below_or_on_diag(qi, block_q, ki, block_k)
         if window is not None:
-            live &= within_window(qi, block_q, ki, block_k, window)
+            live &= within_window(qi, block_q, ki, block_k, window, sinks)
             diag = (ki * block_k) // block_q
         else:
             diag = 0
@@ -450,6 +458,7 @@ def fa2_backward_dkv_aligned(
         kv_groups=kv_groups,
         has_segments=has_segments,
         window=window,
+        sinks=sinks,
     )
     qo_spec = pl.BlockSpec((1, 1, block_q, head_dim), qo_index_map)
     kv_spec = pl.BlockSpec((1, 1, block_k, head_dim), kv_index_map)
@@ -503,7 +512,8 @@ def fa2_backward_dkv_aligned(
     jax.jit,
     static_argnames=(
         "causal", "sm_scale", "block_q", "block_k", "kv_len",
-        "tile_dtype", "kv_groups", "window", "interpret", "debug",
+        "tile_dtype", "kv_groups", "window", "sinks", "interpret",
+        "debug",
     ),
 )
 def fa2_backward_fused_aligned(
@@ -519,6 +529,7 @@ def fa2_backward_fused_aligned(
     tile_dtype=None,
     kv_groups: int = 1,
     window: int | None = None,
+    sinks: int = 0,
     interpret=None,
     debug: bool = False,
 ):
@@ -542,7 +553,7 @@ def fa2_backward_fused_aligned(
         # Dead Q blocks prefetch the diagonal (always-live) Q block.
         live = below_or_on_diag(qi, block_q, ki, block_k)
         if window is not None:
-            live &= within_window(qi, block_q, ki, block_k, window)
+            live &= within_window(qi, block_q, ki, block_k, window, sinks)
             diag = (ki * block_k) // block_q
         else:
             diag = 0
@@ -580,6 +591,7 @@ def fa2_backward_fused_aligned(
         has_segments=has_segments,
         scale_dq_in_kernel=single_slice,
         window=window,
+        sinks=sinks,
     )
     qo_spec = pl.BlockSpec((1, 1, block_q, head_dim), qo_index_map)
     kv_spec = pl.BlockSpec((1, 1, block_k, head_dim), kv_index_map)
@@ -642,7 +654,8 @@ def fa2_backward_fused_aligned(
     jax.jit,
     static_argnames=(
         "causal", "sm_scale", "block_q", "block_k", "kv_len",
-        "tile_dtype", "kv_groups", "window", "interpret", "debug",
+        "tile_dtype", "kv_groups", "window", "sinks", "interpret",
+        "debug",
     ),
 )
 def fa2_backward_dq_aligned(
@@ -658,6 +671,7 @@ def fa2_backward_dq_aligned(
     tile_dtype=None,
     kv_groups: int = 1,
     window: int | None = None,
+    sinks: int = 0,
     interpret=None,
     debug: bool = False,
 ):
@@ -679,7 +693,9 @@ def fa2_backward_dq_aligned(
         live = below_or_on_diag(qi, block_q, ki, block_k)
         if window is None:
             return lax.select(live, ki, 0)
-        live &= within_window(qi, block_q, ki, block_k, window)
+        live &= within_window(qi, block_q, ki, block_k, window, sinks)
+        if sinks > 0:
+            return lax.select(live, ki, 0)  # block 0 is a live sink block
         lo = jnp.maximum(0, (qi * block_q - (window - 1)) // block_k)
         return lax.select(live, ki, lo)
 
@@ -705,6 +721,7 @@ def fa2_backward_dq_aligned(
         mask_kv_tail=(kv_len != kv_len_pad),
         has_segments=has_segments,
         window=window,
+        sinks=sinks,
     )
     qo_spec = pl.BlockSpec((1, 1, block_q, head_dim), qo_index_map)
     kv_spec = pl.BlockSpec((1, 1, block_k, head_dim), kv_index_map)

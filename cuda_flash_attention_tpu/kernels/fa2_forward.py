@@ -126,7 +126,7 @@ def _single_kv_attention(
     q_raw, k_raw, v_raw, q_seg, kv_seg, *,
     sm_scale, causal, mask_value, kv_len, block_q, block_k,
     tile_dtype, mask_kv_tail, fold_rowsum, q_idx, out_dtype,
-    pre_scaled=False, want_lse=True, window=None,
+    pre_scaled=False, want_lse=True, window=None, sinks=0,
 ):
     """Direct (non-online) softmax attention for one [block_q, D] tile whose
     whole KV fits one [block_k, D] tile.  Returns (o, lse_col) — lse is None
@@ -143,7 +143,7 @@ def _single_kv_attention(
     mask = build_block_mask(
         q_idx, 0, block_q, block_k,
         causal=causal, mask_kv_tail=mask_kv_tail, kv_len=kv_len,
-        q_seg=q_seg, kv_seg=kv_seg, window=window,
+        q_seg=q_seg, kv_seg=kv_seg, window=window, sinks=sinks,
     )
     if mask is not None:
         s += jnp.where(mask, 0.0, mask_value)
@@ -175,7 +175,7 @@ def _fa2_fwd_single_kv(
     q_ref, k_ref, v_ref, qseg_ref, kvseg_ref, o_ref, lse_ref, *,
     sm_scale, causal, mask_value, kv_len, block_q, block_k,
     tile_dtype, mask_kv_tail, has_segments, fold_rowsum, q_idx,
-    window=None,
+    window=None, sinks=0,
 ):
     o, lse = _single_kv_attention(
         q_ref[0, 0], k_ref[0, 0], v_ref[0, 0],
@@ -185,7 +185,7 @@ def _fa2_fwd_single_kv(
         kv_len=kv_len, block_q=block_q, block_k=block_k,
         tile_dtype=tile_dtype, mask_kv_tail=mask_kv_tail,
         fold_rowsum=fold_rowsum, q_idx=q_idx, out_dtype=o_ref.dtype,
-        window=window,
+        window=window, sinks=sinks,
     )
     o_ref[0, 0] = o
     lse_ref[0, 0] = lse
@@ -195,6 +195,7 @@ def _fa2_fwd_small_kernel(
     *refs,
     sm_scale, causal, mask_value, kv_len, seq_pad, group,
     tile_dtype, mask_kv_tail, has_segments, fold_rowsum, window=None,
+    sinks=0,
 ):
     """Small-shape kernel: one grid cell per (batch, head-group), with the
     group's heads PACKED along the sequence axis into a single
@@ -231,7 +232,10 @@ def _fa2_fwd_small_kernel(
     if causal:
         mask &= (row % seq_pad) >= (col % seq_pad)
     if window is not None:
-        mask &= (row % seq_pad) - (col % seq_pad) < window
+        win = (row % seq_pad) - (col % seq_pad) < window
+        if sinks > 0:
+            win |= (col % seq_pad) < sinks
+        mask &= win
     if mask_kv_tail:
         mask &= (col % seq_pad) < kv_len
     if has_segments:
@@ -276,6 +280,7 @@ def _fa2_fwd_kernel(
     has_segments: bool,
     fold_rowsum: bool,
     window=None,
+    sinks=0,
 ):
     if has_segments:
         (q_ref, k_ref, v_ref, qseg_ref, kvseg_ref,
@@ -308,7 +313,7 @@ def _fa2_fwd_kernel(
             kv_len=kv_len, block_q=block_q, block_k=block_k,
             tile_dtype=tile_dtype, mask_kv_tail=mask_kv_tail,
             has_segments=has_segments, fold_rowsum=fold_rowsum, q_idx=q_idx,
-            window=window,
+            window=window, sinks=sinks,
         )
         return
 
@@ -324,8 +329,10 @@ def _fa2_fwd_kernel(
         should_run = below_or_on_diag(q_idx, block_q, kv_idx, block_k)
     if window is not None:
         # Sliding window kills OLD kv blocks the same way causal kills
-        # FUTURE ones — both skips compose.
-        should_run &= within_window(q_idx, block_q, kv_idx, block_k, window)
+        # FUTURE ones — both skips compose (attention-sink blocks stay live).
+        should_run &= within_window(
+            q_idx, block_q, kv_idx, block_k, window, sinks
+        )
 
     @pl.when(should_run)
     def _run():
@@ -345,7 +352,7 @@ def _fa2_fwd_kernel(
             causal=causal, mask_kv_tail=mask_kv_tail, kv_len=kv_len,
             q_seg=qseg_ref[0] if has_segments else None,
             kv_seg=kvseg_ref[0] if has_segments else None,
-            window=window,
+            window=window, sinks=sinks,
         )
         if mask is not None:
             s += jnp.where(mask, 0.0, mask_value)
@@ -402,7 +409,7 @@ def _fa2_fwd_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "causal", "sm_scale", "kv_len", "tile_dtype", "window",
+        "causal", "sm_scale", "kv_len", "tile_dtype", "window", "sinks",
         "interpret", "debug",
     ),
 )
@@ -417,6 +424,7 @@ def fa2_forward_small_aligned(
     kv_len: int,
     tile_dtype=None,
     window: int | None = None,
+    sinks: int = 0,
     interpret=None,
     debug: bool = False,
 ):
@@ -447,7 +455,7 @@ def fa2_forward_small_aligned(
         sm_scale=sm_scale, causal=causal, mask_value=DEFAULT_MASK_VALUE,
         kv_len=kv_len, seq_pad=seq_pad, group=group, tile_dtype=tile_dtype,
         mask_kv_tail=(kv_len != seq_pad), has_segments=has_segments,
-        fold_rowsum=fold_rowsum, window=window,
+        fold_rowsum=fold_rowsum, window=window, sinks=sinks,
     )
     in_specs = [
         pl.BlockSpec((1, group, seq_pad, head_dim), qkv_map),
@@ -486,7 +494,7 @@ def fa2_forward_small_aligned(
     jax.jit,
     static_argnames=(
         "causal", "sm_scale", "block_q", "block_k", "kv_len",
-        "tile_dtype", "kv_groups", "window", "interpret", "debug",
+        "tile_dtype", "kv_groups", "window", "sinks", "interpret", "debug",
     ),
 )
 def fa2_forward_aligned(
@@ -504,6 +512,7 @@ def fa2_forward_aligned(
     tile_dtype=None,
     kv_groups: int = 1,
     window: int | None = None,
+    sinks: int = 0,
     interpret=None,
     debug: bool = False,
 ):
@@ -538,14 +547,14 @@ def fa2_forward_aligned(
     def _live(qi, ki):
         live = below_or_on_diag(qi, block_q, ki, block_k)
         if window is not None:
-            live &= within_window(qi, block_q, ki, block_k, window)
+            live &= within_window(qi, block_q, ki, block_k, window, sinks)
         return live
 
     def _kv_clamp(qi, ki):
         """Dead (skipped) blocks redirect their prefetch to a LIVE block —
-        the oldest in-window one — instead of wasting DMA on dead data.
-        Without a window that is block 0 (always causally live)."""
-        if window is None:
+        block 0 when it is a sink block, else the oldest in-window one —
+        instead of wasting DMA on dead data."""
+        if window is None or sinks > 0:
             return lax.select(_live(qi, ki), ki, 0)
         lo = jnp.maximum(0, (qi * block_q - (window - 1)) // block_k)
         return lax.select(_live(qi, ki), ki, lo)
@@ -573,6 +582,7 @@ def fa2_forward_aligned(
         has_segments=has_segments,
         fold_rowsum=fold_rowsum,
         window=window,
+        sinks=sinks,
     )
 
     in_specs = [

@@ -66,6 +66,10 @@ class TransformerConfig:
     # still propagates while most layers pay O(S*W) attention.
     attn_window: int | None = None
     global_every: int = 0
+    # StreamingLLM attention sinks: with a window, the first `attn_sinks`
+    # tokens stay attendable forever (their pages are never recycled) —
+    # the bounded-cache recipe for unbounded-length generation.
+    attn_sinks: int = 0
     # Long-context RoPE extension: "none"; "linear" (position
     # interpolation: positions divided by rope_scale_factor, fine-tune
     # briefly at the longer length); "ntk" (NTK-aware: the base theta is
@@ -304,6 +308,7 @@ def gqa_flash_attention(q, k, v, *, cfg: TransformerConfig, mesh=None,
     Exception: a mesh whose model axis does not divide the KV head count
     (tp > Hkv) can't shard unexpanded KV, so KV is broadcast to the query
     head count there — correctness over bandwidth for that topology."""
+    sinks = cfg.attn_sinks if window is not None else 0
     tile = cfg.attn_tile_dtype
     if mesh is not None and MODEL_AXIS in mesh.axis_names:
         tp = mesh.shape[MODEL_AXIS]
@@ -313,8 +318,15 @@ def gqa_flash_attention(q, k, v, *, cfg: TransformerConfig, mesh=None,
             v = jnp.repeat(v, groups, axis=1)
     if mesh is None:
         return flash_attention(q, k, v, causal=causal, tile_dtype=tile,
-                               window=window, interpret=interpret)
+                               window=window, sinks=sinks,
+                               interpret=interpret)
     if CTX_AXIS in mesh.axis_names and mesh.shape[CTX_AXIS] > 1:
+        if sinks:
+            raise NotImplementedError(
+                "attention sinks + context parallelism: the sink shard's "
+                "position in the ring varies per device (non-static) — use "
+                "a mesh without a ctx axis for sink layers"
+            )
         # The ring decomposes a global window into a windowed-causal
         # diagonal step plus per-shard recency bands, and SKIPS rotations
         # entirely behind the window (parallel/ring.py) — windowed layers
@@ -322,7 +334,7 @@ def gqa_flash_attention(q, k, v, *, cfg: TransformerConfig, mesh=None,
         return ring_attention(mesh, q, k, v, causal=causal, tile_dtype=tile,
                               window=window)
     return head_parallel_attention(mesh, q, k, v, causal=causal, tile_dtype=tile,
-                                   window=window)
+                                   window=window, sinks=sinks)
 
 
 def _attention_block(x, layer, positions, cfg: TransformerConfig, mesh,

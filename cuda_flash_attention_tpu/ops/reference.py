@@ -21,7 +21,8 @@ import jax.numpy as jnp
 
 
 def _attention_core(q, k, v, *, causal, sm_scale, compute_dtype,
-                    q_segment_ids=None, kv_segment_ids=None, window=None):
+                    q_segment_ids=None, kv_segment_ids=None, window=None,
+                    sinks=0):
     """Materialized softmax(QK^T * scale) V with logsumexp, in compute_dtype."""
     orig_dtype = q.dtype
     q = q.astype(compute_dtype)
@@ -43,8 +44,12 @@ def _attention_core(q, k, v, *, causal, sm_scale, compute_dtype,
         if causal:
             s = jnp.where(col <= row, s, -jnp.inf)
         if window is not None:
-            # Sliding window: query i sees keys j with i - j < window.
-            s = jnp.where(row - col < window, s, -jnp.inf)
+            # Sliding window: query i sees keys j with i - j < window —
+            # plus the first `sinks` keys (StreamingLLM attention sinks).
+            keep = row - col < window
+            if sinks > 0:
+                keep = jnp.logical_or(keep, col < sinks)
+            s = jnp.where(keep, s, -jnp.inf)
     if q_segment_ids is not None:
         seg = (
             q_segment_ids[:, None, :, None] == kv_segment_ids[:, None, None, :]
@@ -72,7 +77,10 @@ def _attention_core(q, k, v, *, causal, sm_scale, compute_dtype,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("causal", "sm_scale", "compute_dtype", "window")
+    jax.jit,
+    static_argnames=(
+        "causal", "sm_scale", "compute_dtype", "window", "sinks",
+    ),
 )
 def vanilla_attention_with_lse(
     q,  # [B, H, Sq, D]
@@ -85,6 +93,7 @@ def vanilla_attention_with_lse(
     q_segment_ids=None,   # [B, Sq] int32
     kv_segment_ids=None,  # [B, Skv] int32
     window: int | None = None,
+    sinks: int = 0,
 ):
     """Reference attention returning (O, logsumexp).
 
@@ -97,23 +106,26 @@ def vanilla_attention_with_lse(
         q, k, v, causal=causal, sm_scale=float(sm_scale),
         compute_dtype=compute_dtype,
         q_segment_ids=q_segment_ids, kv_segment_ids=kv_segment_ids,
-        window=window,
+        window=window, sinks=sinks,
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("causal", "sm_scale", "compute_dtype", "window")
+    jax.jit,
+    static_argnames=(
+        "causal", "sm_scale", "compute_dtype", "window", "sinks",
+    ),
 )
 def vanilla_attention(
     q, k, v, *, causal: bool = False, sm_scale: float | None = None,
     compute_dtype=jnp.float32, q_segment_ids=None, kv_segment_ids=None,
-    window: int | None = None,
+    window: int | None = None, sinks: int = 0,
 ):
     """Reference attention returning only O — the materialized perf floor."""
     o, _ = vanilla_attention_with_lse(
         q, k, v, causal=causal, sm_scale=sm_scale, compute_dtype=compute_dtype,
         q_segment_ids=q_segment_ids, kv_segment_ids=kv_segment_ids,
-        window=window,
+        window=window, sinks=sinks,
     )
     return o
 

@@ -46,6 +46,7 @@ def head_parallel_attention(
     sm_scale: float | None = None,
     tile_dtype=None,
     window: int | None = None,
+    sinks: int = 0,
     data_axis: str = DATA_AXIS,
     model_axis: str = MODEL_AXIS,
 ):
@@ -64,7 +65,7 @@ def head_parallel_attention(
     def _local(q, k, v):
         return flash_attention(
             q, k, v, causal=causal, sm_scale=sm_scale, tile_dtype=tile_dtype,
-            window=window, interpret=interpret,
+            window=window, sinks=sinks, interpret=interpret,
         )
 
     return _local(q, k, v)

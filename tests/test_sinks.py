@@ -1,0 +1,155 @@
+"""StreamingLLM attention sinks: with a sliding window, the first `sinks`
+keys stay attendable forever — kernels keep sink tiles live, the engine
+keeps sink PAGES resident while recycling the rolling middle, and
+generation parity holds against the full windowed+sink forward."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cuda_flash_attention_tpu.kernels.attention import flash_attention
+from cuda_flash_attention_tpu.kernels.common import BlockSizes
+from cuda_flash_attention_tpu.ops.reference import vanilla_attention
+
+_BS = BlockSizes(
+    block_q=128, block_k=128, block_q_dkv=128, block_k_dkv=128,
+    block_q_dq=128, block_k_dq=128,
+)
+
+
+def _qkv(s, b=1, h=2, d=64, seed=0):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 3)
+    return tuple(jax.random.normal(k, (b, h, s, d), jnp.float32) for k in ks)
+
+
+@pytest.mark.quick
+@pytest.mark.parametrize("sinks", [4, 128, 200])
+def test_sinks_forward_matches_oracle(sinks):
+    q, k, v = _qkv(512)
+    o = flash_attention(
+        q, k, v, causal=True, window=96, sinks=sinks, block_sizes=_BS,
+        force_kernel=True,
+    )
+    o_ref = vanilla_attention(q, k, v, causal=True, window=96, sinks=sinks)
+    err = float(jnp.max(jnp.abs(o - o_ref)))
+    assert err < 1e-5, err
+    # ... and sinks genuinely change the result vs window-only.
+    o_nosink = vanilla_attention(q, k, v, causal=True, window=96)
+    assert float(jnp.max(jnp.abs(o - o_nosink))) > 1e-3
+
+
+def test_sinks_grads_match_oracle():
+    q, k, v = _qkv(512, seed=1)
+    w = jax.random.normal(jax.random.PRNGKey(2), q.shape, jnp.float32)
+
+    def loss(q, k, v):
+        return jnp.sum(flash_attention(
+            q, k, v, causal=True, window=100, sinks=32, block_sizes=_BS,
+            force_kernel=True) * w)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(vanilla_attention(
+            q, k, v, causal=True, window=100, sinks=32) * w)
+
+    g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for got, ref, name in zip(g, g_ref, "qkv"):
+        err = float(jnp.max(jnp.abs(got - ref)))
+        assert err < 1e-4, f"d{name}: {err}"
+
+
+def test_sinks_require_window():
+    q, k, v = _qkv(128)
+    with pytest.raises(ValueError, match="window"):
+        flash_attention(q, k, v, causal=True, sinks=4)
+
+
+def test_windowed_decode_kernel_with_sinks():
+    from cuda_flash_attention_tpu.decode import (
+        PageAllocator, init_kv_pages, paged_decode_attention, write_prompt_kv,
+    )
+
+    PAGE = 128
+    L = 300
+    pages = init_kv_pages(2, 8, PAGE, 64, jnp.float32)
+    alloc = PageAllocator(8)
+    ids = alloc.alloc(3)
+    pt = np.zeros((1, 4), np.int32)
+    pt[0, :3] = ids
+    rng = np.random.default_rng(0)
+    k = jnp.asarray(rng.standard_normal((3 * PAGE, 2, 64)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((3 * PAGE, 2, 64)), jnp.float32)
+    pages = write_prompt_kv(pages, k, v, jnp.asarray(ids, jnp.int32))
+    q = jnp.asarray(rng.standard_normal((1, 4, 64)), jnp.float32)
+
+    o = paged_decode_attention(
+        q, pages, jnp.asarray(pt), jnp.asarray([L], jnp.int32),
+        compute_dtype=jnp.float32, window=64, sinks=16,
+    )
+    # Dense oracle: last-token query over sinks [0,16) + window [L-64, L).
+    keep = np.zeros(L, bool)
+    keep[:16] = True
+    keep[L - 64:] = True
+    kk = jnp.repeat(k[:L][keep].transpose(1, 0, 2), 2, axis=0)
+    vv = jnp.repeat(v[:L][keep].transpose(1, 0, 2), 2, axis=0)
+    o_ref = vanilla_attention(
+        q[0][None, :, None, :], kk[None], vv[None], causal=False
+    )[0, :, 0]
+    err = float(jnp.max(jnp.abs(o[0] - o_ref)))
+    assert err < 1e-5, err
+
+
+@pytest.mark.slow
+def test_engine_streaming_with_sinks():
+    """Rolling cache + resident sink pages: long generation in a pool too
+    small for the unrecycled length, sink page never freed, and greedy
+    parity against repeated full windowed+sink forwards."""
+    from cuda_flash_attention_tpu.decode import DecodeEngine
+    from cuda_flash_attention_tpu.models import (
+        TransformerConfig, forward, init_params,
+    )
+
+    cfg = dataclasses.replace(
+        TransformerConfig.tiny(), dtype=jnp.float32, attn_tile_dtype=None,
+        attn_window=128, attn_sinks=16,
+    )
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    eng = DecodeEngine(params, cfg, max_seqs=1, max_seq_len=640,
+                       page_size=128, cache_dtype=jnp.float32, num_pages=5)
+    prompt = [int(t) for t in
+              np.random.default_rng(0).integers(0, 100, size=256)]
+    req = eng.run([prompt], max_new_tokens=40)[0]
+    assert req.done and len(req.generated) == 40
+
+    # Greedy parity vs full forwards under the same window+sink config.
+    toks = list(prompt)
+    full = []
+    for _ in range(40):
+        logits = forward(params, jnp.asarray([toks], jnp.int32), cfg)
+        nxt = int(jnp.argmax(logits[0, -1]))
+        full.append(nxt)
+        toks.append(nxt)
+    assert req.generated == full, (req.generated[:8], full[:8])
+
+
+def test_engine_keeps_sink_page_resident():
+    from cuda_flash_attention_tpu.decode import DecodeEngine
+    from cuda_flash_attention_tpu.models import TransformerConfig, init_params
+
+    cfg = dataclasses.replace(
+        TransformerConfig.tiny(), attn_window=128, attn_sinks=16,
+    )
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    eng = DecodeEngine(params, cfg, max_seqs=1, max_seq_len=768,
+                       page_size=128, cache_dtype=jnp.bfloat16)
+    prompt = [int(t) for t in
+              np.random.default_rng(1).integers(0, 100, size=384)]
+    eng.submit(prompt, max_new_tokens=64)
+    for _ in range(8):
+        eng.step()
+    pages = eng._slot_pages[0]
+    assert pages[0] is not None          # sink page resident
+    assert any(p is None for p in pages[1:3])  # rolling middle recycled
