@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from cuda_flash_attention_tpu.parallel.mesh import EXPERT_AXIS
+from cuda_flash_attention_tpu.parallel.mesh import EXPERT_AXIS, MODEL_AXIS
 
 
 def _round_up(x: int, m: int) -> int:
@@ -63,12 +63,25 @@ def init_moe_layer(key, cfg) -> dict:
 def moe_layer_shardings(mesh, cfg) -> dict:
     """Expert weights sharded over the "expert" mesh axis (EP); router and
     norm replicated.  Without an expert axis the experts replicate — the
-    layer still runs (pure DP/TP meshes)."""
+    layer still runs (pure DP/TP meshes).
+
+    EP x TP: when the mesh ALSO carries a "model" axis, each expert's FFN
+    is Megatron-split over it — gate/up shard d_ff column-wise, down shards
+    d_ff row-wise, so the only TP collective XLA inserts is one psum over
+    "model" at the down-projection contraction (same recipe as the dense
+    TP path in parallel/sharded.py)."""
     exp = (
         EXPERT_AXIS
         if mesh is not None
         and EXPERT_AXIS in mesh.axis_names
         and cfg.n_experts % mesh.shape[EXPERT_AXIS] == 0
+        else None
+    )
+    tp = (
+        MODEL_AXIS
+        if mesh is not None
+        and MODEL_AXIS in mesh.axis_names
+        and cfg.d_ff % mesh.shape[MODEL_AXIS] == 0
         else None
     )
 
@@ -78,9 +91,9 @@ def moe_layer_shardings(mesh, cfg) -> dict:
     return {
         "mlp_norm": ns(P(None)),
         "router": ns(P(None, None)),
-        "moe_gate": ns(P(exp, None, None)),
-        "moe_up": ns(P(exp, None, None)),
-        "moe_down": ns(P(exp, None, None)),
+        "moe_gate": ns(P(exp, None, tp)),
+        "moe_up": ns(P(exp, None, tp)),
+        "moe_down": ns(P(exp, tp, None)),
     }
 
 

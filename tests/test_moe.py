@@ -125,6 +125,32 @@ def test_moe_ep_mesh_train_step():
     assert "expert" in str(sh.spec)
 
 
+@needs8
+@pytest.mark.slow
+def test_moe_ep_tp_mesh_parity():
+    """EP x TP: expert FFNs Megatron-split over 'model' ON TOP OF the
+    expert axis — the sharded layer must reproduce the single-device
+    output (one psum over 'model' at the down-projection)."""
+    from cuda_flash_attention_tpu.models.moe import moe_layer_shardings
+    from cuda_flash_attention_tpu.parallel.mesh import cpu_test_mesh
+
+    cfg = _fp32_cfg(capacity_factor=8.0)
+    layer = init_moe_layer(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, cfg.d_model),
+                          jnp.float32)
+    y_ref, aux_ref = moe_ffn(x, layer, cfg)
+
+    mesh = cpu_test_mesh({"data": 2, "expert": 2, "model": 2})
+    sh = moe_layer_shardings(mesh, cfg)
+    assert "model" in str(sh["moe_gate"].spec)  # TP really applied
+    layer_s = jax.tree.map(jax.device_put, layer, sh)
+    y, aux = jax.jit(lambda xx, ll: moe_ffn(xx, ll, cfg, mesh=mesh))(
+        x, layer_s
+    )
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=2e-5)
+    assert abs(float(aux) - float(aux_ref)) < 1e-6
+
+
 def test_moe_decode_engine_generates():
     """MoE serving path: the decode engine runs an MoE model end to end."""
     from cuda_flash_attention_tpu.decode.engine import DecodeEngine
