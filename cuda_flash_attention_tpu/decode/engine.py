@@ -61,6 +61,25 @@ class Request:
     generated: list[int] = dataclasses.field(default_factory=list)
     slot: int | None = None
     done: bool = False
+    # Stop sequences: generation ends when the generated tail matches any
+    # of these token sequences (the matched stop tokens stay in
+    # `generated`, mirroring eos_id's behavior).
+    stop: tuple[tuple[int, ...], ...] | None = None
+    # Streaming: called with each token id the moment the host learns it
+    # (per decode step; per accepted chunk under speculation).
+    on_token: object | None = None
+    # Per-token log-probabilities of the sampled tokens (filled only when
+    # the engine was constructed with logprobs=True).
+    logprobs: list[float] = dataclasses.field(default_factory=list)
+
+
+def _stop_hit(tokens: list[int], stop) -> bool:
+    """True when `tokens` ends with any of the stop sequences."""
+    if not stop:
+        return False
+    return any(
+        len(tokens) >= len(s) and tokens[-len(s):] == list(s) for s in stop
+    )
 
 
 class DecodeEngine:
@@ -85,6 +104,8 @@ class DecodeEngine:
         draft_cfg: TransformerConfig | None = None,
         spec_tokens: int = 0,
         prefix_cache: bool = False,
+        logprobs: bool = False,
+        prefill_chunk: int | None = None,
         interpret=None,
     ):
         if page_size % 128 != 0:
@@ -131,6 +152,13 @@ class DecodeEngine:
         self.temperature = temperature
         self.top_k = top_k
         self.top_p = top_p
+        self.want_logprobs = bool(logprobs)
+        if self.want_logprobs and spec_tokens:
+            raise NotImplementedError(
+                "logprobs under speculative decoding is not wired: the "
+                "emitted tokens come from the acceptance rule, not a "
+                "single sampling distribution"
+            )
         self.interpret = interpret
         # Data-parallel serving (north-star "continuous batching across
         # hosts"): slots AND the physical page pool partition over the
@@ -223,6 +251,39 @@ class DecodeEngine:
                     shard_kv_pages(mesh, c, data_axis=data_axis)
                     for c in self.caches
                 ]
+        # Chunked prefill (Sarathi/vLLM-style): prompts longer than
+        # `prefill_chunk` are NOT pushed through one monolithic forward at
+        # admission — they advance one bounded chunk per engine step
+        # (verify_step with paged_write, the same chunked-forward machinery
+        # as prefix-cache suffixes), so ongoing decodes keep emitting a
+        # token every step instead of stalling behind a long prefill, and
+        # prefill compile shapes collapse to ONE (max_seqs, chunk) bucket.
+        self.prefill_chunk = prefill_chunk
+        if prefill_chunk is not None:
+            quantum = max(128, page_size)
+            if prefill_chunk % quantum:
+                raise ValueError(
+                    f"prefill_chunk must be a multiple of "
+                    f"max(128, page_size) = {quantum} (page-aligned "
+                    f"verify_step writes); got {prefill_chunk}"
+                )
+            if spec_tokens:
+                raise NotImplementedError(
+                    "chunked prefill under speculation: the draft cache "
+                    "chunk mirroring is not wired"
+                )
+            if mesh is not None:
+                raise NotImplementedError(
+                    "chunked prefill is single-host (verify_step)"
+                )
+            self._chunk_fn = jax.jit(
+                functools.partial(
+                    verify_step, cfg=cfg, paged_write=True,
+                    interpret=interpret,
+                ),
+                donate_argnums=(3,),
+            )
+
         # Host-side slot state (numpy; shipped to device each step — tiny).
         self.page_table = np.zeros(
             (max_seqs, self.pages_per_seq), dtype=np.int32
@@ -230,6 +291,11 @@ class DecodeEngine:
         self.lengths = np.zeros((max_seqs,), dtype=np.int32)
         self.active = np.zeros((max_seqs,), dtype=bool)
         self.last_token = np.zeros((max_seqs,), dtype=np.int32)
+        # Chunked-prefill slot state: prefilling slots hold a request and
+        # pages but stay OUT of self.active until their prompt is fully
+        # written (decode never sees a half-prefilled sequence).
+        self.prefilling = np.zeros((max_seqs,), dtype=bool)
+        self._prefill_pos = np.zeros((max_seqs,), dtype=np.int64)
         self._slot_req: list[Request | None] = [None] * max_seqs
         self._slot_pages: list[list[int]] = [[] for _ in range(max_seqs)]
         # Worst-case page need per occupied slot (admission reservation):
@@ -246,7 +312,7 @@ class DecodeEngine:
         # draft tokens (acceptance_rate drives the draft/k tuning loop).
         self.stats = {
             "steps": 0, "tokens": 0, "spec_rounds": 0,
-            "spec_proposed": 0, "spec_accepted": 0,
+            "spec_proposed": 0, "spec_accepted": 0, "prefill_chunks": 0,
         }
 
 
@@ -254,6 +320,7 @@ class DecodeEngine:
             functools.partial(
                 self._device_step, cfg=cfg, interpret=interpret, mesh=mesh,
                 temperature=temperature, top_k=top_k, top_p=top_p,
+                return_logprob=self.want_logprobs,
             ),
             static_argnames=(),
             donate_argnums=(1,),  # caches are updated in place
@@ -285,12 +352,6 @@ class DecodeEngine:
                 raise NotImplementedError(
                     "speculative decoding is single-host (the draft loop "
                     "is host-driven)"
-                )
-            if temperature > 0.0 and (top_k > 0 or top_p < 1.0):
-                raise NotImplementedError(
-                    "speculative sampling supports pure temperature "
-                    "sampling (top_k=0, top_p=1.0) — the acceptance rule "
-                    "needs the unmodified draft/target distributions"
                 )
             if draft_cfg.vocab_size != cfg.vocab_size:
                 raise ValueError("draft and target must share the vocab")
@@ -336,14 +397,15 @@ class DecodeEngine:
                     functools.partial(
                         self._device_propose_sampled, cfg=draft_cfg,
                         k=self.spec_tokens, temperature=temperature,
-                        interpret=interpret,
+                        top_k=top_k, top_p=top_p, interpret=interpret,
                     ),
                     donate_argnums=(1,),
                 )
                 self._verify_fn = jax.jit(
                     functools.partial(
                         self._device_verify_sampled, cfg=cfg,
-                        temperature=temperature, interpret=interpret,
+                        temperature=temperature, top_k=top_k, top_p=top_p,
+                        interpret=interpret,
                     ),
                     donate_argnums=(1,),
                 )
@@ -415,14 +477,27 @@ class DecodeEngine:
     @staticmethod
     def _device_step(params, caches, tokens, positions, page_table, active,
                      key, *, cfg, interpret, mesh=None,
-                     temperature=0.0, top_k=0, top_p=1.0):
+                     temperature=0.0, top_k=0, top_p=1.0,
+                     return_logprob=False):
         """One fused decode step: embed + append-KV + paged attention +
         SAMPLING, all in a single device program — steady-state decode costs
-        exactly one host sync per token (the sampled-token readback)."""
+        exactly one host sync per token (the sampled-token readback).
+        With return_logprob, the chosen tokens' log-probabilities ride the
+        same readback (still one sync)."""
         logits, new_caches = decode_step(
             params, tokens, positions, caches, page_table, active, cfg,
             mesh=mesh, interpret=interpret,
         )
+        if return_logprob:
+            from cuda_flash_attention_tpu.decode.sampling import (
+                sample_with_logprob,
+            )
+
+            next_tokens, lp = sample_with_logprob(
+                logits, key, temperature=temperature, top_k=top_k,
+                top_p=top_p,
+            )
+            return next_tokens, lp, new_caches
         next_tokens = sample_tokens(
             logits, key, temperature=temperature, top_k=top_k, top_p=top_p,
         )
@@ -459,10 +534,15 @@ class DecodeEngine:
     @staticmethod
     def _device_propose_sampled(params, caches, tokens, positions,
                                 page_table, active, key, *, cfg, k,
-                                temperature, interpret):
-        """Sampled draft: k+1 temperature-categorical steps, recording the
+                                temperature, top_k, top_p, interpret):
+        """Sampled draft: k+1 warped-categorical steps, recording the
         k proposals AND the full distributions they were drawn from (the
-        acceptance rule needs pd)."""
+        acceptance rule needs pd).  Draft and target apply the SAME warp
+        (temperature/top-k/top-p support filtering, sampling.warp_logits),
+        which keeps the Leviathan acceptance exact for the warped target
+        distribution."""
+        from cuda_flash_attention_tpu.decode.sampling import warp_logits
+
         tok = tokens
         toks, probs = [], []
         for i in range(k + 1):
@@ -470,14 +550,16 @@ class DecodeEngine:
                 params, tok, positions + i, caches, page_table, active,
                 cfg, interpret=interpret,
             )
-            scaled = logits / temperature
+            warped = warp_logits(
+                logits, temperature=temperature, top_k=top_k, top_p=top_p
+            )
             key, sub = jax.random.split(key)
-            tok = jax.random.categorical(sub, scaled, axis=-1).astype(
+            tok = jax.random.categorical(sub, warped, axis=-1).astype(
                 jnp.int32
             )
             if i < k:
                 toks.append(tok)
-                probs.append(jax.nn.softmax(scaled, axis=-1))
+                probs.append(jax.nn.softmax(warped, axis=-1))
         return (
             jnp.stack(toks, axis=1),      # [n, k]
             jnp.stack(probs, axis=1),     # [n, k, V]
@@ -488,20 +570,29 @@ class DecodeEngine:
     def _device_verify_sampled(params, caches, chunk_tokens,
                                first_positions, page_table, active,
                                draft_probs, key, *, cfg, temperature,
-                               interpret):
+                               top_k, top_p, interpret):
         """Target-side speculative SAMPLING: one chunked forward, then the
         Leviathan/Chen acceptance entirely on device — returns (m accepted
-        drafts, final correction/bonus token) per slot.  The emitted stream
-        is distributed exactly as target-only sampling."""
+        drafts, final correction/bonus token) per slot.  The target warps
+        its logits exactly as the draft did, so the emitted stream is
+        distributed exactly as target-only sampling under the same
+        temperature/top-k/top-p settings."""
         from cuda_flash_attention_tpu.decode.sampling import (
             speculative_accept,
+            warp_logits,
         )
 
         logits, caches = verify_step(
             params, chunk_tokens, first_positions, caches, page_table,
             active, cfg, interpret=interpret,
         )
-        pt = jax.nn.softmax(logits / temperature, axis=-1)
+        pt = jax.nn.softmax(
+            warp_logits(
+                logits.reshape(-1, logits.shape[-1]),
+                temperature=temperature, top_k=top_k, top_p=top_p,
+            ).reshape(logits.shape),
+            axis=-1,
+        )
         m, final = speculative_accept(
             pt, chunk_tokens[:, 1:], draft_probs, key
         )
@@ -528,27 +619,44 @@ class DecodeEngine:
                 f"num_pages or shorten prompt/max_new_tokens"
             )
 
+    @staticmethod
+    def _norm_stop(stop):
+        """Normalize stop sequences to a tuple of non-empty int tuples."""
+        if stop is None:
+            return None
+        out = tuple(tuple(int(t) for t in s) for s in stop)
+        if not all(out):
+            raise ValueError("stop sequences must be non-empty")
+        return out
+
     def submit(self, prompt: list[int], max_new_tokens: int = 32,
-               eos_id: int | None = None) -> Request:
-        """Queue a request; admitted as soon as a slot frees up."""
+               eos_id: int | None = None, stop=None,
+               on_token=None) -> Request:
+        """Queue a request; admitted as soon as a slot frees up.  `stop` is
+        an optional list of token-id sequences ending generation; `on_token`
+        an optional per-token streaming callback."""
         prompt = list(prompt)
         self._validate_request(prompt, max_new_tokens)
-        req = Request(self._next_uid, prompt, max_new_tokens, eos_id)
+        req = Request(self._next_uid, prompt, max_new_tokens, eos_id,
+                      stop=self._norm_stop(stop), on_token=on_token)
         self._next_uid += 1
         self._pending.append(req)
         self._admit()
         return req
 
     def submit_many(self, prompts, max_new_tokens: int = 32,
-                    eos_id: int | None = None) -> list[Request]:
+                    eos_id: int | None = None, stop=None,
+                    on_token=None) -> list[Request]:
         """Enqueue several requests BEFORE admitting, so same-length-bucket
         prompts prefill as one batched forward (submit() admits eagerly,
         which would prefill them one by one)."""
+        stop = self._norm_stop(stop)
         reqs = []
         for p in prompts:
             p = list(p)
             self._validate_request(p, max_new_tokens)
-            reqs.append(Request(self._next_uid, p, max_new_tokens, eos_id))
+            reqs.append(Request(self._next_uid, p, max_new_tokens, eos_id,
+                                stop=stop, on_token=on_token))
             self._next_uid += 1
             self._pending.append(reqs[-1])
         self._admit()
@@ -564,7 +672,9 @@ class DecodeEngine:
         is bounded by max(prefill footprint, window-live pages) instead of
         the whole prompt+generation length."""
         # Speculative chunks overshoot the final length by up to
-        # spec_tokens appended-but-rejected positions.
+        # spec_tokens appended-but-rejected positions.  (Chunked prefill
+        # needs no extra margin: its tail chunk is page-rounded, and pages
+        # are allocated per prompt page exactly as the one-shot path.)
         total = _cdiv(
             prompt_len + max_new_tokens + self.spec_tokens, self.page_size
         )
@@ -676,6 +786,19 @@ class DecodeEngine:
             take = missed
             if not take:
                 return
+        if self.prefill_chunk is not None:
+            # Long prompts become PREFILLING slots: pages allocated now,
+            # prompt pushed one chunk per step (see _chunk_prefill_step);
+            # short prompts keep the one-shot batched path below.
+            rest = []
+            for r, slot in take:
+                if len(r.prompt) > self.prefill_chunk:
+                    self._start_chunked_prefill(r, slot)
+                else:
+                    rest.append((r, slot))
+            take = rest
+            if not take:
+                return
         # Bucket quantum covers both the FA2 block grid (128) and the page
         # size, so the prefill KV slice is always a page multiple within the
         # padded prompt.
@@ -691,11 +814,32 @@ class DecodeEngine:
             )
 
     def _sample(self, logits):
+        """Sample one token per row; returns (tokens, logprobs-or-None)."""
         self._key, sub = jax.random.split(self._key)
+        if self.want_logprobs:
+            from cuda_flash_attention_tpu.decode.sampling import (
+                sample_with_logprob,
+            )
+
+            tok, lp = sample_with_logprob(
+                logits, sub, temperature=self.temperature, top_k=self.top_k,
+                top_p=self.top_p,
+            )
+            return tok, np.asarray(lp)
         return sample_tokens(
             logits, sub, temperature=self.temperature, top_k=self.top_k,
             top_p=self.top_p,
-        )
+        ), None
+
+    def _emit(self, req: Request, tok: int, logprob=None):
+        """Record one generated token: request transcript, optional
+        logprob, telemetry, and the streaming callback."""
+        req.generated.append(tok)
+        if logprob is not None:
+            req.logprobs.append(float(logprob))
+        self.stats["tokens"] += 1
+        if req.on_token is not None:
+            req.on_token(tok)
 
     def _prefill_batch(self, reqs: list[Request], slots: list[int],
                        pad_len: int):
@@ -725,7 +869,8 @@ class DecodeEngine:
         last_logits = jnp.take_along_axis(
             logits, last_idx[:, None, None], axis=1
         )[:, 0, :]
-        firsts = np.asarray(self._sample(last_logits))
+        firsts_dev, first_lps = self._sample(last_logits)
+        firsts = np.asarray(firsts_dev)
 
         for i, (req, slot) in enumerate(zip(reqs, slots)):
             prompt_len = len(req.prompt)
@@ -770,8 +915,10 @@ class DecodeEngine:
                             dv[i, :kv_len], ids_dev,
                         )
             first = int(firsts[i])
-            req.generated.append(first)
-            self.stats["tokens"] += 1
+            self._emit(
+                req, first,
+                first_lps[i] if first_lps is not None else None,
+            )
             req.slot = slot
             self._slot_req[slot] = req
             self._slot_worst[slot] = self._worst_pages(req)
@@ -855,11 +1002,11 @@ class DecodeEngine:
                 self.draft_params, jnp.asarray(tokens), first_pos,
                 self.draft_caches, row_table, act,
             )
-        first = int(np.asarray(
-            self._sample(logits[:, len(suffix) - 1, :])
-        )[0])
-        req.generated.append(first)
-        self.stats["tokens"] += 1
+        first_dev, first_lp = self._sample(logits[:, len(suffix) - 1, :])
+        first = int(np.asarray(first_dev)[0])
+        self._emit(
+            req, first, first_lp[0] if first_lp is not None else None
+        )
         req.slot = slot
         self._slot_req[slot] = req
         self._slot_worst[slot] = self._worst_pages(req)
@@ -869,6 +1016,89 @@ class DecodeEngine:
         self._recycle_stale(slot)
         self._register_prefix(req, slot)
         self._maybe_finish(req, first)
+
+    def _start_chunked_prefill(self, req: Request, slot: int):
+        """Admit a long prompt WITHOUT running its forward: allocate its
+        prompt pages, mark the slot PREFILLING, and let step() advance it
+        one chunk at a time (decode slots keep stepping in parallel)."""
+        n_pages = _cdiv(len(req.prompt), self.page_size)
+        shard = self._slot_shard(slot)
+        page_ids = self.allocators[shard].alloc(n_pages)
+        self._slot_pages[slot] = page_ids
+        self.page_table[slot, :] = 0
+        self.page_table[slot, :n_pages] = page_ids
+        req.slot = slot
+        self._slot_req[slot] = req
+        self._slot_worst[slot] = self._worst_pages(req)
+        self.lengths[slot] = 0
+        self.active[slot] = False
+        self.prefilling[slot] = True
+        self._prefill_pos[slot] = 0
+
+    def _chunk_prefill_step(self):
+        """Advance every prefilling slot by one chunk (verify_step with
+        paged_write — one batched call per distinct chunk size; full chunks
+        share ONE compile shape, tails are page-rounded).  A slot whose
+        prompt completes samples its first token and joins the decode
+        batch on this same step."""
+        slots = [s for s in range(self.max_seqs) if self.prefilling[s]]
+        by_size: dict[int, list[int]] = {}
+        for s in slots:
+            rem = len(self._slot_req[s].prompt) - int(self._prefill_pos[s])
+            size = (
+                self.prefill_chunk if rem >= self.prefill_chunk
+                else _cdiv(rem, self.page_size) * self.page_size
+            )
+            by_size.setdefault(size, []).append(s)
+        for size, group in by_size.items():
+            tokens = np.zeros((self.max_seqs, size), np.int32)
+            first_pos = np.zeros((self.max_seqs,), np.int32)
+            mask = np.zeros((self.max_seqs,), bool)
+            for s in group:
+                req = self._slot_req[s]
+                start = int(self._prefill_pos[s])
+                part = req.prompt[start:start + size]
+                tokens[s, :len(part)] = part  # tail pad: positions >=
+                # prompt length, never attended (length gate), overwritten
+                # by decode appends.
+                first_pos[s] = start
+                mask[s] = True
+            logits, self.caches = self._chunk_fn(
+                self.params, jnp.asarray(tokens), jnp.asarray(first_pos),
+                self.caches, jnp.asarray(self.page_table),
+                jnp.asarray(mask),
+            )
+            self.stats["prefill_chunks"] += 1
+            finish_rows, finish_slots = [], []
+            for s in group:
+                req = self._slot_req[s]
+                start = int(self._prefill_pos[s])
+                self._prefill_pos[s] = start + size
+                if start + size >= len(req.prompt):
+                    finish_slots.append(s)
+                    finish_rows.append(logits[s, len(req.prompt) - 1 - start])
+                else:
+                    # Rolling-cache bound holds DURING prefill too: pages
+                    # entirely behind the window are freed between chunks.
+                    self.lengths[s] = start + size
+                    self._recycle_stale(s)
+            if finish_slots:
+                toks_dev, lps = self._sample(jnp.stack(finish_rows))
+                toks = np.asarray(toks_dev)
+                for i, s in enumerate(finish_slots):
+                    req = self._slot_req[s]
+                    self.prefilling[s] = False
+                    self.lengths[s] = len(req.prompt)
+                    self.active[s] = True
+                    first = int(toks[i])
+                    self.last_token[s] = first
+                    self._emit(
+                        req, first, lps[i] if lps is not None else None
+                    )
+                    self._recycle_stale(s)
+                    if self.prefix_cache:
+                        self._register_prefix(req, s)
+                    self._maybe_finish(req, first)
 
     def _ensure_page(self, slot: int, extra: int = 0):
         """Grow the slot's page list so positions lengths[slot] ..
@@ -884,7 +1114,8 @@ class DecodeEngine:
         if req.done:
             return
         hit_eos = req.eos_id is not None and token == req.eos_id
-        if hit_eos or len(req.generated) >= req.max_new_tokens:
+        if (hit_eos or len(req.generated) >= req.max_new_tokens
+                or _stop_hit(req.generated, req.stop)):
             req.done = True
 
     def _retire(self, slot: int) -> Request:
@@ -919,6 +1150,8 @@ class DecodeEngine:
                 for s in range(self.max_seqs)
             ):
                 break
+        if self.prefill_chunk is not None and self.prefilling.any():
+            self._chunk_prefill_step()
         if not self.active.any():
             return finished
         if self.spec_tokens:
@@ -931,7 +1164,7 @@ class DecodeEngine:
                 self._ensure_page(slot)
 
         self._key, sub = jax.random.split(self._key)
-        next_tokens_dev, self.caches = self._decode_fn(
+        out = self._decode_fn(
             self.params,
             self.caches,
             jnp.asarray(self.last_token),
@@ -940,6 +1173,12 @@ class DecodeEngine:
             jnp.asarray(self.active),
             sub,
         )
+        if self.want_logprobs:
+            next_tokens_dev, lps_dev, self.caches = out
+            lps = np.asarray(lps_dev)
+        else:
+            next_tokens_dev, self.caches = out
+            lps = None
         next_tokens = np.asarray(next_tokens_dev)
         self.stats["steps"] += 1
 
@@ -949,9 +1188,8 @@ class DecodeEngine:
             req = self._slot_req[slot]
             tok = int(next_tokens[slot])
             self.lengths[slot] += 1  # KV of last_token is now in the cache
-            req.generated.append(tok)
+            self._emit(req, tok, lps[slot] if lps is not None else None)
             self.last_token[slot] = tok
-            self.stats["tokens"] += 1
             self._maybe_finish(req, tok)
         return finished
 
@@ -988,8 +1226,6 @@ class DecodeEngine:
             )
             m_all = np.asarray(m_dev)
             final_all = np.asarray(final_dev)
-            self.stats["steps"] += 1
-            self.stats["spec_rounds"] += 1
         else:
             drafts_dev, self.draft_caches = self._propose_fn(
                 self.draft_params, self.draft_caches,
@@ -1026,12 +1262,15 @@ class DecodeEngine:
             for tok in accepted:
                 take.append(tok)
                 hit_eos = req.eos_id is not None and tok == req.eos_id
-                if hit_eos or len(req.generated) + len(take) >= req.max_new_tokens:
+                if (hit_eos
+                        or len(req.generated) + len(take)
+                        >= req.max_new_tokens
+                        or _stop_hit(req.generated + take, req.stop)):
                     break
-            req.generated.extend(take)
+            for tok in take:
+                self._emit(req, tok)
             self.stats["spec_proposed"] += k
             self.stats["spec_accepted"] += m
-            self.stats["tokens"] += len(take)
             # KV is now committed for the previous last_token plus the
             # accepted draft inputs; the new last_token's KV lands next round.
             self.lengths[slot] += len(take)
@@ -1039,10 +1278,11 @@ class DecodeEngine:
             self._maybe_finish(req, take[-1])
 
     def run(self, prompts, max_new_tokens: int = 32, eos_id: int | None = None,
-            max_steps: int = 10000):
+            max_steps: int = 10000, stop=None, on_token=None):
         """Convenience: submit all prompts (batch-admitted), step until done,
         return requests in submission order."""
-        reqs = self.submit_many(prompts, max_new_tokens, eos_id)
+        reqs = self.submit_many(prompts, max_new_tokens, eos_id, stop=stop,
+                                on_token=on_token)
         steps = 0
         while (any(not r.done for r in reqs) or self._pending) and steps < max_steps:
             self.step()

@@ -12,6 +12,46 @@ import jax
 import jax.numpy as jnp
 
 
+def warp_logits(
+    logits,       # [num_seqs, vocab]
+    *,
+    temperature: float,
+    top_k: int = 0,
+    top_p: float = 1.0,
+):
+    """Temperature + nucleus + top-k warping as SUPPORT FILTERING: returns
+    logits/temperature with every non-kept entry at -inf, so
+    softmax(warped) is the exact sampling distribution.  One shared
+    definition serves both the direct decode step and BOTH sides of
+    speculative sampling — the Leviathan acceptance rule is exact for any
+    (pd, pt) pair as long as drafts are sampled from pd and both are the
+    same warp of their model's logits.
+
+    top_k keeps every token tied with the k-th largest logit (support
+    filtering), matching the nucleus rule's tie behavior."""
+    if not 0.0 < top_p <= 1.0:
+        raise ValueError(
+            f"top_p must be in (0, 1]; got {top_p} (use temperature=0 for "
+            "greedy decoding)"
+        )
+    logits = logits / temperature
+    if top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]  # descending
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # Keep tokens while the mass BEFORE them is < p (always >= 1 token);
+        # cutoff = smallest kept logit per row.
+        keep_mass = cum - probs < top_p
+        cutoff = jnp.min(
+            jnp.where(keep_mass, sorted_logits, jnp.inf), axis=-1
+        )
+        logits = jnp.where(logits >= cutoff[:, None], logits, -jnp.inf)
+    if top_k > 0:
+        kth = jax.lax.top_k(logits, top_k)[0][:, -1]  # [n]
+        logits = jnp.where(logits >= kth[:, None], logits, -jnp.inf)
+    return logits
+
+
 @functools.partial(
     jax.jit, static_argnames=("temperature", "top_k", "top_p")
 )
@@ -26,32 +66,45 @@ def sample_tokens(
     """Sample one token per row. temperature<=0 -> greedy; top_k>0 restricts
     to the k most likely tokens; top_p<1 restricts to the smallest nucleus
     whose probability mass reaches p (static-shaped: sort + cumsum)."""
-    if not 0.0 < top_p <= 1.0:
-        raise ValueError(
-            f"top_p must be in (0, 1]; got {top_p} (use temperature=0 for "
-            "greedy decoding)"
-        )
     if temperature <= 0.0:
+        # Still validate so a bad top_p fails loudly in greedy mode too.
+        if not 0.0 < top_p <= 1.0:
+            raise ValueError(
+                f"top_p must be in (0, 1]; got {top_p} (use temperature=0 "
+                "for greedy decoding)"
+            )
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    logits = logits / temperature
-    if top_p < 1.0:
-        sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]  # descending
-        probs = jax.nn.softmax(sorted_logits, axis=-1)
-        cum = jnp.cumsum(probs, axis=-1)
-        # Keep tokens while the mass BEFORE them is < p (always >= 1 token);
-        # cutoff = smallest kept logit per row.
-        keep_mass = cum - probs < top_p
-        cutoff = jnp.min(
-            jnp.where(keep_mass, sorted_logits, jnp.inf), axis=-1
+    warped = warp_logits(
+        logits, temperature=temperature, top_k=top_k, top_p=top_p
+    )
+    return jax.random.categorical(key, warped, axis=-1).astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("temperature", "top_k", "top_p")
+)
+def sample_with_logprob(
+    logits,       # [num_seqs, vocab]
+    key,
+    *,
+    temperature: float = 0.0,
+    top_k: int = 0,
+    top_p: float = 1.0,
+):
+    """sample_tokens PLUS the log-probability of each chosen token under
+    the distribution it was drawn from: log_softmax(logits) at the argmax
+    for greedy, log_softmax(warped) for sampled — always finite, since the
+    chosen token is inside the warped support."""
+    if temperature <= 0.0:
+        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        lp = jax.nn.log_softmax(logits, axis=-1)
+    else:
+        warped = warp_logits(
+            logits, temperature=temperature, top_k=top_k, top_p=top_p
         )
-        logits = jnp.where(logits >= cutoff[:, None], logits, -jnp.inf)
-    if top_k > 0:
-        vals, idx = jax.lax.top_k(logits, top_k)  # [n, k]
-        choice = jax.random.categorical(key, vals, axis=-1)  # [n]
-        return jnp.take_along_axis(idx, choice[:, None], axis=-1)[:, 0].astype(
-            jnp.int32
-        )
-    return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+        tok = jax.random.categorical(key, warped, axis=-1).astype(jnp.int32)
+        lp = jax.nn.log_softmax(warped, axis=-1)
+    return tok, jnp.take_along_axis(lp, tok[:, None], axis=-1)[:, 0]
 
 
 def speculative_accept(

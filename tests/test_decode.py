@@ -299,6 +299,80 @@ def test_engine_with_int8_weights():
     assert all(0 <= t < cfg.vocab_size for t in reqs[0].generated)
 
 
+def test_stop_sequences_end_generation():
+    """Generation ends as soon as the generated tail matches a stop
+    sequence (matched tokens stay in the transcript, like eos_id)."""
+    cfg, params, eng = _engine()
+    base = eng.run([[5, 7, 11]], max_new_tokens=8)[0].generated
+    assert len(base) == 8  # greedy reference stream
+
+    cfg2, params2, eng2 = _engine()
+    stop = [base[2:4]]  # tokens 3..4 of the deterministic greedy stream
+    r = eng2.run([[5, 7, 11]], max_new_tokens=8, stop=stop)[0]
+    assert r.done and r.generated == base[:4]
+
+    # Single-token stop behaves like eos.
+    cfg3, params3, eng3 = _engine()
+    r3 = eng3.run([[5, 7, 11]], max_new_tokens=8, stop=[[base[0]]])[0]
+    assert r3.generated == base[:1]
+
+
+def test_streaming_callback_sees_every_token():
+    cfg, params, eng = _engine()
+    seen = {0: [], 1: []}
+    reqs = eng.submit_many([[5, 7, 11], [2, 3]], max_new_tokens=5)
+    for i, r in enumerate(reqs):
+        r.on_token = lambda t, i=i: seen[i].append(t)
+    # First token was already emitted at prefill (submit_many admits
+    # eagerly) — callbacks attach afterwards, so compare the tails.
+    while any(not r.done for r in reqs):
+        eng.step()
+    eng.step()
+    for i, r in enumerate(reqs):
+        assert seen[i] == r.generated[len(r.generated) - len(seen[i]):]
+        assert len(seen[i]) >= 4
+
+
+def test_streaming_callback_via_run():
+    cfg, params, eng = _engine()
+    tokens = []
+    reqs = eng.run([[5, 7, 11]], max_new_tokens=5,
+                   on_token=tokens.append)
+    assert tokens == reqs[0].generated
+
+
+def test_logprobs_greedy_and_sampled():
+    """logprobs=True fills per-token log-probabilities for prefill's first
+    token and every decode step; greedy logprobs must equal the full
+    forward's log_softmax at the argmax."""
+    cfg, params, eng = _engine(logprobs=True)
+    r = eng.run([[5, 7, 11]], max_new_tokens=4)[0]
+    assert len(r.logprobs) == len(r.generated) == 4
+    assert all(np.isfinite(lp) and lp <= 0.0 for lp in r.logprobs)
+
+    # Oracle: greedy token 1's logprob == log_softmax of the full-forward
+    # logits at the prompt's last position.
+    logits = forward(
+        params, jnp.asarray([[5, 7, 11]], jnp.int32), cfg
+    )[0, -1].astype(jnp.float32)
+    lp_ref = float(jax.nn.log_softmax(logits)[r.generated[0]])
+    assert abs(r.logprobs[0] - lp_ref) < 5e-2  # bf16 engine vs fp32 ref
+
+    cfg2, params2, eng2 = _engine(logprobs=True, temperature=0.9, top_k=8)
+    r2 = eng2.run([[5, 7, 11]], max_new_tokens=4)[0]
+    assert len(r2.logprobs) == 4
+    assert all(np.isfinite(lp) and lp <= 0.0 for lp in r2.logprobs)
+
+
+def test_logprobs_rejected_under_speculation():
+    cfg = TransformerConfig.tiny()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    with pytest.raises(NotImplementedError, match="logprobs"):
+        DecodeEngine(params, cfg, max_seqs=1, max_seq_len=256,
+                     page_size=PAGE, spec_tokens=2, logprobs=True,
+                     draft_params=params, draft_cfg=cfg)
+
+
 def test_top_p_validation():
     from cuda_flash_attention_tpu.decode.sampling import sample_tokens
 

@@ -103,11 +103,6 @@ def test_spec_rejects_bad_config():
     with pytest.raises(ValueError, match="draft_params"):
         DecodeEngine(params, cfg, max_seqs=1, max_seq_len=256,
                      page_size=PAGE, spec_tokens=2)
-    # Pure temperature sampling is supported (speculative sampling); only
-    # the modified distributions (top-k / nucleus) are not.
-    with pytest.raises(NotImplementedError, match="temperature"):
-        _spec_engine(cfg, params, draft_cfg, draft_params, k=2,
-                     temperature=0.7, top_k=5)
 
 
 # ---------------------------------------------------------------------------
@@ -161,11 +156,48 @@ def test_spec_sampled_engine_generates():
     assert eng.allocator.available == eng.allocator.num_pages - 1
 
 
-def test_spec_sampled_rejects_nucleus():
+def test_spec_stop_sequence_mid_chunk():
+    """A stop sequence hit INSIDE an accepted speculative chunk must end
+    the request exactly at the match (no trailing accepted tokens)."""
     cfg, params, draft_cfg, draft_params = _models()
-    with pytest.raises(NotImplementedError, match="temperature"):
-        _spec_engine(cfg, params, draft_cfg, draft_params, k=2,
-                     temperature=0.8, top_p=0.9)
+    base = DecodeEngine(
+        params, cfg, max_seqs=1, max_seq_len=512, page_size=PAGE,
+        cache_dtype=jnp.float32,
+    ).run([[5, 17, 100, 42]], max_new_tokens=8)[0].generated
+
+    eng = _spec_engine(cfg, params, draft_cfg, draft_params, k=3)
+    r = eng.run([[5, 17, 100, 42]], max_new_tokens=8,
+                stop=[base[1:3]])[0]
+    assert r.done and r.generated == base[:3]
+    assert eng.allocator.available == eng.allocator.num_pages - 1
+
+
+def test_spec_sampled_topk_topp_generates():
+    """Modified distributions (top-k / nucleus) under speculation: both
+    sides warp identically (sampling.warp_logits), so generation stays
+    in-vocab and completes; acceptance still fires."""
+    cfg, params, draft_cfg, draft_params = _models()
+    for kw in ({"top_k": 5}, {"top_p": 0.9}, {"top_k": 8, "top_p": 0.7}):
+        eng = _spec_engine(cfg, params, draft_cfg, draft_params, k=2,
+                           temperature=0.8, **kw)
+        reqs = eng.run([[5, 17, 100, 42]], max_new_tokens=6)
+        assert reqs[0].done and len(reqs[0].generated) == 6
+        assert all(0 <= t < cfg.vocab_size for t in reqs[0].generated)
+    assert eng.allocator.available == eng.allocator.num_pages - 1
+
+
+def test_spec_sampled_topk_matches_target_distribution():
+    """Draft == target with top-k warping: every draft must be accepted
+    (pd == pt identically), so the acceptance path is exact under the
+    modified distribution too."""
+    cfg = dataclasses.replace(
+        TransformerConfig.tiny(), dtype=jnp.float32, attn_tile_dtype=None,
+    )
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    eng = _spec_engine(cfg, params, cfg, params, k=3, temperature=0.8,
+                       top_k=4)
+    eng.run([[5, 17, 100]], max_new_tokens=8)
+    assert eng.acceptance_rate == 1.0
 
 
 def test_acceptance_stats():
