@@ -186,6 +186,7 @@ def measure_engine_throughput(
     mesh=None,
     spec_tokens: int = 0,
     draft_layers: int = 1,
+    prefill_chunk: int | None = None,
 ) -> dict:
     """END-TO-END engine tokens/sec including the host scheduler (admission,
     page allocation, retire) — the number a serving deployment sees; the
@@ -223,7 +224,8 @@ def measure_engine_throughput(
         )
     eng = DecodeEngine(
         params, cfg, max_seqs=batch, max_seq_len=max_len,
-        cache_dtype=cache_dtype, mesh=mesh, **spec_kw,
+        cache_dtype=cache_dtype, mesh=mesh, prefill_chunk=prefill_chunk,
+        **spec_kw,
     )
     prompts = np.random.default_rng(0).integers(
         0, cfg.vocab_size, (batch, prompt_len)
@@ -247,6 +249,8 @@ def measure_engine_throughput(
         "tp": 1 if mesh is None else int(np.prod(list(mesh.shape.values()))),
         "spec_tokens": spec_tokens,
         "spec_acceptance": eng.acceptance_rate,
+        "prefill_chunk": prefill_chunk,
+        "prefill_chunks_run": eng.stats["prefill_chunks"],
     }
 
 
@@ -297,6 +301,9 @@ def main():
                         "tokens per round (draft = first --draft-layers "
                         "layers of the target)")
     p.add_argument("--draft-layers", type=int, default=1)
+    p.add_argument("--prefill-chunk", type=int, default=None,
+                   help="with --engine: chunked prefill — prompts longer "
+                        "than this advance one chunk per engine step")
     p.add_argument("--engine", action="store_true",
                    help="measure END-TO-END engine throughput (host "
                         "scheduler included) instead of the device loop")
@@ -322,6 +329,7 @@ def main():
             cfg, batch=args.batch, prompt_len=args.prompt_len,
             gen_tokens=args.gen, cache_dtype=jnp.dtype(args.cache_dtype),
             spec_tokens=args.spec, draft_layers=args.draft_layers,
+            prefill_chunk=args.prefill_chunk,
         )
     else:
         out = measure_decode_throughput(

@@ -153,12 +153,6 @@ class DecodeEngine:
         self.top_k = top_k
         self.top_p = top_p
         self.want_logprobs = bool(logprobs)
-        if self.want_logprobs and spec_tokens:
-            raise NotImplementedError(
-                "logprobs under speculative decoding is not wired: the "
-                "emitted tokens come from the acceptance rule, not a "
-                "single sampling distribution"
-            )
         self.interpret = interpret
         # Data-parallel serving (north-star "continuous batching across
         # hosts"): slots AND the physical page pool partition over the
@@ -267,21 +261,21 @@ class DecodeEngine:
                     f"max(128, page_size) = {quantum} (page-aligned "
                     f"verify_step writes); got {prefill_chunk}"
                 )
-            if spec_tokens:
-                raise NotImplementedError(
-                    "chunked prefill under speculation: the draft cache "
-                    "chunk mirroring is not wired"
-                )
-            if mesh is not None:
-                raise NotImplementedError(
-                    "chunked prefill is single-host (verify_step)"
-                )
             self._chunk_fn = jax.jit(
                 functools.partial(
-                    verify_step, cfg=cfg, paged_write=True,
+                    verify_step, cfg=cfg, paged_write=True, mesh=mesh,
                     interpret=interpret,
                 ),
                 donate_argnums=(3,),
+            )
+            from cuda_flash_attention_tpu.kernels.common import (
+                resolve_interpret,
+            )
+
+            self._interpret_sync = (
+                resolve_interpret(interpret)
+                or (mesh is not None
+                    and mesh.devices.flat[0].platform != "tpu")
             )
 
         # Host-side slot state (numpy; shipped to device each step — tiny).
@@ -348,11 +342,6 @@ class DecodeEngine:
                 raise ValueError(
                     "spec_tokens > 0 requires draft_params and draft_cfg"
                 )
-            if mesh is not None:
-                raise NotImplementedError(
-                    "speculative decoding is single-host (the draft loop "
-                    "is host-driven)"
-                )
             if draft_cfg.vocab_size != cfg.vocab_size:
                 raise ValueError("draft and target must share the vocab")
             from cuda_flash_attention_tpu.decode.model import (
@@ -392,12 +381,59 @@ class DecodeEngine:
                     )
                     for _ in range(draft_cfg.n_layers)
                 ]
+            if mesh is not None:
+                # TP speculation: the draft shards like the target — its
+                # KV-page heads and projections split over "model".
+                from cuda_flash_attention_tpu.decode.sharded import (
+                    shard_kv_pages as _shard_kv,
+                )
+                from cuda_flash_attention_tpu.models.transformer import (
+                    param_shardings as _psh,
+                    stacked_param_shardings as _spsh,
+                )
+                from cuda_flash_attention_tpu.parallel.mesh import (
+                    MODEL_AXIS as _MA,
+                )
+
+                dtp = (
+                    mesh.shape[_MA] if _MA in mesh.axis_names else 1
+                )
+                if dtp > 1 and (draft_cfg.n_kv_heads % dtp
+                                or draft_cfg.n_heads % dtp):
+                    raise ValueError(
+                        f"the '{_MA}' mesh axis ({dtp}) must divide the "
+                        f"DRAFT model's n_kv_heads "
+                        f"({draft_cfg.n_kv_heads}) and n_heads "
+                        f"({draft_cfg.n_heads}) too"
+                    )
+                dsh = (
+                    _spsh(mesh, draft_cfg) if self._draft_scanned
+                    else _psh(mesh, draft_cfg)
+                )
+                self.draft_params = jax.tree.map(
+                    jax.device_put, self.draft_params, dsh
+                )
+                from cuda_flash_attention_tpu.parallel.mesh import (
+                    DATA_AXIS as _DA,
+                )
+
+                d_data = _DA if self.dp > 1 else None
+                if self._draft_scanned:
+                    self.draft_caches = _shard_kv(
+                        mesh, self.draft_caches, data_axis=d_data
+                    )
+                else:
+                    self.draft_caches = [
+                        _shard_kv(mesh, c, data_axis=d_data)
+                        for c in self.draft_caches
+                    ]
             if temperature > 0.0:
                 self._propose_fn = jax.jit(
                     functools.partial(
                         self._device_propose_sampled, cfg=draft_cfg,
                         k=self.spec_tokens, temperature=temperature,
-                        top_k=top_k, top_p=top_p, interpret=interpret,
+                        top_k=top_k, top_p=top_p, mesh=mesh,
+                        interpret=interpret,
                     ),
                     donate_argnums=(1,),
                 )
@@ -405,6 +441,7 @@ class DecodeEngine:
                     functools.partial(
                         self._device_verify_sampled, cfg=cfg,
                         temperature=temperature, top_k=top_k, top_p=top_p,
+                        mesh=mesh, return_logprob=self.want_logprobs,
                         interpret=interpret,
                     ),
                     donate_argnums=(1,),
@@ -413,19 +450,21 @@ class DecodeEngine:
                 self._propose_fn = jax.jit(
                     functools.partial(
                         self._device_propose, cfg=draft_cfg,
-                        k=self.spec_tokens, interpret=interpret,
+                        k=self.spec_tokens, mesh=mesh, interpret=interpret,
                     ),
                     donate_argnums=(1,),
                 )
                 self._verify_fn = jax.jit(
                     functools.partial(
-                        self._device_verify, cfg=cfg, interpret=interpret,
+                        self._device_verify, cfg=cfg, mesh=mesh,
+                        return_logprob=self.want_logprobs,
+                        interpret=interpret,
                     ),
                     donate_argnums=(1,),
                 )
             self._draft_prefill_fn = jax.jit(
                 lambda params, tokens: prefill_forward(
-                    params, tokens, draft_cfg
+                    params, tokens, draft_cfg, mesh
                 )
             )
             dwrite = (
@@ -436,6 +475,17 @@ class DecodeEngine:
                 lambda pages, k, v, ids: dwrite(pages, k, v, ids),
                 donate_argnums=(0,),
             )
+            if self.prefill_chunk is not None:
+                # Chunked prefill under speculation: the draft's cache
+                # must mirror every prompt chunk too (same tokens, same
+                # page table — its own pools).
+                self._draft_chunk_fn = jax.jit(
+                    functools.partial(
+                        verify_step, cfg=draft_cfg, paged_write=True,
+                        mesh=mesh, interpret=interpret,
+                    ),
+                    donate_argnums=(3,),
+                )
 
         # Prefix caching: immutable fully-written prompt pages are REGISTERED
         # under their token-prefix key; a later request whose prompt starts
@@ -446,17 +496,22 @@ class DecodeEngine:
         # the allocator's on_last_free hook evicts dead entries.
         self.prefix_cache = bool(prefix_cache)
         if self.prefix_cache:
-            if self.dp != 1:
-                raise NotImplementedError(
-                    "prefix caching keeps one per-pool page map; "
-                    "data-parallel serving is not wired yet"
+            # One page map PER DATA SHARD: page ids are local to each
+            # shard's pool slice, and a prompt only hits pages of the
+            # shard its slot lives on.
+            self._prefix_maps: list[dict[tuple, int]] = [
+                {} for _ in range(self.dp)
+            ]
+            self._page_keys: list[dict[int, tuple]] = [
+                {} for _ in range(self.dp)
+            ]
+            for sh, alloc in enumerate(self.allocators):
+                alloc.on_last_free = functools.partial(
+                    self._drop_prefix_entry, sh
                 )
-            self._prefix_map: dict[tuple, int] = {}
-            self._page_key: dict[int, tuple] = {}
-            self.allocators[0].on_last_free = self._drop_prefix_entry
             self._suffix_fn = jax.jit(
                 functools.partial(
-                    verify_step, cfg=cfg, paged_write=True,
+                    verify_step, cfg=cfg, paged_write=True, mesh=mesh,
                     interpret=interpret,
                 ),
                 donate_argnums=(3,),
@@ -465,7 +520,7 @@ class DecodeEngine:
                 self._draft_suffix_fn = jax.jit(
                     functools.partial(
                         verify_step, cfg=draft_cfg, paged_write=True,
-                        interpret=interpret,
+                        mesh=mesh, interpret=interpret,
                     ),
                     donate_argnums=(3,),
                 )
@@ -505,7 +560,7 @@ class DecodeEngine:
 
     @staticmethod
     def _device_propose(params, caches, tokens, positions, page_table,
-                        active, *, cfg, k, interpret):
+                        active, *, cfg, k, mesh=None, interpret=None):
         """k+1 greedy draft steps in one program: proposes d1..dk AND runs
         the extra step feeding dk, so the draft cache holds KV for every
         chunk position before the next round (its output is discarded)."""
@@ -514,7 +569,7 @@ class DecodeEngine:
         for i in range(k + 1):
             logits, caches = decode_step(
                 params, tok, positions + i, caches, page_table, active,
-                cfg, interpret=interpret,
+                cfg, mesh=mesh, interpret=interpret,
             )
             tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             out.append(tok)
@@ -522,19 +577,31 @@ class DecodeEngine:
 
     @staticmethod
     def _device_verify(params, caches, chunk_tokens, first_positions,
-                       page_table, active, *, cfg, interpret):
+                       page_table, active, *, cfg, mesh=None,
+                       return_logprob=False, interpret=None):
         """Target-side verification: greedy argmax at every chunk position
-        from ONE chunked forward (the chunk's KV is appended inside)."""
+        from ONE chunked forward (the chunk's KV is appended inside).
+        With return_logprob, also returns log_softmax at each position's
+        argmax — the logprob of any token the round emits (an accepted
+        draft i equals greedy[i]; the correction/bonus IS greedy[m])."""
         logits, caches = verify_step(
             params, chunk_tokens, first_positions, caches, page_table,
-            active, cfg, interpret=interpret,
+            active, cfg, mesh=mesh, interpret=interpret,
         )
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32), caches
+        greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        if return_logprob:
+            lp = jnp.take_along_axis(
+                jax.nn.log_softmax(logits, axis=-1), greedy[..., None],
+                axis=-1,
+            )[..., 0]  # [n, k+1]
+            return greedy, lp, caches
+        return greedy, caches
 
     @staticmethod
     def _device_propose_sampled(params, caches, tokens, positions,
                                 page_table, active, key, *, cfg, k,
-                                temperature, top_k, top_p, interpret):
+                                temperature, top_k, top_p, mesh=None,
+                                interpret=None):
         """Sampled draft: k+1 warped-categorical steps, recording the
         k proposals AND the full distributions they were drawn from (the
         acceptance rule needs pd).  Draft and target apply the SAME warp
@@ -548,7 +615,7 @@ class DecodeEngine:
         for i in range(k + 1):
             logits, caches = decode_step(
                 params, tok, positions + i, caches, page_table, active,
-                cfg, interpret=interpret,
+                cfg, mesh=mesh, interpret=interpret,
             )
             warped = warp_logits(
                 logits, temperature=temperature, top_k=top_k, top_p=top_p
@@ -570,13 +637,17 @@ class DecodeEngine:
     def _device_verify_sampled(params, caches, chunk_tokens,
                                first_positions, page_table, active,
                                draft_probs, key, *, cfg, temperature,
-                               top_k, top_p, interpret):
+                               top_k, top_p, mesh=None,
+                               return_logprob=False, interpret=None):
         """Target-side speculative SAMPLING: one chunked forward, then the
         Leviathan/Chen acceptance entirely on device — returns (m accepted
         drafts, final correction/bonus token) per slot.  The target warps
         its logits exactly as the draft did, so the emitted stream is
         distributed exactly as target-only sampling under the same
-        temperature/top-k/top-p settings."""
+        temperature/top-k/top-p settings.  With return_logprob, also
+        returns each draft's log pt_i(d_i) [n, k] and the final token's
+        log pt_m(final) [n] — logprobs under the warped TARGET
+        distribution, the convention of the plain sampled path."""
         from cuda_flash_attention_tpu.decode.sampling import (
             speculative_accept,
             warp_logits,
@@ -584,7 +655,7 @@ class DecodeEngine:
 
         logits, caches = verify_step(
             params, chunk_tokens, first_positions, caches, page_table,
-            active, cfg, interpret=interpret,
+            active, cfg, mesh=mesh, interpret=interpret,
         )
         pt = jax.nn.softmax(
             warp_logits(
@@ -596,6 +667,17 @@ class DecodeEngine:
         m, final = speculative_accept(
             pt, chunk_tokens[:, 1:], draft_probs, key
         )
+        if return_logprob:
+            k = chunk_tokens.shape[1] - 1
+            logpt = jnp.log(jnp.maximum(pt, 1e-38))
+            lp_drafts = jnp.take_along_axis(
+                logpt[:, :k], chunk_tokens[:, 1:, None], axis=-1
+            )[..., 0]  # [n, k]
+            lp_final = jnp.take_along_axis(
+                jnp.take_along_axis(logpt, m[:, None, None], axis=1)[:, 0],
+                final[:, None], axis=-1,
+            )[:, 0]  # [n]
+            return m, final, lp_drafts, lp_final, caches
         return m, final, caches
 
     # ------------------------------------------------------------------
@@ -778,7 +860,7 @@ class DecodeEngine:
             # misses fall through to the bucketed batch path below.
             missed = []
             for r, slot in take:
-                hits = self._prefix_hits(r.prompt)
+                hits = self._prefix_hits(r.prompt, self._slot_shard(slot))
                 if hits:
                     self._prefill_with_prefix(r, slot, hits)
                 else:
@@ -933,8 +1015,9 @@ class DecodeEngine:
                 self._register_prefix(req, slot)
             self._maybe_finish(req, first)
 
-    def _prefix_hits(self, prompt: list[int]) -> list[int]:
-        """Longest chain of cached pages covering this prompt's head.
+    def _prefix_hits(self, prompt: list[int], shard: int) -> list[int]:
+        """Longest chain of cached pages covering this prompt's head
+        (per-shard map — pages are LOCAL ids into the shard's pool).
         Always leaves at least one suffix token so the prefill has a
         position to produce next-token logits from."""
         ps = self.page_size
@@ -943,7 +1026,7 @@ class DecodeEngine:
             n_full -= 1
         hits: list[int] = []
         for i in range(n_full):
-            pid = self._prefix_map.get(tuple(prompt[:(i + 1) * ps]))
+            pid = self._prefix_maps[shard].get(tuple(prompt[:(i + 1) * ps]))
             if pid is None:
                 break
             hits.append(pid)
@@ -954,27 +1037,29 @@ class DecodeEngine:
         append-only and all further writes land at positions >= prompt
         length, so the content is immutable for the page's lifetime."""
         ps = self.page_size
+        shard = self._slot_shard(slot)
         pages = self._slot_pages[slot]
         for i in range(len(req.prompt) // ps):
             pid = pages[i] if i < len(pages) else None
-            if pid is None or pid in self._page_key:
+            if pid is None or pid in self._page_keys[shard]:
                 continue
             key = tuple(req.prompt[:(i + 1) * ps])
-            if key in self._prefix_map:
+            if key in self._prefix_maps[shard]:
                 continue
-            self._prefix_map[key] = pid
-            self._page_key[pid] = key
+            self._prefix_maps[shard][key] = pid
+            self._page_keys[shard][pid] = key
 
-    def _drop_prefix_entry(self, pid: int):
-        key = self._page_key.pop(pid, None)
+    def _drop_prefix_entry(self, shard: int, pid: int):
+        key = self._page_keys[shard].pop(pid, None)
         if key is not None:
-            self._prefix_map.pop(key, None)
+            self._prefix_maps[shard].pop(key, None)
 
     def _prefill_with_prefix(self, req: Request, slot: int,
                              hits: list[int]):
         """Admission for a prefix-cache hit: share the cached pages and
         push only the uncached suffix through the model (chunked prefill
-        attending the shared prefix)."""
+        attending the shared prefix).  Runs full-slot-width so the call
+        shards over data/model meshes exactly like the chunk step."""
         ps = self.page_size
         prefix_len = len(hits) * ps
         suffix = req.prompt[prefix_len:]
@@ -988,21 +1073,25 @@ class DecodeEngine:
         self.page_table[slot, :] = 0
         self.page_table[slot, :len(pages)] = pages
 
-        tokens = np.zeros((1, pad_len), np.int32)
-        tokens[0, :len(suffix)] = suffix
-        first_pos = jnp.asarray([prefix_len], jnp.int32)
-        row_table = jnp.asarray(self.page_table[slot:slot + 1])
-        act = jnp.asarray([True])
+        tokens = np.zeros((self.max_seqs, pad_len), np.int32)
+        tokens[slot, :len(suffix)] = suffix
+        first_pos = np.zeros((self.max_seqs,), np.int32)
+        first_pos[slot] = prefix_len
+        mask = np.zeros((self.max_seqs,), bool)
+        mask[slot] = True
         logits, self.caches = self._suffix_fn(
-            self.params, jnp.asarray(tokens), first_pos, self.caches,
-            row_table, act,
+            self.params, jnp.asarray(tokens), jnp.asarray(first_pos),
+            self.caches, jnp.asarray(self.page_table), jnp.asarray(mask),
         )
         if self.spec_tokens:
             _, self.draft_caches = self._draft_suffix_fn(
-                self.draft_params, jnp.asarray(tokens), first_pos,
-                self.draft_caches, row_table, act,
+                self.draft_params, jnp.asarray(tokens),
+                jnp.asarray(first_pos), self.draft_caches,
+                jnp.asarray(self.page_table), jnp.asarray(mask),
             )
-        first_dev, first_lp = self._sample(logits[:, len(suffix) - 1, :])
+        first_dev, first_lp = self._sample(
+            logits[slot:slot + 1, len(suffix) - 1, :]
+        )
         first = int(np.asarray(first_dev)[0])
         self._emit(
             req, first, first_lp[0] if first_lp is not None else None
@@ -1063,11 +1152,34 @@ class DecodeEngine:
                 # by decode appends.
                 first_pos[s] = start
                 mask[s] = True
+            # COPY every host-built input (jnp.array, not asarray):
+            # intermediate chunks have no readback sync, so the async
+            # computation may still be reading while the host mutates
+            # page_table (_recycle_stale) for the next chunk — zero-copy
+            # asarray aliasing produced process-dependent wrong logits.
             logits, self.caches = self._chunk_fn(
-                self.params, jnp.asarray(tokens), jnp.asarray(first_pos),
-                self.caches, jnp.asarray(self.page_table),
-                jnp.asarray(mask),
+                self.params, jnp.array(tokens), jnp.array(first_pos),
+                self.caches, jnp.array(self.page_table),
+                jnp.array(mask),
             )
+            if self.spec_tokens:
+                _, self.draft_caches = self._draft_chunk_fn(
+                    self.draft_params, jnp.array(tokens),
+                    jnp.array(first_pos), self.draft_caches,
+                    jnp.array(self.page_table), jnp.array(mask),
+                )
+            if self._interpret_sync:
+                # Pallas INTERPRET mode (CPU test fabric): back-to-back
+                # donated-cache chunk programs race — the next program's
+                # in-place page write can land while the previous
+                # interpret callback still reads the aliased buffer
+                # (reproduced ~1/8 processes as deterministic wrong
+                # logits; a barrier per chunk eliminates it).  Compiled
+                # TPU programs sequence donated buffers correctly, so no
+                # sync is paid there.
+                jax.block_until_ready(self.caches)
+                if self.spec_tokens:
+                    jax.block_until_ready(self.draft_caches)
             self.stats["prefill_chunks"] += 1
             finish_rows, finish_slots = [], []
             for s in group:
@@ -1131,14 +1243,11 @@ class DecodeEngine:
         self._slot_worst[slot] = 0
         return req
 
-    def step(self) -> list[Request]:
-        """One decode step for every active slot; returns newly finished
-        requests (their slots are freed and pending requests admitted)."""
-        # Retire slots whose request finished on the previous step/prefill;
-        # loop because an admitted request may finish AT prefill (EOS on the
-        # first sampled token, or max_new_tokens=1) — it must retire before
-        # the decode step, or it would generate past its limit.
-        finished = []
+    def _drain_finished(self, finished: list):
+        """Retire done slots and admit pending requests; loop because an
+        admitted request may finish AT prefill (EOS on the first sampled
+        token, or max_new_tokens=1) — it must retire before the decode
+        step, or it would generate past its limit."""
         while True:
             for slot in range(self.max_seqs):
                 req = self._slot_req[slot]
@@ -1150,8 +1259,18 @@ class DecodeEngine:
                 for s in range(self.max_seqs)
             ):
                 break
+
+    def step(self) -> list[Request]:
+        """One decode step for every active slot; returns newly finished
+        requests (their slots are freed and pending requests admitted)."""
+        finished = []
+        self._drain_finished(finished)
         if self.prefill_chunk is not None and self.prefilling.any():
             self._chunk_prefill_step()
+            # A request can finish AT chunk completion (max_new_tokens=1,
+            # EOS, stop hit): retire it before the decode dispatch below,
+            # or it would generate one token past its limit.
+            self._drain_finished(finished)
         if not self.active.any():
             return finished
         if self.spec_tokens:
@@ -1220,10 +1339,17 @@ class DecodeEngine:
             chunk = np.concatenate(
                 [self.last_token[:, None], drafts], axis=1
             )
-            m_dev, final_dev, self.caches = self._verify_fn(
+            out = self._verify_fn(
                 self.params, self.caches, jnp.asarray(chunk), positions,
                 pt, act, draft_probs, k2,
             )
+            if self.want_logprobs:
+                m_dev, final_dev, lp_d_dev, lp_f_dev, self.caches = out
+                lp_drafts = np.asarray(lp_d_dev)   # [max_seqs, k]
+                lp_final = np.asarray(lp_f_dev)    # [max_seqs]
+            else:
+                m_dev, final_dev, self.caches = out
+                lp_drafts = lp_final = None
             m_all = np.asarray(m_dev)
             final_all = np.asarray(final_dev)
         else:
@@ -1235,10 +1361,16 @@ class DecodeEngine:
             chunk = np.concatenate(
                 [self.last_token[:, None], drafts], axis=1
             )
-            greedy_dev, self.caches = self._verify_fn(
+            out = self._verify_fn(
                 self.params, self.caches, jnp.asarray(chunk), positions,
                 pt, act,
             )
+            if self.want_logprobs:
+                greedy_dev, lp_all_dev, self.caches = out
+                lp_all = np.asarray(lp_all_dev)  # [max_seqs, k+1]
+            else:
+                greedy_dev, self.caches = out
+                lp_all = None
             greedy = np.asarray(greedy_dev)  # [max_seqs, k+1]
 
         self.stats["steps"] += 1
@@ -1252,12 +1384,21 @@ class DecodeEngine:
                 m = int(m_all[slot])
                 accepted = [int(t) for t in drafts[slot, :m]]
                 accepted.append(int(final_all[slot]))
+                lps = None
+                if self.want_logprobs:
+                    lps = [float(x) for x in lp_drafts[slot, :m]]
+                    lps.append(float(lp_final[slot]))
             else:
                 m = 0
                 while m < k and greedy[slot, m] == drafts[slot, m]:
                     m += 1
                 accepted = [int(t) for t in drafts[slot, :m]]
                 accepted.append(int(greedy[slot, m]))  # bonus / correction
+                lps = None
+                if self.want_logprobs:
+                    # Accepted draft i == greedy[i]; the final token IS
+                    # greedy[m] — one logprob array covers both.
+                    lps = [float(x) for x in lp_all[slot, :m + 1]]
             take: list[int] = []
             for tok in accepted:
                 take.append(tok)
@@ -1267,8 +1408,8 @@ class DecodeEngine:
                         >= req.max_new_tokens
                         or _stop_hit(req.generated + take, req.stop)):
                     break
-            for tok in take:
-                self._emit(req, tok)
+            for i, tok in enumerate(take):
+                self._emit(req, tok, lps[i] if lps is not None else None)
             self.stats["spec_proposed"] += k
             self.stats["spec_accepted"] += m
             # KV is now committed for the previous last_token plus the

@@ -149,14 +149,16 @@ def _decode_layer(x, layer, pages, pos2, positions, attn_lengths, page_table,
 
 def _chunk_layer(x, layer, pages, pos_t, first_positions, total_lengths,
                  page_table, active, cfg: TransformerConfig, interpret,
-                 compute_dtype, paged_write=False):
+                 compute_dtype, paged_write=False, mesh=None):
     """One verification layer: T new tokens per slot flow [n, T, d_model];
     their K/V append to the paged cache, then chunked paged attention reads
     it back (each token causally bounded at its own position).
 
     ``paged_write`` switches the cache write from T per-token scatters
     (speculative chunks: tiny T, arbitrary alignment) to one page-granular
-    scatter (chunked/suffix prefill: page-aligned start, whole pages)."""
+    scatter (chunked/suffix prefill: page-aligned start, whole pages).
+    With ``mesh`` (a model axis), write + attention run head-parallel as a
+    shard_map island (decode/sharded.tp_chunk_append_attend)."""
     n, t = x.shape[:2]
     h = rms_norm(x, layer["attn_norm"])
     q = dense(h, layer["wq"]).reshape(n, t, cfg.n_heads, cfg.head_dim)
@@ -164,15 +166,27 @@ def _chunk_layer(x, layer, pages, pos_t, first_positions, total_lengths,
     v = dense(h, layer["wv"]).reshape(n, t, cfg.n_kv_heads, cfg.head_dim)
     q = rope(q, pos_t, *cfg.rope_args)
     k = rope(k, pos_t, *cfg.rope_args)
-    write = write_chunk_kv_paged if paged_write else append_chunk_kv
-    pages = write(pages, k, v, page_table, first_positions, active)
-    o = paged_chunk_attention(
-        q.astype(cfg.dtype), pages, page_table, total_lengths,
-        compute_dtype=compute_dtype, window=cfg.attn_window,
-        sinks=cfg.attn_sinks, interpret=interpret,
-    )  # [n, T, Hq, D]
+    if mesh is not None:
+        from cuda_flash_attention_tpu.decode.sharded import (
+            tp_chunk_append_attend,
+        )
+
+        o, pages = tp_chunk_append_attend(
+            mesh, q.astype(cfg.dtype), k, v, pages, page_table,
+            first_positions, active, total_lengths,
+            paged_write=paged_write, compute_dtype=compute_dtype,
+            window=cfg.attn_window, sinks=cfg.attn_sinks,
+        )
+    else:
+        write = write_chunk_kv_paged if paged_write else append_chunk_kv
+        pages = write(pages, k, v, page_table, first_positions, active)
+        o = paged_chunk_attention(
+            q.astype(cfg.dtype), pages, page_table, total_lengths,
+            compute_dtype=compute_dtype, window=cfg.attn_window,
+            sinks=cfg.attn_sinks, interpret=interpret,
+        )  # [n, T, Hq, D]
     x = x + dense(o.reshape(n, t, cfg.q_dim), layer["wo"])
-    x, _ = ffn_block(x, layer, cfg, None)
+    x, _ = ffn_block(x, layer, cfg, mesh)
     return x, pages
 
 
@@ -186,12 +200,14 @@ def verify_step(
     cfg: TransformerConfig,
     *,
     paged_write: bool = False,
+    mesh=None,
     interpret=None,
 ):
     """Speculative-decoding verification: ONE forward scores all T chunk
     positions (logits [num_seqs, T, vocab]) while appending their K/V —
     the target model's side of draft-and-verify.  T=1 degenerates to
-    `decode_step`.  Single-host only (the draft loop is host-driven).
+    `decode_step`.  Single-host (the driving loop is host-side); with
+    ``mesh`` the attention/write run head-parallel over the model axis.
 
     With ``paged_write=True`` (page-aligned first_positions, T a multiple
     of the page size) this doubles as the CHUNKED-PREFILL step: prefix-
@@ -210,7 +226,7 @@ def verify_step(
         pos_t=pos_t, first_positions=first_positions,
         total_lengths=total_lengths, page_table=page_table, active=active,
         cfg=cfg, interpret=interpret, compute_dtype=compute_dtype,
-        paged_write=paged_write,
+        paged_write=paged_write, mesh=mesh,
     )
     if isinstance(caches, KVPages):
         def body(x, xs):

@@ -26,8 +26,16 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from cuda_flash_attention_tpu.decode.attention import paged_decode_attention
-from cuda_flash_attention_tpu.decode.kv_cache import KVPages, append_token_kv
+from cuda_flash_attention_tpu.decode.attention import (
+    paged_chunk_attention,
+    paged_decode_attention,
+)
+from cuda_flash_attention_tpu.decode.kv_cache import (
+    KVPages,
+    append_chunk_kv,
+    append_token_kv,
+    write_chunk_kv_paged,
+)
 from cuda_flash_attention_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 from cuda_flash_attention_tpu.parallel.sharded import mesh_interpret_default
 
@@ -114,6 +122,82 @@ def tp_paged_decode_attention(
         )
 
     return _local(q, pages, page_table, lengths)
+
+
+def tp_chunk_append_attend(
+    mesh,
+    q,            # [num_seqs, T, n_heads, D] — heads sharded over "model"
+    k_new,        # [num_seqs, T, n_kv_heads, D]
+    v_new,
+    pages: KVPages,
+    page_table,   # [num_seqs, pages_per_seq] int32, shard-LOCAL page ids
+    first_positions,  # [num_seqs] int32
+    active,       # [num_seqs] bool
+    total_lengths,    # [num_seqs] int32
+    *,
+    paged_write: bool = False,
+    sm_scale: float | None = None,
+    compute_dtype=jnp.bfloat16,
+    window: int | None = None,
+    sinks: int = 0,
+    data_axis: str = DATA_AXIS,
+    model_axis: str = MODEL_AXIS,
+):
+    """Chunk append + multi-query flash-decoding over the mesh (the
+    VERIFICATION / CHUNKED-PREFILL twin of dp_tp_append_attend): KV heads
+    shard over "model", and — when the mesh carries a data axis — slots
+    and the page pool shard over "data" (page_table holds LOCAL ids into
+    each shard's pool slice), so the whole op is communication-free.
+    Returns (o [num_seqs, T, n_heads, D], new pages)."""
+    write = write_chunk_kv_paged if paged_write else append_chunk_kv
+    tp = mesh.shape.get(model_axis, 1) if model_axis in mesh.axis_names else 1
+    dp = mesh_dp(mesh, data_axis)
+    if tp == 1 and dp == 1:
+        pages = write(pages, k_new, v_new, page_table, first_positions,
+                      active)
+        o = paged_chunk_attention(
+            q, pages, page_table, total_lengths,
+            sm_scale=sm_scale, compute_dtype=compute_dtype, window=window,
+            sinks=sinks, interpret=mesh_interpret_default(mesh),
+        )
+        return o, pages
+    n_kv_heads = pages.k_pages.shape[0]
+    n_heads = q.shape[2]
+    if n_kv_heads % tp or n_heads % tp:
+        raise ValueError(
+            f"the model-axis size {tp} must divide both n_kv_heads="
+            f"{n_kv_heads} and n_heads={n_heads} (KV pages are head-sharded "
+            f"and must stay device-local)"
+        )
+    interpret = mesh_interpret_default(mesh)
+    data = data_axis if dp > 1 else None
+    model = model_axis if tp > 1 else None
+    q_spec = P(data, None, model, None)
+    pg_spec = kv_pages_spec(mesh, model_axis=model_axis,
+                            data_axis=data)
+    tbl_spec = P(data, None)
+    slot_spec = P(data)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(q_spec, q_spec, q_spec, pg_spec, tbl_spec, slot_spec,
+                  slot_spec, slot_spec),
+        out_specs=(q_spec, pg_spec),
+        check_vma=False,
+    )
+    def _local(q, k_new, v_new, pages, page_table, first_positions, active,
+               total_lengths):
+        pages = write(pages, k_new, v_new, page_table, first_positions,
+                      active)
+        o = paged_chunk_attention(
+            q, pages, page_table, total_lengths,
+            sm_scale=sm_scale, compute_dtype=compute_dtype, window=window,
+            sinks=sinks, interpret=interpret,
+        )
+        return o, pages
+
+    return _local(q, k_new, v_new, pages, page_table, first_positions,
+                  active, total_lengths)
 
 
 def dp_tp_append_attend(

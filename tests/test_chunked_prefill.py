@@ -101,12 +101,54 @@ def test_chunked_prefill_with_window_recycles():
     assert eng.allocator.available == eng.allocator.num_pages - 1
 
 
+def test_chunked_prefill_max_new_one_stops_at_prefill():
+    """A request whose budget is exhausted by the prefill-completion token
+    must NOT ride the same step's decode dispatch (off-by-one regression:
+    max_new_tokens=1 generated 2 tokens)."""
+    cfg, params = _fp32()
+    eng = _engine(cfg, params, prefill_chunk=128)
+    r = eng.run([_prompt(300)], max_new_tokens=1)[0]
+    assert r.done and len(r.generated) == 1
+    assert eng.allocator.available == eng.allocator.num_pages - 1
+
+
+def test_chunked_prefill_table_not_aliased():
+    """Regression: the chunk step must snapshot the page table (jnp.array
+    copy).  jnp.asarray can alias the live numpy buffer on CPU, and
+    _recycle_stale mutates it before the UNSYNCED intermediate chunk
+    computations drain — observed as process-dependent wrong logits in the
+    windowed path.  Repeated windowed runs must be bit-identical and match
+    the one-shot engine."""
+    cfg, params = _fp32()
+    wcfg = dataclasses.replace(cfg, attn_window=128, global_every=0)
+    prompt = _prompt(400)
+    base = _engine(wcfg, params).run([prompt], max_new_tokens=4)[0].generated
+    for _ in range(3):
+        eng = _engine(wcfg, params, prefill_chunk=128)
+        got = eng.run([prompt], max_new_tokens=4)[0].generated
+        assert got == base, (got, base)
+
+
 def test_chunked_prefill_validation():
     cfg, params = _fp32()
     with pytest.raises(ValueError, match="prefill_chunk"):
         _engine(cfg, params, prefill_chunk=100)
-    with pytest.raises(NotImplementedError, match="chunked prefill"):
-        DecodeEngine(params, cfg, max_seqs=1, max_seq_len=512,
-                     page_size=PAGE, cache_dtype=jnp.float32,
-                     prefill_chunk=128, spec_tokens=2,
-                     draft_params=params, draft_cfg=cfg)
+
+
+def test_chunked_prefill_with_speculation():
+    """Chunked prefill + speculative decoding: the draft cache mirrors
+    every prompt chunk, so the combined engine reproduces the plain
+    greedy stream."""
+    cfg, params = _fp32()
+    prompt = _prompt(300)
+    base = _engine(cfg, params).run([prompt], max_new_tokens=6)[0].generated
+
+    draft_cfg = dataclasses.replace(cfg, n_layers=1)
+    draft_params = init_params(jax.random.PRNGKey(9), draft_cfg)
+    eng = _engine(cfg, params, prefill_chunk=128, spec_tokens=3,
+                  draft_params=draft_params, draft_cfg=draft_cfg)
+    r = eng.run([prompt], max_new_tokens=6)[0]
+    assert r.generated == base, (r.generated, base)
+    assert eng.stats["prefill_chunks"] >= 3
+    assert eng.stats["spec_rounds"] > 0
+    assert eng.allocator.available == eng.allocator.num_pages - 1

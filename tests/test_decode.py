@@ -364,13 +364,32 @@ def test_logprobs_greedy_and_sampled():
     assert all(np.isfinite(lp) and lp <= 0.0 for lp in r2.logprobs)
 
 
-def test_logprobs_rejected_under_speculation():
-    cfg = TransformerConfig.tiny()
+def test_logprobs_under_greedy_speculation_match_plain():
+    """Greedy spec with logprobs: same tokens AND same logprobs as the
+    plain greedy engine (accepted drafts equal the target's argmax, so
+    the logprob convention coincides)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        TransformerConfig.tiny(), dtype=jnp.float32, attn_tile_dtype=None,
+    )
     params = init_params(jax.random.PRNGKey(0), cfg)
-    with pytest.raises(NotImplementedError, match="logprobs"):
-        DecodeEngine(params, cfg, max_seqs=1, max_seq_len=256,
-                     page_size=PAGE, spec_tokens=2, logprobs=True,
-                     draft_params=params, draft_cfg=cfg)
+    plain = DecodeEngine(params, cfg, max_seqs=1, max_seq_len=512,
+                         page_size=PAGE, cache_dtype=jnp.float32,
+                         logprobs=True)
+    r1 = plain.run([[5, 17, 100, 42]], max_new_tokens=6)[0]
+
+    draft_cfg = dataclasses.replace(cfg, n_layers=1)
+    spec = DecodeEngine(params, cfg, max_seqs=1, max_seq_len=512,
+                        page_size=PAGE, cache_dtype=jnp.float32,
+                        logprobs=True, spec_tokens=3,
+                        draft_params=init_params(jax.random.PRNGKey(9),
+                                                 draft_cfg),
+                        draft_cfg=draft_cfg)
+    r2 = spec.run([[5, 17, 100, 42]], max_new_tokens=6)[0]
+    assert r2.generated == r1.generated
+    assert len(r2.logprobs) == 6
+    np.testing.assert_allclose(r2.logprobs, r1.logprobs, atol=1e-4)
 
 
 def test_top_p_validation():

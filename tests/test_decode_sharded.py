@@ -101,6 +101,113 @@ def test_tp_decode_dryrun_bench_path():
     assert out["dryrun"] and out["timed_tokens"] > 0 and out["tp"] == 2
 
 
+def test_tp_spec_engine_matches_single_device():
+    """TP speculative decoding: the draft's KV pages and projections shard
+    over 'model' and the verify chunks run head-parallel
+    (tp_chunk_append_attend) — greedy parity with the unsharded plain
+    engine (fp32: spec-test tie convention)."""
+    import dataclasses
+
+    mesh = _cpu_mesh({"data": 1, "model": 2})
+    cfg = dataclasses.replace(
+        TransformerConfig.tiny(), dtype=jnp.float32, attn_tile_dtype=None,
+    )
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    draft_cfg = dataclasses.replace(cfg, n_layers=1)
+    draft_params = init_params(jax.random.PRNGKey(9), draft_cfg)
+    prompts = [[5, 17, 100, 42], [3, 9]]
+
+    ref = [
+        r.generated
+        for r in DecodeEngine(
+            params, cfg, max_seqs=2, max_seq_len=512,
+            cache_dtype=jnp.float32, interpret=True,
+        ).run(prompts, max_new_tokens=6)
+    ]
+    eng = DecodeEngine(
+        params, cfg, max_seqs=2, max_seq_len=512, cache_dtype=jnp.float32,
+        mesh=mesh, draft_params=draft_params, draft_cfg=draft_cfg,
+        spec_tokens=3,
+    )
+    got = [r.generated for r in eng.run(prompts, max_new_tokens=6)]
+    assert got == ref, f"TP spec {got} vs single {ref}"
+    assert eng.stats["spec_rounds"] > 0
+    assert eng.allocator.available == eng.allocator.num_pages - 1
+
+
+def test_tp_chunked_prefill_matches_single_device():
+    """TP chunked prefill: page-aligned chunk writes + chunk attention run
+    head-parallel; output equals the unsharded one-shot engine."""
+    import dataclasses
+
+    mesh = _cpu_mesh({"data": 1, "model": 2})
+    cfg = dataclasses.replace(
+        TransformerConfig.tiny(), dtype=jnp.float32, attn_tile_dtype=None,
+    )
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    prompt = np.asarray(
+        jax.random.randint(jax.random.PRNGKey(3), (300,), 0, 256)
+    ).tolist()
+
+    ref = DecodeEngine(
+        params, cfg, max_seqs=2, max_seq_len=512, cache_dtype=jnp.float32,
+        interpret=True,
+    ).run([prompt], max_new_tokens=4)[0].generated
+    eng = DecodeEngine(
+        params, cfg, max_seqs=2, max_seq_len=512, cache_dtype=jnp.float32,
+        mesh=mesh, prefill_chunk=128,
+    )
+    r = eng.run([prompt], max_new_tokens=4)[0]
+    assert r.generated == ref, f"TP chunked {r.generated} vs {ref}"
+    assert eng.stats["prefill_chunks"] >= 3
+
+
+@needs8
+@pytest.mark.slow
+def test_dp_tp_spec_and_chunked_prefill():
+    """Speculation AND chunked prefill across DATA shards (x TP): slots +
+    page pools shard over 'data', chunk writes/attention over 'model' —
+    greedy parity with the unsharded plain engine."""
+    import dataclasses
+
+    mesh = _cpu_mesh({"data": 2, "model": 2})
+    cfg = dataclasses.replace(
+        TransformerConfig.tiny(), dtype=jnp.float32, attn_tile_dtype=None,
+    )
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    draft_cfg = dataclasses.replace(cfg, n_layers=1)
+    draft_params = init_params(jax.random.PRNGKey(9), draft_cfg)
+    long_prompt = np.asarray(
+        jax.random.randint(jax.random.PRNGKey(3), (200,), 0, 256)
+    ).tolist()
+    prompts = [[5, 17, 100, 42], [3, 9], long_prompt, [1, 2, 3]]
+
+    ref = [
+        r.generated
+        for r in DecodeEngine(
+            params, cfg, max_seqs=4, max_seq_len=512,
+            cache_dtype=jnp.float32, interpret=True,
+        ).run(prompts, max_new_tokens=4)
+    ]
+    spec = DecodeEngine(
+        params, cfg, max_seqs=4, max_seq_len=512, cache_dtype=jnp.float32,
+        mesh=mesh, draft_params=draft_params, draft_cfg=draft_cfg,
+        spec_tokens=2,
+    )
+    got = [r.generated for r in spec.run(prompts, max_new_tokens=4)]
+    assert got == ref, f"DPxTP spec {got} vs single {ref}"
+
+    chunked = DecodeEngine(
+        params, cfg, max_seqs=4, max_seq_len=512, cache_dtype=jnp.float32,
+        mesh=mesh, prefill_chunk=128,
+    )
+    got2 = [r.generated for r in chunked.run(prompts, max_new_tokens=4)]
+    assert got2 == ref, f"DPxTP chunked {got2} vs single {ref}"
+    assert chunked.stats["prefill_chunks"] >= 2
+    for a in chunked.allocators:
+        assert a.available == a.num_pages - 1
+
+
 def test_dp_tp_engine_matches_single_device():
     """Multi-host continuous batching (round-2 verdict #3): slots + page
     pool sharded over 'data', KV heads over 'model'.  Greedy generation

@@ -86,7 +86,7 @@ def test_prefix_pages_survive_owner_retirement():
             break
     assert len(done) == 2 and all(r.done for r in done)
     assert eng.allocator.available == eng.allocator.num_pages - 1
-    assert eng._prefix_map == {} and eng._page_key == {}
+    assert eng._prefix_maps == [{}] and eng._page_keys == [{}]
 
 
 def test_prefix_miss_paths_still_register():
@@ -100,7 +100,7 @@ def test_prefix_miss_paths_still_register():
     eng.submit(p1, max_new_tokens=2)
     eng.submit(p2, max_new_tokens=2)
     eng.step()
-    assert len(eng._prefix_map) == 2
+    assert len(eng._prefix_maps[0]) == 2
 
 
 def test_exact_multiple_prompt_leaves_suffix():
@@ -115,10 +115,51 @@ def test_exact_multiple_prompt_leaves_suffix():
     reqs.extend(eng.step())
     eng.submit(list(p), max_new_tokens=2)
     reqs.extend(eng.step())
-    hits = eng._prefix_hits(p)
+    hits = eng._prefix_hits(p, 0)
     assert len(hits) <= 1  # never all pages — one page stays as suffix
     for _ in range(8):
         reqs.extend(eng.step())
         if len(reqs) == 2:
             break
     assert [r.generated for r in reqs][0] == [r.generated for r in reqs][1]
+
+
+@pytest.mark.slow
+def test_prefix_cache_dp_tp_mesh():
+    """Prefix caching across DATA shards: each shard keeps its own page
+    map (local page ids); generation matches the unsharded uncached
+    engine."""
+    from cuda_flash_attention_tpu.parallel.mesh import make_device_mesh
+
+    devices = jax.devices("cpu")
+    if len(devices) < 4:
+        pytest.skip("need 4 cpu devices")
+    mesh = make_device_mesh({"data": 2, "model": 2}, devices=devices[:4])
+    cfg, params = _cfg_params()
+    a, b = _shared_prompts()
+
+    ref_eng = DecodeEngine(params, cfg, max_seqs=4, max_seq_len=512,
+                           page_size=PAGE, cache_dtype=jnp.float32,
+                           interpret=True)
+    ref = {tuple(r.prompt): r.generated
+           for r in ref_eng.run([a, b], max_new_tokens=4)}
+
+    eng = DecodeEngine(params, cfg, max_seqs=4, max_seq_len=512,
+                       page_size=PAGE, cache_dtype=jnp.float32,
+                       mesh=mesh, prefix_cache=True)
+    assert len(eng._prefix_maps) == 2  # one map per data shard
+    eng.submit(a, max_new_tokens=4)
+    eng.step()
+    eng.submit(b, max_new_tokens=4)  # same shard (slots 0,1) -> prefix hit
+    done = []
+    done.extend(eng.step())
+    # Both slots live on shard 0 and share the 2 physical prefix pages.
+    assert eng._slot_pages[0][:2] == eng._slot_pages[1][:2]
+    for _ in range(16):
+        done.extend(eng.step())
+        if len(done) == 2:
+            break
+    out = {tuple(r.prompt): r.generated for r in done}
+    assert out == ref, (out, ref)
+    for alloc in eng.allocators:
+        assert alloc.available == alloc.num_pages - 1

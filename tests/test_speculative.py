@@ -200,6 +200,17 @@ def test_spec_sampled_topk_matches_target_distribution():
     assert eng.acceptance_rate == 1.0
 
 
+def test_spec_sampled_logprobs_finite():
+    """Sampled speculation with logprobs: one log-probability per emitted
+    token, finite and <= 0, under the warped target distribution."""
+    cfg, params, draft_cfg, draft_params = _models()
+    eng = _spec_engine(cfg, params, draft_cfg, draft_params, k=3,
+                       temperature=0.8, top_k=10, logprobs=True)
+    r = eng.run([[5, 17, 100, 42]], max_new_tokens=8)[0]
+    assert len(r.logprobs) == len(r.generated) == 8
+    assert all(np.isfinite(lp) and lp <= 0.0 for lp in r.logprobs)
+
+
 def test_acceptance_stats():
     cfg = dataclasses.replace(
         TransformerConfig.tiny(), dtype=jnp.float32, attn_tile_dtype=None,
