@@ -24,6 +24,7 @@ from cuda_flash_attention_tpu.decode.model import (
 from cuda_flash_attention_tpu.decode.sampling import sample_tokens
 from cuda_flash_attention_tpu.decode.sharded import (
     shard_kv_pages,
+    tp_chunk_append_attend,
     tp_paged_decode_attention,
 )
 
@@ -45,5 +46,6 @@ __all__ = [
     "verify_step",
     "sample_tokens",
     "shard_kv_pages",
+    "tp_chunk_append_attend",
     "tp_paged_decode_attention",
 ]

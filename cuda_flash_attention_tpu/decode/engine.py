@@ -138,16 +138,19 @@ class DecodeEngine:
         self.page_size = page_size
         # Sliding-window serving (cfg.attn_window): the decode kernel skips
         # out-of-window pages, and the engine FREES pages entirely behind
-        # the window (rolling KV cache) — per-sequence HBM is bounded by the
-        # window, not the total generated length.  The scanned layer body
-        # requires a uniform window (see decode.model._check_uniform_window).
-        from cuda_flash_attention_tpu.decode.model import (
-            _check_uniform_window,
-        )
-
-        _check_uniform_window(cfg)
-        self.window = cfg.attn_window
-        self.sinks = cfg.attn_sinks if cfg.attn_window is not None else 0
+        # the window (rolling KV cache) — per-sequence HBM is bounded by
+        # the window, not the total generated length.  Local/global
+        # interleaves (global_every > 0) serve through the per-layer LIST
+        # path: each layer gets its own window (compute still skips pages
+        # on local layers), but a single global layer pins the whole
+        # history, so page recycling and window-bounded admission are
+        # disabled (self.window = None).
+        if cfg.attn_sinks and cfg.attn_window is None:
+            raise ValueError("attn_sinks require attn_window")
+        wins = {cfg.layer_window(i) for i in range(cfg.n_layers)}
+        self._uniform_window = len(wins) == 1
+        self.window = cfg.attn_window if None not in wins else None
+        self.sinks = cfg.attn_sinks if self.window is not None else 0
         self.pages_per_seq = _cdiv(max_seq_len, page_size)
         self.temperature = temperature
         self.top_k = top_k
@@ -200,15 +203,19 @@ class DecodeEngine:
         # Scanned fast path: homogeneous layers stack into [L, ...] leaves
         # and the cache into one stacked KVPages, so the whole layer loop
         # compiles to ONE lax.scan body (decode/model.py).  Heterogeneous
-        # (MoE-interleaved) models keep the per-layer list form.
-        try:
-            self.params = {
-                **self.params,
-                "layers": stack_layer_params(self.params["layers"]),
-            }
-            self._scanned = True
-        except ValueError:
-            self._scanned = False
+        # models keep the per-layer list form: MoE interleaves (params
+        # can't stack) and local/global window interleaves (the scan body
+        # can't vary the window per layer).
+        self._scanned = False
+        if self._uniform_window:
+            try:
+                self.params = {
+                    **self.params,
+                    "layers": stack_layer_params(self.params["layers"]),
+                }
+                self._scanned = True
+            except ValueError:
+                pass
         if self._scanned:
             self.caches = init_kv_pages_stacked(
                 cfg.n_layers, cfg.n_kv_heads, num_pages, page_size,
@@ -344,11 +351,6 @@ class DecodeEngine:
                 )
             if draft_cfg.vocab_size != cfg.vocab_size:
                 raise ValueError("draft and target must share the vocab")
-            from cuda_flash_attention_tpu.decode.model import (
-                _check_uniform_window,
-            )
-
-            _check_uniform_window(draft_cfg)
             self.draft_cfg = draft_cfg
             self.draft_params = jax.tree.map(
                 lambda p: (
@@ -360,14 +362,23 @@ class DecodeEngine:
                 draft_params,
                 is_leaf=lambda x: isinstance(x, QuantizedTensor),
             )
-            try:
-                self.draft_params = {
-                    **self.draft_params,
-                    "layers": stack_layer_params(self.draft_params["layers"]),
-                }
-                self._draft_scanned = True
-            except ValueError:
-                self._draft_scanned = False
+            # The draft scans only when ITS windows are uniform (list path
+            # otherwise — same policy as the target).
+            draft_uniform = len(
+                {draft_cfg.layer_window(i) for i in range(draft_cfg.n_layers)}
+            ) == 1
+            self._draft_scanned = False
+            if draft_uniform:
+                try:
+                    self.draft_params = {
+                        **self.draft_params,
+                        "layers": stack_layer_params(
+                            self.draft_params["layers"]
+                        ),
+                    }
+                    self._draft_scanned = True
+                except ValueError:
+                    pass
             if self._draft_scanned:
                 self.draft_caches = init_kv_pages_stacked(
                     draft_cfg.n_layers, draft_cfg.n_kv_heads, num_pages,

@@ -49,7 +49,8 @@ from cuda_flash_attention_tpu.models.transformer import (
 from cuda_flash_attention_tpu.quant.linear import dense
 
 
-def _prefill_layer(x, layer, positions, cfg: TransformerConfig, mesh):
+def _prefill_layer(x, layer, positions, cfg: TransformerConfig, mesh,
+                   window=None):
     """One prefill layer: returns (x, (k, v)) with k/v post-RoPE
     [B, S, Hkv, D] — exactly what the cache stores."""
     b, s = x.shape[:2]
@@ -62,7 +63,7 @@ def _prefill_layer(x, layer, positions, cfg: TransformerConfig, mesh):
     o = gqa_flash_attention(
         q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
         v.transpose(0, 2, 1, 3), cfg=cfg, mesh=mesh, causal=True,
-        window=cfg.attn_window,
+        window=window,
     )
     o = o.transpose(0, 2, 1, 3).reshape(b, s, cfg.q_dim)
     x = x + dense(o, layer["wo"])
@@ -76,8 +77,9 @@ def prefill_forward(params, tokens, cfg: TransformerConfig, mesh=None):
     a list of (k, v) [B, S, Hkv, D] for list-form params, or a stacked
     (k [L, B, S, Hkv, D], v [L, ...]) pair for stacked params (the
     engine's scanned form).  With `mesh`, attention runs
-    head-parallel/ring exactly like training forward."""
-    _check_uniform_window(cfg)
+    head-parallel/ring exactly like training forward.  The LIST form
+    supports per-layer local/global windows (cfg.layer_window); the
+    stacked scan requires a uniform window."""
     b, s = tokens.shape
     positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s))
     # Gather THEN convert: casting the whole [vocab, d] table costs a
@@ -86,12 +88,16 @@ def prefill_forward(params, tokens, cfg: TransformerConfig, mesh=None):
     layers = params["layers"]
     if isinstance(layers, (list, tuple)):
         kv_out = []
-        for layer in layers:
-            x, kv = _prefill_layer(x, layer, positions, cfg, mesh)
+        for i, layer in enumerate(layers):
+            x, kv = _prefill_layer(x, layer, positions, cfg, mesh,
+                                   window=cfg.layer_window(i))
             kv_out.append(kv)
     else:
+        _check_uniform_window(cfg)
+
         def body(x, layer):
-            return _prefill_layer(x, layer, positions, cfg, mesh)
+            return _prefill_layer(x, layer, positions, cfg, mesh,
+                                  window=cfg.attn_window)
 
         x, kv_out = lax.scan(body, x, layers)
     x = rms_norm(x, params["final_norm"])
@@ -101,8 +107,10 @@ def prefill_forward(params, tokens, cfg: TransformerConfig, mesh=None):
 
 def _decode_layer(x, layer, pages, pos2, positions, attn_lengths, page_table,
                   active, cfg: TransformerConfig, mesh, interpret,
-                  compute_dtype):
-    """One decode layer over a per-layer KVPages: returns (x, new_pages)."""
+                  compute_dtype, window=None, sinks=0):
+    """One decode layer over a per-layer KVPages: returns (x, new_pages).
+    ``window``/``sinks`` are THIS layer's (local/global interleaves pass
+    cfg.layer_window(i) in the list path)."""
     n = x.shape[0]
     h = rms_norm(x, layer["attn_norm"])
     q = dense(h, layer["wq"]).reshape(n, 1, cfg.n_heads, cfg.head_dim)
@@ -122,7 +130,7 @@ def _decode_layer(x, layer, pages, pos2, positions, attn_lengths, page_table,
         o, pages = dp_tp_append_attend(
             mesh, q.astype(cfg.dtype), k, v, pages, page_table, positions,
             active, attn_lengths, compute_dtype=compute_dtype,
-            window=cfg.attn_window, sinks=cfg.attn_sinks,
+            window=window, sinks=sinks,
         )
     else:
         pages = append_token_kv(pages, k, v, page_table, positions, active)
@@ -133,14 +141,13 @@ def _decode_layer(x, layer, pages, pos2, positions, attn_lengths, page_table,
 
             o = tp_paged_decode_attention(
                 mesh, q.astype(cfg.dtype), pages, page_table, attn_lengths,
-                compute_dtype=compute_dtype, window=cfg.attn_window,
-                sinks=cfg.attn_sinks,
+                compute_dtype=compute_dtype, window=window, sinks=sinks,
             )
         else:
             o = paged_decode_attention(
                 q.astype(cfg.dtype), pages, page_table, attn_lengths,
-                compute_dtype=compute_dtype, window=cfg.attn_window,
-                sinks=cfg.attn_sinks, interpret=interpret,
+                compute_dtype=compute_dtype, window=window,
+                sinks=sinks, interpret=interpret,
             )  # [n, Hq, D]
     x = x + dense(o.reshape(n, cfg.q_dim), layer["wo"])
     x, _ = ffn_block(x, layer, cfg, mesh)  # dense or MoE (aux unused)
@@ -149,7 +156,8 @@ def _decode_layer(x, layer, pages, pos2, positions, attn_lengths, page_table,
 
 def _chunk_layer(x, layer, pages, pos_t, first_positions, total_lengths,
                  page_table, active, cfg: TransformerConfig, interpret,
-                 compute_dtype, paged_write=False, mesh=None):
+                 compute_dtype, paged_write=False, mesh=None, window=None,
+                 sinks=0):
     """One verification layer: T new tokens per slot flow [n, T, d_model];
     their K/V append to the paged cache, then chunked paged attention reads
     it back (each token causally bounded at its own position).
@@ -175,15 +183,15 @@ def _chunk_layer(x, layer, pages, pos_t, first_positions, total_lengths,
             mesh, q.astype(cfg.dtype), k, v, pages, page_table,
             first_positions, active, total_lengths,
             paged_write=paged_write, compute_dtype=compute_dtype,
-            window=cfg.attn_window, sinks=cfg.attn_sinks,
+            window=window, sinks=sinks,
         )
     else:
         write = write_chunk_kv_paged if paged_write else append_chunk_kv
         pages = write(pages, k, v, page_table, first_positions, active)
         o = paged_chunk_attention(
             q.astype(cfg.dtype), pages, page_table, total_lengths,
-            compute_dtype=compute_dtype, window=cfg.attn_window,
-            sinks=cfg.attn_sinks, interpret=interpret,
+            compute_dtype=compute_dtype, window=window,
+            sinks=sinks, interpret=interpret,
         )  # [n, T, Hq, D]
     x = x + dense(o.reshape(n, t, cfg.q_dim), layer["wo"])
     x, _ = ffn_block(x, layer, cfg, mesh)
@@ -212,8 +220,10 @@ def verify_step(
     With ``paged_write=True`` (page-aligned first_positions, T a multiple
     of the page size) this doubles as the CHUNKED-PREFILL step: prefix-
     cached requests push only their uncached suffix through the model
-    while attending the shared prefix pages."""
-    _check_uniform_window(cfg)
+    while attending the shared prefix pages.
+
+    The LIST caches form supports per-layer local/global windows
+    (cfg.layer_window); the stacked scan requires a uniform window."""
     n, t = chunk_tokens.shape
     x = params["embed"][chunk_tokens].astype(cfg.dtype)  # [n, T, d]
     pos_t = first_positions[:, None] + jnp.arange(t, dtype=jnp.int32)[None]
@@ -229,15 +239,20 @@ def verify_step(
         paged_write=paged_write, mesh=mesh,
     )
     if isinstance(caches, KVPages):
+        _check_uniform_window(cfg)
+
         def body(x, xs):
             layer, pages = xs
-            return step(x, layer, pages)
+            return step(x, layer, pages, window=cfg.attn_window,
+                        sinks=cfg.attn_sinks)
 
         x, new_caches = lax.scan(body, x, (params["layers"], caches))
     else:
         new_caches = []
-        for layer, pages in zip(params["layers"], caches):
-            x, pages = step(x, layer, pages)
+        for i, (layer, pages) in enumerate(zip(params["layers"], caches)):
+            w = cfg.layer_window(i)
+            x, pages = step(x, layer, pages, window=w,
+                            sinks=cfg.attn_sinks if w is not None else 0)
             new_caches.append(pages)
     x = rms_norm(x, params["final_norm"])
     logits = dense(x, params["lm_head"]).astype(jnp.float32)
@@ -272,8 +287,9 @@ def decode_step(
     """One decode step for all slots: append each layer's new K/V to the
     paged cache, attend over pages, return (logits [num_seqs, vocab],
     new_caches).  With `mesh`, attention runs head-parallel over the model
-    axis (decode/sharded.py) and dense projections partition under pjit."""
-    _check_uniform_window(cfg)
+    axis (decode/sharded.py) and dense projections partition under pjit.
+    The LIST caches form supports per-layer local/global windows
+    (cfg.layer_window); the stacked scan requires a uniform window."""
     # Gather THEN convert: casting the whole [vocab, d] table costs a
     # full-table HBM pass per step (profiled 0.3 ms at vocab 32k).
     x = params["embed"][tokens].astype(cfg.dtype)  # [n, d_model]
@@ -289,15 +305,20 @@ def decode_step(
         interpret=interpret, compute_dtype=compute_dtype,
     )
     if isinstance(caches, KVPages):  # stacked scan path
+        _check_uniform_window(cfg)
+
         def body(x, xs):
             layer, pages = xs
-            return step(x, layer, pages)
+            return step(x, layer, pages, window=cfg.attn_window,
+                        sinks=cfg.attn_sinks)
 
         x, new_caches = lax.scan(body, x, (params["layers"], caches))
     else:
         new_caches = []
-        for layer, pages in zip(params["layers"], caches):
-            x, pages = step(x, layer, pages)
+        for i, (layer, pages) in enumerate(zip(params["layers"], caches)):
+            w = cfg.layer_window(i)
+            x, pages = step(x, layer, pages, window=w,
+                            sinks=cfg.attn_sinks if w is not None else 0)
             new_caches.append(pages)
     x = rms_norm(x, params["final_norm"])
     logits = dense(x, params["lm_head"]).astype(jnp.float32)

@@ -49,6 +49,14 @@ for sflags in "" "--spec 4 --draft-layers 2"; do
     --cache-dtype bfloat16 $sflags 2>&1 | tee -a logs/spec_decode.log
 done
 
+# 8b. Chunked prefill: long-prompt admission latency bounded per step —
+#     engine throughput with and without prefill chunking (B8, 2k prompts).
+for cflags in "" "--prefill-chunk 512"; do
+  timeout 1800 python -m cuda_flash_attention_tpu.bench.decode_bench \
+    --config base --engine --batch 8 --prompt-len 2048 --gen 32 \
+    --cache-dtype int8 $cflags 2>&1 | tee -a logs/chunked_prefill.log
+done
+
 # 9. Sliding-window long-context prefill: S=16k global vs window=4k — the
 #    O(S*W) vs O(S^2/2) wall-clock gap on the real chip.
 timeout 1800 python - <<'PY' 2>&1 | tee logs/window_prefill.log

@@ -154,11 +154,51 @@ def test_engine_windowed_greedy_matches_full_forward():
     assert req.generated == full, f"paged {req.generated} vs full {full}"
 
 
-def test_engine_rejects_interleave():
+def test_engine_interleave_greedy_matches_full_forward():
+    """Local/global window interleave (global_every — Gemma-2 style)
+    serves through the per-layer LIST path: greedy decode must match
+    repeated full forwards (which natively interleave windows).  Page
+    recycling is disabled (the global layers pin history), but local
+    layers still window their attention."""
     cfg = dataclasses.replace(
-        TransformerConfig.tiny(), attn_window=64, global_every=2
+        TransformerConfig.tiny(), dtype=jnp.float32, attn_tile_dtype=None,
+        attn_window=16, global_every=2,
+    )
+    assert cfg.layer_window(0) == 16 and cfg.layer_window(1) is None
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    eng = DecodeEngine(params, cfg, max_seqs=1, max_seq_len=512,
+                       page_size=PAGE, cache_dtype=jnp.float32)
+    assert not eng._scanned  # interleave forces the per-layer list path
+    assert eng.window is None  # global layers pin history: no recycling
+    prompt = [5, 17, 100, 42] * 8  # 32 tokens > window
+    steps = 5
+    req = eng.run([prompt], max_new_tokens=steps)[0]
+
+    toks = list(prompt)
+    full = []
+    for _ in range(steps):
+        logits = forward(params, jnp.asarray([toks], jnp.int32), cfg)
+        nxt = int(jnp.argmax(logits[0, -1]))
+        full.append(nxt)
+        toks.append(nxt)
+    assert req.generated == full, f"paged {req.generated} vs full {full}"
+
+
+def test_engine_interleave_chunked_prefill_matches():
+    """Interleaved windows + chunked prefill: the per-layer chunk path
+    must reproduce the one-shot interleaved engine."""
+    cfg = dataclasses.replace(
+        TransformerConfig.tiny(), dtype=jnp.float32, attn_tile_dtype=None,
+        attn_window=64, global_every=2,
     )
     params = init_params(jax.random.PRNGKey(0), cfg)
-    with pytest.raises(NotImplementedError, match="uniform"):
-        DecodeEngine(params, cfg, max_seqs=1, max_seq_len=256,
-                     page_size=PAGE)
+    prompt = list(np.random.default_rng(3).integers(0, 200, size=300))
+    base = DecodeEngine(
+        params, cfg, max_seqs=1, max_seq_len=512, page_size=PAGE,
+        cache_dtype=jnp.float32,
+    ).run([prompt], max_new_tokens=4)[0].generated
+    eng = DecodeEngine(params, cfg, max_seqs=1, max_seq_len=512,
+                       page_size=PAGE, cache_dtype=jnp.float32,
+                       prefill_chunk=128)
+    r = eng.run([prompt], max_new_tokens=4)[0]
+    assert r.generated == base, (r.generated, base)
