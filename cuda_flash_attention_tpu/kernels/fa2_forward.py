@@ -239,13 +239,9 @@ def _fa2_fwd_small_kernel(
     if mask_kv_tail:
         mask &= (col % seq_pad) < kv_len
     if has_segments:
-        # Per-batch segment ids repeat per head along the packed axis.
-        qs = jnp.broadcast_to(
-            qseg_ref[0][None], (group, seq_pad, 1)
-        ).reshape(rows, 1)
-        ks = jnp.broadcast_to(
-            kvseg_ref[0][:, None, :], (1, group, seq_pad)
-        ).reshape(1, rows)
+        # Segment ids come PRE-EXPANDED per packed (batch, head) slot.
+        qs = qseg_ref[0].reshape(rows, 1)
+        ks = kvseg_ref[0].reshape(1, rows)
         mask &= qs == ks
     s += jnp.where(mask, 0.0, mask_value)
 
@@ -428,17 +424,34 @@ def fa2_forward_small_aligned(
     interpret=None,
     debug: bool = False,
 ):
-    """Small-shape forward: grid (B, H/G) with G heads per cell.  At tiny
-    sequence lengths the per-cell grid/DMA overhead dominates; sweeping the
-    group's heads inside one cell keeps the MXU queue fed.  Returns
+    """Small-shape forward: the (batch, head) axes FUSE into one packing
+    axis — packed slots never attend each other (the kernel's
+    block-diagonal mask isolates them), so batch rows pack exactly like
+    heads.  Grid ((B*H)/G,) with G slots per cell: at tiny sequence
+    lengths the per-cell grid/DMA/instruction overhead dominates, and the
+    Edge configs (B1-B4, few heads) left most cells nearly empty when
+    only heads grouped (round-2 verdict #7).  Returns
     (O, lse_col [B, H, S_pad, 1])."""
     batch, heads, seq_pad, head_dim = q.shape
     assert seq_pad <= NUM_LANES and k.shape[2] == seq_pad
-    # Largest divisor of `heads` keeping the packed score tile <= 512 rows
+    fused = batch * heads
+    q = q.reshape(1, fused, seq_pad, head_dim)
+    k = k.reshape(1, fused, seq_pad, head_dim)
+    v = v.reshape(1, fused, seq_pad, v.shape[-1])
+    has_segments = q_seg is not None
+    if has_segments:
+        # Expand per-batch segment ids to per packed slot.
+        q_seg = jnp.broadcast_to(
+            q_seg[:, None], (batch, heads, seq_pad, 1)
+        ).reshape(1, fused, seq_pad, 1)
+        kv_seg = jnp.broadcast_to(
+            kv_seg[:, None], (batch, heads, 1, seq_pad)
+        ).reshape(1, fused, 1, seq_pad)
+    # Largest divisor of `fused` keeping the packed score tile <= 512 rows
     # (scores grow quadratically in group*seq_pad; 512x512 fp32 = 1 MB VMEM
     # and a single well-filled MXU op).
-    group = max(1, min(heads, 512 // seq_pad))
-    while heads % group:
+    group = max(1, min(fused, 512 // seq_pad))
+    while fused % group:
         group -= 1
 
     fold_rowsum = use_fold_rowsum(head_dim, tile_dtype, q.dtype)
@@ -446,10 +459,9 @@ def fa2_forward_small_aligned(
         v = augment_v(v)
     v_width = v.shape[-1]
 
-    def qkv_map(b, hg):
-        return (b, hg, 0, 0)
+    def qkv_map(g):
+        return (0, g, 0, 0)
 
-    has_segments = q_seg is not None
     kernel = functools.partial(
         _fa2_fwd_small_kernel,
         sm_scale=sm_scale, causal=causal, mask_value=DEFAULT_MASK_VALUE,
@@ -465,13 +477,13 @@ def fa2_forward_small_aligned(
     inputs = [q, k, v]
     if has_segments:
         in_specs += [
-            pl.BlockSpec((1, seq_pad, 1), lambda b, hg: (b, 0, 0)),
-            pl.BlockSpec((1, 1, seq_pad), lambda b, hg: (b, 0, 0)),
+            pl.BlockSpec((1, group, seq_pad, 1), qkv_map),
+            pl.BlockSpec((1, group, 1, seq_pad), qkv_map),
         ]
         inputs += [q_seg, kv_seg]
     o, lse = pl.pallas_call(
         kernel,
-        grid=(batch, heads // group),
+        grid=(fused // group,),
         in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((1, group, seq_pad, head_dim), qkv_map),
@@ -479,15 +491,18 @@ def fa2_forward_small_aligned(
         ),
         out_shape=(
             jax.ShapeDtypeStruct(q.shape, q.dtype),
-            jax.ShapeDtypeStruct((batch, heads, seq_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, fused, seq_pad, 1), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
+            dimension_semantics=("parallel",),
         ),
         interpret=resolve_interpret(interpret),
         debug=debug,
     )(*inputs)
-    return o, lse
+    return (
+        o.reshape(batch, heads, seq_pad, head_dim),
+        lse.reshape(batch, heads, seq_pad, 1),
+    )
 
 
 @functools.partial(
