@@ -147,10 +147,44 @@ class DecodeEngine:
         # disabled (self.window = None).
         if cfg.attn_sinks and cfg.attn_window is None:
             raise ValueError("attn_sinks require attn_window")
-        wins = {cfg.layer_window(i) for i in range(cfg.n_layers)}
-        self._uniform_window = len(wins) == 1
-        self.window = cfg.attn_window if None not in wins else None
-        self.sinks = cfg.attn_sinks if self.window is not None else 0
+        # Window GROUPS (the HYBRID KV cache): layers sharing a window form
+        # a group with its OWN page table + allocator, so local groups keep
+        # recycling pages behind their window while global groups retain
+        # full history — under an interleave, per-sequence cache memory for
+        # the local half stays window-bounded instead of generation-bounded
+        # (Gemma-2-style hybrid cache).  Uniform models have one group and
+        # reduce to the classic single-table engine.
+        self._group_windows: list[int | None] = []
+        self._layer_group: list[int] = []
+        for i in range(cfg.n_layers):
+            w = cfg.layer_window(i)
+            if w not in self._group_windows:
+                self._group_windows.append(w)
+            self._layer_group.append(self._group_windows.index(w))
+        self.n_groups = len(self._group_windows)
+        self._uniform_window = self.n_groups == 1
+        if self.n_groups > 1:
+            if mesh is not None:
+                raise NotImplementedError(
+                    "hybrid (multi-window-group) cache is single-host: "
+                    "per-group tables are not sharded yet"
+                )
+            if spec_tokens:
+                raise NotImplementedError(
+                    "hybrid cache + speculation: the draft's group "
+                    "mirroring is not wired"
+                )
+            if prefix_cache:
+                raise NotImplementedError(
+                    "hybrid cache + prefix caching: per-group prefix maps "
+                    "are not wired"
+                )
+        # self.window drives the WHOLE-sequence rolling bound (admission +
+        # max_seq_len budget): only meaningful when EVERY layer is windowed.
+        self.window = (
+            cfg.attn_window if None not in self._group_windows else None
+        )
+        self.sinks = cfg.attn_sinks if cfg.attn_window is not None else 0
         self.pages_per_seq = _cdiv(max_seq_len, page_size)
         self.temperature = temperature
         self.top_k = top_k
@@ -199,6 +233,13 @@ class DecodeEngine:
         self.shard_pages = num_pages // self.dp
         self.allocators = [
             PageAllocator(self.shard_pages) for _ in range(self.dp)
+        ]
+        # Per-group allocators: group 0 IS self.allocators (uniform models
+        # never see the extra groups); each group allocates ids into its
+        # own layers' pools independently.
+        self._group_allocs: list[list[PageAllocator]] = [self.allocators] + [
+            [PageAllocator(self.shard_pages) for _ in range(self.dp)]
+            for _ in range(self.n_groups - 1)
         ]
         # Scanned fast path: homogeneous layers stack into [L, ...] leaves
         # and the cache into one stacked KVPages, so the whole layer loop
@@ -286,9 +327,14 @@ class DecodeEngine:
             )
 
         # Host-side slot state (numpy; shipped to device each step — tiny).
+        # self.page_table IS group 0's table (one object); extra window
+        # groups get their own (hybrid cache).
         self.page_table = np.zeros(
             (max_seqs, self.pages_per_seq), dtype=np.int32
         )
+        self._tables = [self.page_table] + [
+            np.zeros_like(self.page_table) for _ in range(self.n_groups - 1)
+        ]
         self.lengths = np.zeros((max_seqs,), dtype=np.int32)
         self.active = np.zeros((max_seqs,), dtype=bool)
         self.last_token = np.zeros((max_seqs,), dtype=np.int32)
@@ -298,13 +344,19 @@ class DecodeEngine:
         self.prefilling = np.zeros((max_seqs,), dtype=bool)
         self._prefill_pos = np.zeros((max_seqs,), dtype=np.int64)
         self._slot_req: list[Request | None] = [None] * max_seqs
-        self._slot_pages: list[list[int]] = [[] for _ in range(max_seqs)]
-        # Worst-case page need per occupied slot (admission reservation):
-        # ceil((prompt + max_new) / page_size).  _admit only takes a request
-        # when the allocator can cover every active slot's remaining growth
-        # PLUS the newcomer's worst case, so _ensure_page/_prefill never hit
+        # Physical page ids per slot, PER WINDOW GROUP (uniform models use
+        # only [slot][0]).
+        self._slot_pages: list[list[list[int]]] = [
+            [[] for _ in range(self.n_groups)] for _ in range(max_seqs)
+        ]
+        # Worst-case page need per occupied slot, per group (admission
+        # reservation): _admit only takes a request when every group's
+        # allocator can cover every active slot's remaining growth PLUS the
+        # newcomer's worst case, so _ensure_page/_prefill never hit
         # MemoryError mid-serving (requests queue instead).
-        self._slot_worst: list[int] = [0] * max_seqs
+        self._slot_worst: list[list[int]] = [
+            [0] * self.n_groups for _ in range(max_seqs)
+        ]
         self._pending: deque[Request] = deque()
         self._next_uid = 0
         self._key = jax.random.PRNGKey(seed)
@@ -703,7 +755,7 @@ class DecodeEngine:
                 f"prompt+generation ({len(prompt)}+{max_new_tokens}) exceeds "
                 f"max_seq_len {self.pages_per_seq * self.page_size}"
             )
-        worst = self._worst_pages_for(len(prompt), max_new_tokens)
+        worst = max(self._worst_pages_for(len(prompt), max_new_tokens))
         # Local page 0 of each data shard is its reserved null page.
         if worst > self.shard_pages - 1:
             raise ValueError(
@@ -759,11 +811,27 @@ class DecodeEngine:
         return [i for i in range(self.max_seqs) if not self.active[i]
                 and self._slot_req[i] is None]
 
-    def _worst_pages_for(self, prompt_len: int, max_new_tokens: int) -> int:
-        """Worst-case CONCURRENT page need for admission gating.  With a
-        sliding window, stale pages are recycled every step, so concurrency
-        is bounded by max(prefill footprint, window-live pages) instead of
-        the whole prompt+generation length."""
+    def _galloc(self, shard: int, g: int) -> PageAllocator:
+        return self._group_allocs[g][shard]
+
+    def _tables_dev(self, copy: bool = False):
+        """Device form of the page table(s): one array for a homogeneous
+        cache, a PER-LAYER tuple under the hybrid cache (layers of a group
+        share the same array object — jit dedups the upload)."""
+        mk = jnp.array if copy else jnp.asarray
+        if self.n_groups == 1:
+            return mk(self.page_table)
+        devs = [mk(t) for t in self._tables]
+        return tuple(
+            devs[self._layer_group[i]] for i in range(self.cfg.n_layers)
+        )
+
+    def _worst_pages_for(self, prompt_len: int,
+                         max_new_tokens: int) -> list[int]:
+        """Worst-case CONCURRENT page need for admission gating, PER window
+        group.  With a sliding window, a group's stale pages are recycled
+        every step, so its concurrency is bounded by max(prefill footprint,
+        window-live pages) instead of the whole prompt+generation length."""
         # Speculative chunks overshoot the final length by up to
         # spec_tokens appended-but-rejected positions.  (Chunked prefill
         # needs no extra margin: its tail chunk is page-rounded, and pages
@@ -771,45 +839,59 @@ class DecodeEngine:
         total = _cdiv(
             prompt_len + max_new_tokens + self.spec_tokens, self.page_size
         )
-        if self.window is None:
-            return total
-        # Live span covers [len - window, len + spec] — it straddles at
-        # most cdiv(window + spec, page) + 1 pages — plus the resident
-        # attention-sink pages; prefill writes the whole prompt before any
-        # recycling can happen.
-        live = (
-            _cdiv(self.window + self.spec_tokens, self.page_size) + 1
-            + _cdiv(self.sinks, self.page_size)
-        )
-        prefill = _cdiv(prompt_len, self.page_size)
-        return min(total, max(live, prefill))
+        out = []
+        for w in self._group_windows:
+            if w is None:
+                out.append(total)
+                continue
+            # Live span covers [len - window, len + spec] — at most
+            # cdiv(window + spec, page) + 1 pages — plus the resident
+            # attention-sink pages.
+            live = (
+                _cdiv(w + self.spec_tokens, self.page_size) + 1
+                + _cdiv(self.sinks, self.page_size)
+            )
+            prefill = _cdiv(prompt_len, self.page_size)
+            if (self.prefill_chunk is not None
+                    and prompt_len > self.prefill_chunk):
+                # Chunked prefill recycles this group's pages BETWEEN
+                # chunks, so its prefill concurrency is chunk+window
+                # bounded, not prompt bounded.
+                prefill = min(
+                    prefill,
+                    _cdiv(self.prefill_chunk, self.page_size) + live,
+                )
+            out.append(min(total, max(live, prefill)))
+        return out
 
-    def _worst_pages(self, req: Request) -> int:
+    def _worst_pages(self, req: Request) -> list[int]:
         return self._worst_pages_for(len(req.prompt), req.max_new_tokens)
 
-    def _live_page_count(self, slot: int) -> int:
-        return sum(1 for p in self._slot_pages[slot] if p is not None)
+    def _live_page_count(self, slot: int, g: int) -> int:
+        return sum(1 for p in self._slot_pages[slot][g] if p is not None)
 
     def _recycle_stale(self, slot: int):
-        """Free pages entirely behind the sliding window (rolling cache).
-        Logical page indices keep their position in _slot_pages (None
-        placeholder) so append targeting stays length-indexed; the kernel's
-        page map never dereferences dead entries."""
-        if self.window is None:
-            return
-        horizon = int(self.lengths[slot]) - self.window
-        if horizon <= 0:
-            return
-        pages = self._slot_pages[slot]
+        """Free pages entirely behind each WINDOWED group's sliding window
+        (rolling cache).  Logical page indices keep their position in
+        _slot_pages (None placeholder) so append targeting stays
+        length-indexed; the kernel's page map never dereferences dead
+        entries.  Global groups (window None) never recycle."""
         shard = self._slot_shard(slot)
-        for pi, pid in enumerate(pages):
-            if pid is None or (pi + 1) * self.page_size > horizon:
+        for g, w in enumerate(self._group_windows):
+            if w is None:
                 continue
-            if pi * self.page_size < self.sinks:
-                continue  # attention-sink pages stay resident forever
-            self.allocators[shard].free([pid])
-            pages[pi] = None
-            self.page_table[slot, pi] = 0
+            horizon = int(self.lengths[slot]) - w
+            if horizon <= 0:
+                continue
+            pages = self._slot_pages[slot][g]
+            for pi, pid in enumerate(pages):
+                if pid is None or (pi + 1) * self.page_size > horizon:
+                    continue
+                if pi * self.page_size < self.sinks:
+                    continue  # attention-sink pages stay resident forever
+                self._galloc(shard, g).free([pid])
+                pages[pi] = None
+                self._tables[g][slot, pi] = 0
 
     def _slot_shard(self, slot: int) -> int:
         return slot // self._slots_per_shard
@@ -832,37 +914,50 @@ class DecodeEngine:
             )
         return self.allocators[0]
 
-    def _shard_budgets(self) -> list[int]:
-        """Allocatable pages per data shard, minus pages already promised
-        to that shard's active slots but not yet allocated (live pages only
-        — recycled window pages return to the pool)."""
-        budgets = [a.available for a in self.allocators]
+    def _shard_budgets(self) -> list[list[int]]:
+        """Allocatable pages per (data shard, window group), minus pages
+        already promised to that shard's active slots but not yet allocated
+        (live pages only — recycled window pages return to the pool)."""
+        budgets = [
+            [self._galloc(sh, g).available for g in range(self.n_groups)]
+            for sh in range(self.dp)
+        ]
         for s in range(self.max_seqs):
-            budgets[self._slot_shard(s)] -= max(
-                0, self._slot_worst[s] - self._live_page_count(s)
-            )
+            sh = self._slot_shard(s)
+            for g in range(self.n_groups):
+                budgets[sh][g] -= max(
+                    0, self._slot_worst[s][g] - self._live_page_count(s, g)
+                )
         return budgets
 
     def _admit(self):
         """Admit pending requests: same-length-bucket requests prefill as
         ONE batched forward (continuous batching's admission path).
         Admission is gated on BOTH free slots and the page budget of the
-        slot's data shard (FIFO: head-of-line blocks until some shard has
-        capacity)."""
+        slot's data shard — every window group must fit (FIFO: head-of-line
+        blocks until some shard has capacity)."""
         free = self._free_slots()
         budgets = self._shard_budgets()
         take: list[tuple[Request, int]] = []
         while self._pending and free:
             worst = self._worst_pages(self._pending[0])
-            # First free slot whose shard can cover the worst case.
+            # First free slot whose shard can cover the worst case in
+            # EVERY group's pool.
             slot = next(
-                (s for s in free if budgets[self._slot_shard(s)] >= worst),
+                (
+                    s for s in free
+                    if all(
+                        budgets[self._slot_shard(s)][g] >= worst[g]
+                        for g in range(self.n_groups)
+                    )
+                ),
                 None,
             )
             if slot is None:
                 break
             free.remove(slot)
-            budgets[self._slot_shard(slot)] -= worst
+            for g in range(self.n_groups):
+                budgets[self._slot_shard(slot)][g] -= worst[g]
             take.append((self._pending.popleft(), slot))
         if not take:
             return
@@ -969,15 +1064,19 @@ class DecodeEngine:
             prompt_len = len(req.prompt)
             n_pages = _cdiv(prompt_len, self.page_size)
             shard = self._slot_shard(slot)
-            page_ids = self.allocators[shard].alloc(n_pages)  # LOCAL ids
-            self._slot_pages[slot] = page_ids
-            self.page_table[slot, :] = 0
-            self.page_table[slot, :n_pages] = page_ids
-            # The prefill write scatters into the GLOBAL (data-sharded)
-            # pool; decode-side tables stay local per shard.
-            ids_dev = jnp.asarray(
-                [shard * self.shard_pages + p for p in page_ids], jnp.int32
-            )
+            # Per window group: LOCAL ids into that group's pool; the
+            # prefill write scatters into the GLOBAL (data-sharded) pool,
+            # decode-side tables stay local per shard.
+            ids_dev = []
+            for g in range(self.n_groups):
+                page_ids = self._galloc(shard, g).alloc(n_pages)
+                self._slot_pages[slot][g] = list(page_ids)
+                self._tables[g][slot, :] = 0
+                self._tables[g][slot, :n_pages] = page_ids
+                ids_dev.append(jnp.asarray(
+                    [shard * self.shard_pages + p for p in page_ids],
+                    jnp.int32,
+                ))
             kv_len = n_pages * self.page_size
             if self._scanned:
                 # kv = (k [L, B, S, Hkv, D], v [L, ...]): every layer's
@@ -985,27 +1084,28 @@ class DecodeEngine:
                 k_all, v_all = kv
                 self.caches = self._write_fn(
                     self.caches, k_all[:, i, :kv_len], v_all[:, i, :kv_len],
-                    ids_dev,
+                    ids_dev[0],
                 )
             else:
                 for li in range(self.cfg.n_layers):
                     k, v = kv[li]
                     self.caches[li] = self._write_fn(
-                        self.caches[li], k[i, :kv_len], v[i, :kv_len], ids_dev
+                        self.caches[li], k[i, :kv_len], v[i, :kv_len],
+                        ids_dev[self._layer_group[li]],
                     )
             if self.spec_tokens:
                 if self._draft_scanned:
                     dk_all, dv_all = draft_kv
                     self.draft_caches = self._draft_write_fn(
                         self.draft_caches, dk_all[:, i, :kv_len],
-                        dv_all[:, i, :kv_len], ids_dev,
+                        dv_all[:, i, :kv_len], ids_dev[0],
                     )
                 else:
                     for li in range(self.draft_cfg.n_layers):
                         dk, dv = draft_kv[li]
                         self.draft_caches[li] = self._draft_write_fn(
                             self.draft_caches[li], dk[i, :kv_len],
-                            dv[i, :kv_len], ids_dev,
+                            dv[i, :kv_len], ids_dev[0],
                         )
             first = int(firsts[i])
             self._emit(
@@ -1049,7 +1149,7 @@ class DecodeEngine:
         length, so the content is immutable for the page's lifetime."""
         ps = self.page_size
         shard = self._slot_shard(slot)
-        pages = self._slot_pages[slot]
+        pages = self._slot_pages[slot][0]  # prefix cache: uniform (1 group)
         for i in range(len(req.prompt) // ps):
             pid = pages[i] if i < len(pages) else None
             if pid is None or pid in self._page_keys[shard]:
@@ -1080,7 +1180,7 @@ class DecodeEngine:
         self.allocators[shard].share(hits)
         new_ids = self.allocators[shard].alloc(pad_len // ps)
         pages = list(hits) + new_ids
-        self._slot_pages[slot] = pages
+        self._slot_pages[slot][0] = pages  # prefix cache: uniform (1 group)
         self.page_table[slot, :] = 0
         self.page_table[slot, :len(pages)] = pages
 
@@ -1120,13 +1220,20 @@ class DecodeEngine:
     def _start_chunked_prefill(self, req: Request, slot: int):
         """Admit a long prompt WITHOUT running its forward: allocate its
         prompt pages, mark the slot PREFILLING, and let step() advance it
-        one chunk at a time (decode slots keep stepping in parallel)."""
+        one chunk at a time (decode slots keep stepping in parallel).
+        Windowed groups allocate lazily per chunk (_ensure_page) so their
+        concurrency stays chunk+window bounded; global groups take the
+        whole prompt's pages up front."""
         n_pages = _cdiv(len(req.prompt), self.page_size)
         shard = self._slot_shard(slot)
-        page_ids = self.allocators[shard].alloc(n_pages)
-        self._slot_pages[slot] = page_ids
-        self.page_table[slot, :] = 0
-        self.page_table[slot, :n_pages] = page_ids
+        for g, w in enumerate(self._group_windows):
+            n_g = n_pages if w is None else min(
+                n_pages, _cdiv(self.prefill_chunk, self.page_size)
+            )
+            page_ids = self._galloc(shard, g).alloc(n_g)
+            self._slot_pages[slot][g] = list(page_ids)
+            self._tables[g][slot, :] = 0
+            self._tables[g][slot, :n_g] = page_ids
         req.slot = slot
         self._slot_req[slot] = req
         self._slot_worst[slot] = self._worst_pages(req)
@@ -1163,6 +1270,10 @@ class DecodeEngine:
                 # by decode appends.
                 first_pos[s] = start
                 mask[s] = True
+                # Windowed groups allocate lazily: grow their page lists to
+                # cover this chunk's writes (recycled between chunks, so
+                # their concurrency stays chunk+window bounded).
+                self._ensure_pages_upto(s, start + size)
             # COPY every host-built input (jnp.array, not asarray):
             # intermediate chunks have no readback sync, so the async
             # computation may still be reading while the host mutates
@@ -1170,14 +1281,14 @@ class DecodeEngine:
             # asarray aliasing produced process-dependent wrong logits.
             logits, self.caches = self._chunk_fn(
                 self.params, jnp.array(tokens), jnp.array(first_pos),
-                self.caches, jnp.array(self.page_table),
+                self.caches, self._tables_dev(copy=True),
                 jnp.array(mask),
             )
             if self.spec_tokens:
                 _, self.draft_caches = self._draft_chunk_fn(
                     self.draft_params, jnp.array(tokens),
                     jnp.array(first_pos), self.draft_caches,
-                    jnp.array(self.page_table), jnp.array(mask),
+                    self._tables_dev(copy=True), jnp.array(mask),
                 )
             if self._interpret_sync:
                 # Pallas INTERPRET mode (CPU test fabric): back-to-back
@@ -1223,15 +1334,26 @@ class DecodeEngine:
                         self._register_prefix(req, s)
                     self._maybe_finish(req, first)
 
+    def _ensure_pages_upto(self, slot: int, end_pos: int):
+        """Grow every group's page list so positions < end_pos are
+        writable (logical page indices count None placeholders, so
+        recycled entries keep appends length-indexed)."""
+        needed = _cdiv(end_pos, self.page_size)
+        shard = self._slot_shard(slot)
+        for g in range(self.n_groups):
+            pages = self._slot_pages[slot][g]
+            while len(pages) < needed:
+                (pid,) = self._galloc(shard, g).alloc(1)
+                pages.append(pid)
+                self._tables[g][slot, len(pages) - 1] = pid
+
     def _ensure_page(self, slot: int, extra: int = 0):
-        """Grow the slot's page list so positions lengths[slot] ..
-        lengths[slot]+extra are writable (extra > 0 for speculative chunks
-        that append several tokens in one round)."""
-        needed = (self.lengths[slot] + extra) // self.page_size + 1
-        while len(self._slot_pages[slot]) < needed:
-            (pid,) = self.allocators[self._slot_shard(slot)].alloc(1)
-            self._slot_pages[slot].append(pid)
-            self.page_table[slot, len(self._slot_pages[slot]) - 1] = pid
+        """Grow page lists so positions lengths[slot] .. lengths[slot]+extra
+        are writable (extra > 0 for speculative chunks that append several
+        tokens in one round)."""
+        self._ensure_pages_upto(
+            slot, int(self.lengths[slot]) + extra + 1
+        )
 
     def _maybe_finish(self, req: Request, token: int):
         if req.done:
@@ -1243,15 +1365,17 @@ class DecodeEngine:
 
     def _retire(self, slot: int) -> Request:
         req = self._slot_req[slot]
-        self.allocators[self._slot_shard(slot)].free(
-            [p for p in self._slot_pages[slot] if p is not None]
-        )
-        self._slot_pages[slot] = []
-        self.page_table[slot, :] = 0
+        shard = self._slot_shard(slot)
+        for g in range(self.n_groups):
+            self._galloc(shard, g).free(
+                [p for p in self._slot_pages[slot][g] if p is not None]
+            )
+            self._slot_pages[slot][g] = []
+            self._tables[g][slot, :] = 0
         self.lengths[slot] = 0
         self.active[slot] = False
         self._slot_req[slot] = None
-        self._slot_worst[slot] = 0
+        self._slot_worst[slot] = [0] * self.n_groups
         return req
 
     def _drain_finished(self, finished: list):
@@ -1299,7 +1423,7 @@ class DecodeEngine:
             self.caches,
             jnp.asarray(self.last_token),
             jnp.asarray(self.lengths),
-            jnp.asarray(self.page_table),
+            self._tables_dev(),
             jnp.asarray(self.active),
             sub,
         )
@@ -1337,7 +1461,7 @@ class DecodeEngine:
                 self._ensure_page(slot, extra=k)
 
         positions = jnp.asarray(self.lengths)
-        pt = jnp.asarray(self.page_table)
+        pt = self._tables_dev()  # spec is gated to one window group
         act = jnp.asarray(self.active)
         sampled = self.temperature > 0.0
         if sampled:

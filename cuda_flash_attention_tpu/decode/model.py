@@ -49,6 +49,16 @@ from cuda_flash_attention_tpu.models.transformer import (
 from cuda_flash_attention_tpu.quant.linear import dense
 
 
+def _table_for(page_table, i: int):
+    """Per-layer page-table selector: the engine passes ONE table for a
+    homogeneous cache, or a per-layer tuple under the HYBRID cache (layers
+    grouped by window share a table; local groups recycle pages behind
+    their window while global groups keep full history)."""
+    if isinstance(page_table, (list, tuple)):
+        return page_table[i]
+    return page_table
+
+
 def _prefill_layer(x, layer, positions, cfg: TransformerConfig, mesh,
                    window=None):
     """One prefill layer: returns (x, (k, v)) with k/v post-RoPE
@@ -234,7 +244,7 @@ def verify_step(
     step = functools.partial(
         _chunk_layer,
         pos_t=pos_t, first_positions=first_positions,
-        total_lengths=total_lengths, page_table=page_table, active=active,
+        total_lengths=total_lengths, active=active,
         cfg=cfg, interpret=interpret, compute_dtype=compute_dtype,
         paged_write=paged_write, mesh=mesh,
     )
@@ -243,15 +253,16 @@ def verify_step(
 
         def body(x, xs):
             layer, pages = xs
-            return step(x, layer, pages, window=cfg.attn_window,
-                        sinks=cfg.attn_sinks)
+            return step(x, layer, pages, page_table=page_table,
+                        window=cfg.attn_window, sinks=cfg.attn_sinks)
 
         x, new_caches = lax.scan(body, x, (params["layers"], caches))
     else:
         new_caches = []
         for i, (layer, pages) in enumerate(zip(params["layers"], caches)):
             w = cfg.layer_window(i)
-            x, pages = step(x, layer, pages, window=w,
+            x, pages = step(x, layer, pages,
+                            page_table=_table_for(page_table, i), window=w,
                             sinks=cfg.attn_sinks if w is not None else 0)
             new_caches.append(pages)
     x = rms_norm(x, params["final_norm"])
@@ -301,7 +312,7 @@ def decode_step(
     step = functools.partial(
         _decode_layer,
         pos2=pos2, positions=positions, attn_lengths=attn_lengths,
-        page_table=page_table, active=active, cfg=cfg, mesh=mesh,
+        active=active, cfg=cfg, mesh=mesh,
         interpret=interpret, compute_dtype=compute_dtype,
     )
     if isinstance(caches, KVPages):  # stacked scan path
@@ -309,15 +320,16 @@ def decode_step(
 
         def body(x, xs):
             layer, pages = xs
-            return step(x, layer, pages, window=cfg.attn_window,
-                        sinks=cfg.attn_sinks)
+            return step(x, layer, pages, page_table=page_table,
+                        window=cfg.attn_window, sinks=cfg.attn_sinks)
 
         x, new_caches = lax.scan(body, x, (params["layers"], caches))
     else:
         new_caches = []
         for i, (layer, pages) in enumerate(zip(params["layers"], caches)):
             w = cfg.layer_window(i)
-            x, pages = step(x, layer, pages, window=w,
+            x, pages = step(x, layer, pages,
+                            page_table=_table_for(page_table, i), window=w,
                             sinks=cfg.attn_sinks if w is not None else 0)
             new_caches.append(pages)
     x = rms_norm(x, params["final_norm"])

@@ -55,7 +55,7 @@ def test_prefix_hit_shares_pages_and_matches_uncached():
     # B needed only ONE new page (its 1-page padded suffix); the 2 prefix
     # pages are shared, not copied.
     assert avail_after_a - eng.allocator.available == 1
-    assert eng.allocator.refcount(eng._slot_pages[0][0]) == 2
+    assert eng.allocator.refcount(eng._slot_pages[0][0][0]) == 2
     reqs = []
     while len(reqs) < 2:
         reqs.extend(eng.step())
@@ -154,7 +154,7 @@ def test_prefix_cache_dp_tp_mesh():
     done = []
     done.extend(eng.step())
     # Both slots live on shard 0 and share the 2 physical prefix pages.
-    assert eng._slot_pages[0][:2] == eng._slot_pages[1][:2]
+    assert eng._slot_pages[0][0][:2] == eng._slot_pages[1][0][:2]
     for _ in range(16):
         done.extend(eng.step())
         if len(done) == 2:

@@ -150,6 +150,6 @@ def test_engine_keeps_sink_page_resident():
     eng.submit(prompt, max_new_tokens=64)
     for _ in range(8):
         eng.step()
-    pages = eng._slot_pages[0]
+    pages = eng._slot_pages[0][0]  # slot 0, window group 0
     assert pages[0] is not None          # sink page resident
     assert any(p is None for p in pages[1:3])  # rolling middle recycled

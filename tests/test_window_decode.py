@@ -129,7 +129,7 @@ def test_engine_rolling_cache_bounded_memory():
     # Every page returned to the pool (page 0 is the reserved null page).
     assert eng.allocator.available == eng.allocator.num_pages - 1
     # Live pages never exceeded the window bound (2) + the growth page.
-    assert eng._slot_pages[0] == []
+    assert eng._slot_pages[0] == [[]]  # one (empty) list per window group
 
 
 @pytest.mark.slow
