@@ -309,6 +309,10 @@ class DecodeEngine:
                     f"max(128, page_size) = {quantum} (page-aligned "
                     f"verify_step writes); got {prefill_chunk}"
                 )
+        if prefill_chunk is not None or prefix_cache:
+            # ONE jitted chunked-forward serves both chunked prefill and
+            # prefix-cache suffixes (identical program; two wrappers would
+            # double every shape bucket's compile).
             self._chunk_fn = jax.jit(
                 functools.partial(
                     verify_step, cfg=cfg, paged_write=True, mesh=mesh,
@@ -316,15 +320,17 @@ class DecodeEngine:
                 ),
                 donate_argnums=(3,),
             )
-            from cuda_flash_attention_tpu.kernels.common import (
-                resolve_interpret,
-            )
+        from cuda_flash_attention_tpu.kernels.common import resolve_interpret
 
-            self._interpret_sync = (
-                resolve_interpret(interpret)
-                or (mesh is not None
-                    and mesh.devices.flat[0].platform != "tpu")
-            )
+        # Interpreted backends need a barrier between back-to-back
+        # donated-cache programs that lack a readback (see
+        # _chunk_prefill_step) — compiled TPU programs sequence donated
+        # buffers correctly.
+        self._interpret_sync = (
+            resolve_interpret(interpret)
+            or (mesh is not None
+                and mesh.devices.flat[0].platform != "tpu")
+        )
 
         # Host-side slot state (numpy; shipped to device each step — tiny).
         # self.page_table IS group 0's table (one object); extra window
@@ -572,21 +578,18 @@ class DecodeEngine:
                 alloc.on_last_free = functools.partial(
                     self._drop_prefix_entry, sh
                 )
-            self._suffix_fn = jax.jit(
-                functools.partial(
-                    verify_step, cfg=cfg, paged_write=True, mesh=mesh,
-                    interpret=interpret,
-                ),
-                donate_argnums=(3,),
-            )
+            # Same program as chunked prefill — alias, don't re-jit.
+            self._suffix_fn = self._chunk_fn
             if self.spec_tokens:
-                self._draft_suffix_fn = jax.jit(
-                    functools.partial(
-                        verify_step, cfg=draft_cfg, paged_write=True,
-                        mesh=mesh, interpret=interpret,
-                    ),
-                    donate_argnums=(3,),
-                )
+                if self.prefill_chunk is None:
+                    self._draft_chunk_fn = jax.jit(
+                        functools.partial(
+                            verify_step, cfg=draft_cfg, paged_write=True,
+                            mesh=mesh, interpret=interpret,
+                        ),
+                        donate_argnums=(3,),
+                    )
+                self._draft_suffix_fn = self._draft_chunk_fn
 
     # ------------------------------------------------------------------
     # Device step
@@ -750,10 +753,16 @@ class DecodeEngine:
     def _validate_request(self, prompt: list[int], max_new_tokens: int):
         if not prompt:
             raise ValueError("empty prompt")
-        if len(prompt) + max_new_tokens > self.pages_per_seq * self.page_size:
+        # Speculative rounds append up to spec_tokens positions past the
+        # final length (rejected drafts' KV) — those writes need real table
+        # columns, or the page lookup would clamp into the LAST live page
+        # and corrupt it.
+        need = len(prompt) + max_new_tokens + self.spec_tokens
+        if need > self.pages_per_seq * self.page_size:
             raise ValueError(
-                f"prompt+generation ({len(prompt)}+{max_new_tokens}) exceeds "
-                f"max_seq_len {self.pages_per_seq * self.page_size}"
+                f"prompt+generation (+{self.spec_tokens} speculative "
+                f"overshoot) = {need} exceeds max_seq_len "
+                f"{self.pages_per_seq * self.page_size}"
             )
         worst = max(self._worst_pages_for(len(prompt), max_new_tokens))
         # Local page 0 of each data shard is its reserved null page.
@@ -968,7 +977,18 @@ class DecodeEngine:
             for r, slot in take:
                 hits = self._prefix_hits(r.prompt, self._slot_shard(slot))
                 if hits:
-                    self._prefill_with_prefix(r, slot, hits)
+                    suffix_len = (
+                        len(r.prompt) - len(hits) * self.page_size
+                    )
+                    if (self.prefill_chunk is not None
+                            and suffix_len > self.prefill_chunk):
+                        # Long uncached suffix: chunk it like any other
+                        # long prompt (a one-shot suffix forward would
+                        # blow the chunk-relaxed admission reservation
+                        # and stall concurrent decodes).
+                        self._start_chunked_prefill(r, slot, hits=hits)
+                    else:
+                        self._prefill_with_prefix(r, slot, hits)
                 else:
                     missed.append((r, slot))
             take = missed
@@ -1168,9 +1188,10 @@ class DecodeEngine:
     def _prefill_with_prefix(self, req: Request, slot: int,
                              hits: list[int]):
         """Admission for a prefix-cache hit: share the cached pages and
-        push only the uncached suffix through the model (chunked prefill
-        attending the shared prefix).  Runs full-slot-width so the call
-        shards over data/model meshes exactly like the chunk step."""
+        push only the uncached suffix through the model (a chunked forward
+        attending the shared prefix).  Single-host engines run a 1-row
+        call; under a mesh the call goes full-slot-width so it shards over
+        data/model exactly like the chunk step."""
         ps = self.page_size
         prefix_len = len(hits) * ps
         suffix = req.prompt[prefix_len:]
@@ -1184,24 +1205,38 @@ class DecodeEngine:
         self.page_table[slot, :] = 0
         self.page_table[slot, :len(pages)] = pages
 
-        tokens = np.zeros((self.max_seqs, pad_len), np.int32)
-        tokens[slot, :len(suffix)] = suffix
-        first_pos = np.zeros((self.max_seqs,), np.int32)
-        first_pos[slot] = prefix_len
-        mask = np.zeros((self.max_seqs,), bool)
-        mask[slot] = True
+        rows = self.max_seqs if self.mesh is not None else 1
+        row = slot if rows == self.max_seqs else 0
+        tokens = np.zeros((rows, pad_len), np.int32)
+        tokens[row, :len(suffix)] = suffix
+        first_pos = np.zeros((rows,), np.int32)
+        first_pos[row] = prefix_len
+        mask = np.zeros((rows,), bool)
+        mask[row] = True
+        table = (
+            self.page_table if rows == self.max_seqs
+            else self.page_table[slot:slot + 1]
+        )
+        # jnp.array COPIES: _recycle_stale below mutates the live table
+        # while the un-synced draft program may still read it (same race
+        # class as _chunk_prefill_step).
         logits, self.caches = self._suffix_fn(
-            self.params, jnp.asarray(tokens), jnp.asarray(first_pos),
-            self.caches, jnp.asarray(self.page_table), jnp.asarray(mask),
+            self.params, jnp.array(tokens), jnp.array(first_pos),
+            self.caches, jnp.array(table), jnp.array(mask),
         )
         if self.spec_tokens:
             _, self.draft_caches = self._draft_suffix_fn(
-                self.draft_params, jnp.asarray(tokens),
-                jnp.asarray(first_pos), self.draft_caches,
-                jnp.asarray(self.page_table), jnp.asarray(mask),
+                self.draft_params, jnp.array(tokens),
+                jnp.array(first_pos), self.draft_caches,
+                jnp.array(table), jnp.array(mask),
             )
+            if self._interpret_sync:
+                # Interpreted backends: barrier the donated draft-cache
+                # chain (no readback syncs it, unlike the target's
+                # sampling below).
+                jax.block_until_ready(self.draft_caches)
         first_dev, first_lp = self._sample(
-            logits[slot:slot + 1, len(suffix) - 1, :]
+            logits[row:row + 1, len(suffix) - 1, :]
         )
         first = int(np.asarray(first_dev)[0])
         self._emit(
@@ -1217,30 +1252,31 @@ class DecodeEngine:
         self._register_prefix(req, slot)
         self._maybe_finish(req, first)
 
-    def _start_chunked_prefill(self, req: Request, slot: int):
-        """Admit a long prompt WITHOUT running its forward: allocate its
-        prompt pages, mark the slot PREFILLING, and let step() advance it
-        one chunk at a time (decode slots keep stepping in parallel).
-        Windowed groups allocate lazily per chunk (_ensure_page) so their
-        concurrency stays chunk+window bounded; global groups take the
-        whole prompt's pages up front."""
-        n_pages = _cdiv(len(req.prompt), self.page_size)
+    def _start_chunked_prefill(self, req: Request, slot: int, hits=None):
+        """Admit a long prompt WITHOUT running its forward: mark the slot
+        PREFILLING and let step() advance it one chunk at a time (decode
+        slots keep stepping in parallel).  Pages allocate lazily per chunk
+        (_ensure_pages_upto), so windowed groups — which recycle between
+        chunks — never hold more than chunk+window pages.  With `hits`
+        (prefix-cache pages covering the prompt head), the shared pages
+        join group 0 and only the SUFFIX is chunked."""
         shard = self._slot_shard(slot)
-        for g, w in enumerate(self._group_windows):
-            n_g = n_pages if w is None else min(
-                n_pages, _cdiv(self.prefill_chunk, self.page_size)
-            )
-            page_ids = self._galloc(shard, g).alloc(n_g)
-            self._slot_pages[slot][g] = list(page_ids)
+        for g in range(self.n_groups):
             self._tables[g][slot, :] = 0
-            self._tables[g][slot, :n_g] = page_ids
+            self._slot_pages[slot][g] = []
+        pos = 0
+        if hits:
+            self.allocators[shard].share(hits)  # prefix cache: uniform
+            self._slot_pages[slot][0] = list(hits)
+            self.page_table[slot, :len(hits)] = hits
+            pos = len(hits) * self.page_size
         req.slot = slot
         self._slot_req[slot] = req
         self._slot_worst[slot] = self._worst_pages(req)
         self.lengths[slot] = 0
         self.active[slot] = False
         self.prefilling[slot] = True
-        self._prefill_pos[slot] = 0
+        self._prefill_pos[slot] = pos
 
     def _chunk_prefill_step(self):
         """Advance every prefilling slot by one chunk (verify_step with
@@ -1339,6 +1375,9 @@ class DecodeEngine:
         writable (logical page indices count None placeholders, so
         recycled entries keep appends length-indexed)."""
         needed = _cdiv(end_pos, self.page_size)
+        # _validate_request reserves the speculative overshoot, so this
+        # can never outgrow the table width.
+        assert needed <= self.pages_per_seq, (needed, self.pages_per_seq)
         shard = self._slot_shard(slot)
         for g in range(self.n_groups):
             pages = self._slot_pages[slot][g]

@@ -135,6 +135,28 @@ def test_chunked_prefill_validation():
         _engine(cfg, params, prefill_chunk=100)
 
 
+def test_prefix_hit_long_suffix_routes_through_chunks():
+    """prefix_cache + prefill_chunk: a hit whose UNCACHED suffix exceeds
+    the chunk must prefill chunk-by-chunk from the shared pages (a
+    one-shot suffix forward would blow the chunk-relaxed admission
+    reservation) — with parity against the plain engine."""
+    cfg, params = _fp32()
+    rng = np.random.default_rng(5)
+    prefix = [int(t) for t in rng.integers(0, 200, size=128)]
+    long_a = prefix + [int(t) for t in rng.integers(0, 200, size=300)]
+
+    base = _engine(cfg, params).run([long_a], max_new_tokens=4)[0].generated
+
+    eng = _engine(cfg, params, prefix_cache=True, prefill_chunk=128)
+    # Seed the prefix cache with a short request sharing the head page.
+    eng.run([prefix + [7, 8]], max_new_tokens=2)
+    chunks_before = eng.stats["prefill_chunks"]
+    r = eng.run([long_a], max_new_tokens=4)[0]
+    assert r.generated == base, (r.generated, base)
+    assert eng.stats["prefill_chunks"] > chunks_before  # suffix chunked
+    assert eng.allocator.available == eng.allocator.num_pages - 1
+
+
 def test_chunked_prefill_with_speculation():
     """Chunked prefill + speculative decoding: the draft cache mirrors
     every prompt chunk, so the combined engine reproduces the plain

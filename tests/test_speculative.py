@@ -105,6 +105,21 @@ def test_spec_rejects_bad_config():
                      page_size=PAGE, spec_tokens=2)
 
 
+def test_spec_rejects_exact_fit_request():
+    """Speculative rounds append up to spec_tokens rejected-draft positions
+    past the final length; a prompt+max_new that exactly fills max_seq_len
+    would make those writes clamp into the last live page and corrupt it —
+    submit must reject (regression: page-table width overflow)."""
+    cfg, params, draft_cfg, draft_params = _models()
+    eng = _spec_engine(cfg, params, draft_cfg, draft_params, k=3)
+    cap = 512  # max_seq_len in _spec_engine
+    with pytest.raises(ValueError, match="speculative"):
+        eng.submit([1] * 64, max_new_tokens=cap - 64)
+    # With the overshoot margin it admits fine (no need to run it out).
+    req = eng.submit([1] * 64, max_new_tokens=cap - 64 - 3)
+    assert req.slot is not None
+
+
 # ---------------------------------------------------------------------------
 # Speculative SAMPLING (temperature > 0): the acceptance rule must emit
 # tokens distributed exactly as target-only sampling.
