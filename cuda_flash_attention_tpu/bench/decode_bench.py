@@ -165,6 +165,7 @@ def measure_decode_throughput(
         "cache_dtype": str(jnp.dtype(cache_dtype)),
         "weight_dtype": (
             "w8a8" if act_quant
+            else "int4" if weight_dtype == "int4"
             else str(jnp.dtype(weight_dtype)) if weight_dtype is not None
             else "bf16"
         ),
@@ -291,8 +292,9 @@ def main():
                    default=None,
                    help="model config (base = the 254M production shape)")
     p.add_argument("--weight-dtype", default=None,
-                   choices=["int8", "float8_e4m3fn"],
-                   help="weight-only quantization of the dense projections")
+                   choices=["int8", "float8_e4m3fn", "int4"],
+                   help="weight-only quantization of the dense projections "
+                        "(int4 = packed group-wise capacity form)")
     p.add_argument("--w8a8", action="store_true",
                    help="with --weight-dtype int8: quantize activations too "
                         "(native int8 MXU matmul)")
@@ -321,7 +323,10 @@ def main():
             n_heads=8, head_dim=64, d_ff=1536,
         ),
     }[name]()
-    weight_dtype = jnp.dtype(args.weight_dtype) if args.weight_dtype else None
+    weight_dtype = (
+        args.weight_dtype if args.weight_dtype == "int4"
+        else jnp.dtype(args.weight_dtype) if args.weight_dtype else None
+    )
     if args.tp_dryrun:
         out = tp_decode_dryrun(cfg, tp=args.tp_dryrun, batch=args.batch)
     elif args.engine:

@@ -138,6 +138,10 @@ def merge_lora(params):
         ) * x.scale
         if isinstance(x.base, QuantizedTensor):
             merged = x.base.dequantize(jnp.float32) + delta
+            if x.base.bits == 4:  # packed int4: requantize group-wise
+                return quantize_weight(
+                    merged, "int4", group_size=x.base.group_size
+                )
             return quantize_weight(merged, x.base.values.dtype)
         return (x.base.astype(jnp.float32) + delta).astype(x.base.dtype)
 

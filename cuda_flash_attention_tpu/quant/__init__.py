@@ -5,8 +5,11 @@ from cuda_flash_attention_tpu.quant.qtensor import (
     QuantizedTensor,
     dequantize,
     quantize,
+    pack_int4,
+    quantize_int4,
     quantize_kv,
     supported_quant_dtypes,
+    unpack_int4,
 )
 from cuda_flash_attention_tpu.quant.linear import (
     dense,
@@ -20,6 +23,9 @@ __all__ = [
     "quantize",
     "dequantize",
     "quantize_kv",
+    "quantize_int4",
+    "pack_int4",
+    "unpack_int4",
     "supported_quant_dtypes",
     "quantize_weight",
     "quantized_matmul",

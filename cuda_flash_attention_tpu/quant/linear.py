@@ -16,13 +16,22 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from cuda_flash_attention_tpu.quant.qtensor import QuantizedTensor, quantize
+from cuda_flash_attention_tpu.quant.qtensor import (
+    QuantizedTensor,
+    quantize,
+    quantize_int4,
+)
 
 
-def quantize_weight(w: jax.Array, dtype=jnp.int8) -> QuantizedTensor:
-    """Per-output-channel symmetric quantization of a [in, out] weight."""
+def quantize_weight(w: jax.Array, dtype=jnp.int8,
+                    group_size: int = 128) -> QuantizedTensor:
+    """Per-output-channel symmetric quantization of a [in, out] weight.
+    dtype "int4" selects the packed group-wise 4-bit form (half an int8
+    byte per element; the QLoRA-base / checkpoint-capacity format)."""
     if w.ndim != 2:
         raise ValueError(f"expected 2D weight, got {w.shape}")
+    if isinstance(dtype, str) and dtype == "int4":
+        return quantize_int4(w, group_size=group_size)
     return quantize(w, dtype, axis=0)  # scales [1, out]
 
 
@@ -38,6 +47,11 @@ def quantized_matmul(x: jax.Array, w_q: QuantizedTensor,
     saves memory CAPACITY but streams a bf16 weight copy (measured: base-
     model decode 1.12 -> 1.70 ms/step).  For true 1-byte weight streaming
     use act_quant=True (W8A8, below)."""
+    if w_q.bits == 4:
+        # Group scales ride the IN axis, so the per-output-column epilogue
+        # identity does not apply: dequantize then matmul (capacity form —
+        # 0.5 byte/element at rest; XLA hoists the dequant out of loops).
+        return jnp.dot(x, w_q.dequantize(x.dtype), precision=precision)
     if w_q.act_quant and jnp.dtype(w_q.values.dtype) == jnp.dtype(jnp.int8):
         return w8a8_matmul(x, w_q)
     y = jnp.dot(x, w_q.values.astype(x.dtype), precision=precision)
@@ -88,7 +102,10 @@ def quantize_transformer_params(params, dtype=jnp.int8, keys=_QUANT_KEYS,
                                 act_quant: bool = False):
     """Weight-only quantization of a transformer param pytree: all dense
     projections become QuantizedTensors; norms/embedding stay full precision
-    (embedding gathers don't benefit and norm scales are tiny)."""
+    (embedding gathers don't benefit and norm scales are tiny).  dtype may
+    be "int4" for the packed group-wise 4-bit form."""
+    if act_quant and isinstance(dtype, str) and dtype == "int4":
+        raise ValueError("act_quant (W8A8) requires int8 weights")
 
     def _convert(tree):
         out = {}

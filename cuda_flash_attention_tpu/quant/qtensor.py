@@ -53,14 +53,24 @@ class QuantizedTensor:
     quantize the ACTIVATIONS to int8 and contract on the native int8 MXU
     (W8A8) — the weight truly streams at 1 byte/element instead of being
     dequantized into a bf16 HBM copy (see quant/linear.py).
+
+    ``bits=4`` (with ``group_size``): GROUP-WISE INT4 for 2D [in, out]
+    weights — two 4-bit values pack per int8 byte along the IN axis
+    (row 2r in the low nibble, 2r+1 in the high), scales are per
+    (group_size input rows, output column): the 4-bit QLoRA base /
+    checkpoint-capacity form (quant/linear.py).
     """
 
     values: jax.Array
     scales: jax.Array
     act_quant: bool = dataclasses.field(default=False)
+    bits: int = dataclasses.field(default=8)
+    group_size: int = dataclasses.field(default=0)
 
     @property
     def shape(self):
+        if self.bits == 4:
+            return (self.values.shape[0] * 2,) + self.values.shape[1:]
         return self.values.shape
 
     @property
@@ -68,14 +78,64 @@ class QuantizedTensor:
         return self.values.dtype
 
     def dequantize(self, dtype=jnp.float32):
+        if self.bits == 4:
+            v = unpack_int4(self.values).astype(jnp.float32)  # [in, out]
+            g = self.group_size
+            w = v.reshape(v.shape[0] // g, g, v.shape[1]) * self.scales
+            return w.reshape(v.shape).astype(dtype)
         return (self.values.astype(jnp.float32) * self.scales).astype(dtype)
 
     def tree_flatten(self):
-        return (self.values, self.scales), self.act_quant
+        return (
+            (self.values, self.scales),
+            (self.act_quant, self.bits, self.group_size),
+        )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, act_quant=aux)
+        if not isinstance(aux, tuple):  # legacy aux: bare act_quant bool
+            aux = (aux, 8, 0)
+        return cls(*children, act_quant=aux[0], bits=aux[1],
+                   group_size=aux[2])
+
+
+def pack_int4(q: jax.Array) -> jax.Array:
+    """[in, out] int8 values in [-8, 7] -> [in/2, out] int8 with row 2r in
+    the low nibble and row 2r+1 in the high nibble."""
+    lo = q[0::2] & 0xF
+    hi = q[1::2] & 0xF
+    return (lo | (hi << 4)).astype(jnp.int8)
+
+
+def unpack_int4(packed: jax.Array) -> jax.Array:
+    """Inverse of pack_int4 — sign-extended 4-bit values as int8."""
+    lo = ((packed & 0xF) ^ 8) - 8          # sign-extend the low nibble
+    hi = packed >> 4                        # arithmetic shift keeps sign
+    n2, out = packed.shape
+    return jnp.stack([lo, hi], axis=1).reshape(n2 * 2, out).astype(jnp.int8)
+
+
+def quantize_int4(w: jax.Array, group_size: int = 128) -> QuantizedTensor:
+    """Group-wise symmetric INT4 for a 2D [in, out] weight: scales per
+    (group_size input rows, output column) — the grouping recovers most of
+    the absmax headroom a single per-column scale loses at 4 bits."""
+    if w.ndim != 2:
+        raise ValueError(f"int4 quantization expects 2D weights; {w.shape}")
+    in_dim, out = w.shape
+    group_size = min(group_size, in_dim)
+    if in_dim % group_size or (in_dim // 1) % 2:
+        raise ValueError(
+            f"int4 needs group_size | in_dim and an even in_dim; got "
+            f"{in_dim=} {group_size=}"
+        )
+    wf = w.astype(jnp.float32).reshape(in_dim // group_size, group_size, out)
+    amax = jnp.max(jnp.abs(wf), axis=1, keepdims=True)  # [G, 1, out]
+    scales = jnp.maximum(amax, 1e-12) / 7.0
+    q = jnp.clip(jnp.round(wf / scales), -8, 7).astype(jnp.int8)
+    return QuantizedTensor(
+        values=pack_int4(q.reshape(in_dim, out)), scales=scales,
+        bits=4, group_size=group_size,
+    )
 
 
 def quantize(

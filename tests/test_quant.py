@@ -231,6 +231,92 @@ def test_quantized_transformer_forward():
     assert rel < 0.15, f"quantized logits diverged: rel={rel}"
 
 
+def test_int4_pack_roundtrip_exact():
+    """pack/unpack of 4-bit values is lossless over the full [-8, 7]
+    range."""
+    from cuda_flash_attention_tpu.quant import pack_int4, unpack_int4
+
+    q = jnp.asarray(
+        np.random.default_rng(0).integers(-8, 8, size=(256, 64)), jnp.int8
+    )
+    rt = unpack_int4(pack_int4(q))
+    np.testing.assert_array_equal(np.asarray(rt), np.asarray(q))
+
+
+def test_int4_groupwise_quality_and_pytree():
+    """Group-wise int4 weight round trip stays within the 4-bit budget
+    (<= scale/2 per element = amax/14 per group) and survives pytree
+    flatten/unflatten with its packed metadata."""
+    from cuda_flash_attention_tpu.quant import quantize_int4
+
+    w = jax.random.normal(jax.random.PRNGKey(5), (512, 384), jnp.float32)
+    qt = quantize_int4(w, group_size=128)
+    assert qt.bits == 4 and qt.values.shape == (256, 384)
+    assert qt.shape == (512, 384)
+    err = jnp.abs(qt.dequantize() - w)
+    bound = jnp.repeat(qt.scales[:, 0, :], 128, axis=0) * 0.5 + 1e-6
+    assert bool(jnp.all(err <= bound))
+    leaves, treedef = jax.tree.flatten(qt)
+    rt = jax.tree.unflatten(treedef, leaves)
+    assert rt.bits == 4 and rt.group_size == 128
+    np.testing.assert_array_equal(
+        np.asarray(rt.dequantize()), np.asarray(qt.dequantize())
+    )
+
+
+@pytest.mark.slow
+def test_int4_transformer_forward_and_decode():
+    """int4 weight-only model: forward tracks fp32 within the 4-bit budget
+    and the decode engine generates end to end."""
+    import dataclasses
+
+    from cuda_flash_attention_tpu.decode import DecodeEngine
+    from cuda_flash_attention_tpu.models import (
+        TransformerConfig, forward, init_params,
+    )
+
+    cfg = TransformerConfig.tiny()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    tokens = jax.random.randint(
+        jax.random.PRNGKey(1), (2, 128), 0, cfg.vocab_size
+    )
+    logits_fp = forward(params, tokens, cfg)
+    q_params = quantize_transformer_params(params, "int4")
+    logits_q = jax.jit(lambda p, t: forward(p, t, cfg))(q_params, tokens)
+    assert not jnp.any(jnp.isnan(logits_q))
+    rel = jnp.max(jnp.abs(logits_q - logits_fp)) / (
+        jnp.max(jnp.abs(logits_fp)) + 1e-9
+    )
+    assert rel < 0.35, f"int4 logits diverged: rel={rel}"
+
+    eng = DecodeEngine(q_params, cfg, max_seqs=2, max_seq_len=256)
+    reqs = eng.run([[1, 2, 3], [4, 5]], max_new_tokens=4)
+    assert all(r.done and len(r.generated) == 4 for r in reqs)
+
+
+def test_qlora_int4_base():
+    """4-bit QLoRA: adapters train against a packed int4 base; merge
+    requantizes group-wise at 4 bits."""
+    from cuda_flash_attention_tpu.models import (
+        TransformerConfig, forward, init_params,
+    )
+    from cuda_flash_attention_tpu.models.lora import apply_lora, merge_lora
+
+    cfg = TransformerConfig.tiny()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    qp = quantize_transformer_params(params, "int4")
+    lp = apply_lora(qp, jax.random.PRNGKey(3), rank=4)
+    toks = jax.random.randint(jax.random.PRNGKey(1), (1, 33), 0,
+                              cfg.vocab_size)
+    out = forward(lp, toks, cfg)
+    assert bool(jnp.isfinite(out).all())
+    merged = merge_lora(lp)
+    wq = merged["layers"][0]["wq"]
+    assert isinstance(wq, QuantizedTensor) and wq.bits == 4
+    out_m = forward(merged, toks, cfg)
+    assert float(jnp.max(jnp.abs(out - out_m))) < 0.6  # 4-bit requant noise
+
+
 def test_w8a8_matmul_accuracy():
     """W8A8 (int8 activations x int8 weights on the native MXU) stays within
     the ~1% dynamic-quant budget of the bf16 reference matmul."""
