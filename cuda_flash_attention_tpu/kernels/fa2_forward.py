@@ -277,14 +277,41 @@ def _fa2_fwd_kernel(
     fold_rowsum: bool,
     window=None,
     sinks=0,
+    static_max: bool = False,
 ):
+    """``static_max`` (VFA-style): a PRECOMPUTED per-row score upper bound
+    (log2 domain, ||q_s||·max||k|| — see fa2_forward_aligned) replaces the
+    running max, so the per-KV-tile VPU chain loses the row max, the
+    m_prev/m_next maximum, alpha = exp2(m_prev - m_next), and BOTH
+    alpha-rescales of the accumulators.  Softmax weights stay exact for any
+    bound >= max score: exp2(s - M)/sum exp2(s - M) is M-invariant; the
+    overshoot only shifts all exponentials down (fp32/bf16 share an 8-bit
+    exponent, so relative precision is unaffected until ~2^-126
+    underflow)."""
     if has_segments:
-        (q_ref, k_ref, v_ref, qseg_ref, kvseg_ref,
-         o_ref, lse_ref, *scratch) = refs
+        if static_max:
+            (q_ref, k_ref, v_ref, qseg_ref, kvseg_ref, bound_ref,
+             o_ref, lse_ref, *scratch) = refs
+        else:
+            (q_ref, k_ref, v_ref, qseg_ref, kvseg_ref,
+             o_ref, lse_ref, *scratch) = refs
+            bound_ref = None
     else:
-        q_ref, k_ref, v_ref, o_ref, lse_ref, *scratch = refs
+        if static_max:
+            (q_ref, k_ref, v_ref, bound_ref,
+             o_ref, lse_ref, *scratch) = refs
+        else:
+            q_ref, k_ref, v_ref, o_ref, lse_ref, *scratch = refs
+            bound_ref = None
         qseg_ref = kvseg_ref = None
-    if fold_rowsum:
+    if static_max:
+        m_scr = None
+        if fold_rowsum:
+            (acc_scr,) = scratch
+            l_scr = None
+        else:
+            l_scr, acc_scr = scratch
+    elif fold_rowsum:
         m_scr, acc_scr = scratch  # acc [block_q, NUM_LANES]; lane D carries l
         l_scr = None
     else:
@@ -315,7 +342,8 @@ def _fa2_fwd_kernel(
 
     @pl.when(kv_idx == 0)
     def _init():
-        m_scr[...] = jnp.full(m_scr.shape, -jnp.inf, jnp.float32)
+        if m_scr is not None:
+            m_scr[...] = jnp.full(m_scr.shape, -jnp.inf, jnp.float32)
         acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
         if l_scr is not None:
             l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
@@ -353,13 +381,19 @@ def _fa2_fwd_kernel(
         if mask is not None:
             s += jnp.where(mask, 0.0, mask_value)
 
-        m_prev = m_scr[...]  # [block_q, 128] (lane-replicated), log2 units
-        m_curr = jnp.max(s, axis=1)[:, None]  # [block_q, 1]
-        m_next = jnp.maximum(m_prev, m_curr)  # [block_q, 128]
-        alpha = jnp.exp2(m_prev - m_next)
-        # Single-lane broadcast (m_next[:, :1]) instead of a materialized
-        # lane-tile: saves a (block_q, block_k) VPU copy per KV step.
-        t = s - m_next[:, :1]
+        if static_max:
+            # No running max: subtract the precomputed per-row bound and
+            # accumulate directly — zero rescaling work on the VPU.
+            t = s - bound_ref[0, 0][:, :1]
+        else:
+            m_prev = m_scr[...]  # [block_q, 128] lane-replicated, log2 units
+            m_curr = jnp.max(s, axis=1)[:, None]  # [block_q, 1]
+            m_next = jnp.maximum(m_prev, m_curr)  # [block_q, 128]
+            alpha = jnp.exp2(m_prev - m_next)
+            # Single-lane broadcast (m_next[:, :1]) instead of a
+            # materialized lane-tile: saves a (block_q, block_k) VPU copy
+            # per KV step.
+            t = s - m_next[:, :1]
         if bf16_vpu_chain(tile_dtype, q_ref.dtype, t.size):
             t = t.astype(jnp.bfloat16)  # half-width exp2 (bf16_vpu_chain)
         p = jnp.exp2(t)
@@ -368,13 +402,20 @@ def _fa2_fwd_kernel(
             # already underflows to 0, but a FULLY-masked row (possible with
             # segment ids) would otherwise normalize the mask value itself.
             p = jnp.where(mask, p, jnp.zeros((), p.dtype))
-        m_scr[...] = m_next
+        if not static_max:
+            m_scr[...] = m_next
 
         v = tile_cast(v_ref[0, 0], tile_dtype)
         pv = mxu_dot_out(
             tile_cast(p, tile_dtype).astype(v.dtype), v, exact=True
         )  # [block_q, D] or [block_q, NUM_LANES] with rowsum(p) in lane D
-        if fold_rowsum:
+        if static_max:
+            if fold_rowsum:
+                acc_scr[...] += pv
+            else:
+                l_scr[...] += jnp.sum(p, axis=1, dtype=jnp.float32)[:, None]
+                acc_scr[...] += pv
+        elif fold_rowsum:
             acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
         else:
             l_scr[...] = (
@@ -392,14 +433,19 @@ def _fa2_fwd_kernel(
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
         o_ref[0, 0] = (acc_scr[:, :head_dim] * l_inv[:, :1]).astype(o_ref.dtype)
         # logsumexp contract parity: log(sum exp(s - m)) + m in NATURAL log
-        # (/root/reference/kernels/kernel_fa2_optimized.cu:339-344); m_scr is
-        # in log2 units, hence the LN2 change of base.  The stat output is a
-        # width-1 column [block_q, 1] — materializing lane-replicated stats
-        # costs a measurable HBM pass on the backward's scale (profiler:
-        # 2 x 0.18 ms broadcast at B8 H16 S2048).
-        lse_ref[0, 0] = (
-            m_scr[:, :1] * LN2 + jnp.log(jnp.where(l == 0.0, 1.0, l))
-        )
+        # (/root/reference/kernels/kernel_fa2_optimized.cu:339-344); the max
+        # is in log2 units, hence the LN2 change of base.  The stat output
+        # is a width-1 column [block_q, 1] — materializing lane-replicated
+        # stats costs a measurable HBM pass on the backward's scale
+        # (profiler: 2 x 0.18 ms broadcast at B8 H16 S2048).
+        m_fin = bound_ref[0, 0][:, :1] if static_max else m_scr[:, :1]
+        lse = m_fin * LN2 + jnp.log(jnp.where(l == 0.0, 1.0, l))
+        if static_max:
+            # Fully-masked rows (segment ids): the online path's m stays
+            # -inf, giving lse = -inf; the static bound is finite, so
+            # restore the contract explicitly.
+            lse = jnp.where(l == 0.0, -jnp.inf, lse)
+        lse_ref[0, 0] = lse
 
 
 @functools.partial(
@@ -542,7 +588,13 @@ def fa2_forward_aligned(
     ``window`` enables sliding-window (local) attention: query i attends
     only to keys j with i - j < window (and j <= i; requires causal).  KV
     blocks entirely past the window are tile-skipped, so prefill cost is
-    O(S * window) instead of O(S^2 / 2)."""
+    O(S * window) instead of O(S^2 / 2).
+
+    CFA_STATIC_MAX=1 (trace-time A/B knob): replace the online running max
+    with a precomputed per-row Cauchy-Schwarz bound ||q_s||·max_j||k_j||
+    (per KV head) — the per-tile VPU chain loses the row max, the running
+    maximum, and both alpha rescales (see _fa2_fwd_kernel).  Exact softmax
+    weights for any bound >= the true max."""
     batch, heads, q_len, head_dim = q.shape
     kv_len_pad = k.shape[2]
     assert q_len % block_q == 0 and kv_len_pad % block_k == 0
@@ -553,6 +605,22 @@ def fa2_forward_aligned(
         assert (not causal) or window >= 1
     num_kv_blocks = kv_len_pad // block_k
     grid = (batch, heads, q_len // block_q, num_kv_blocks)
+    static_max = (
+        os.environ.get("CFA_STATIC_MAX", "0") != "0" and num_kv_blocks > 1
+    )
+    bound = None
+    if static_max:
+        c = sm_scale * LOG2E
+        qn = jnp.sqrt(
+            jnp.sum(jnp.square(q.astype(jnp.float32)), axis=-1)
+        )  # [B, Hq, Sq]
+        kn_max = jnp.max(
+            jnp.sqrt(jnp.sum(jnp.square(k.astype(jnp.float32)), axis=-1)),
+            axis=-1,
+        )  # [B, Hkv]
+        kn_max = jnp.repeat(kn_max, kv_groups, axis=1)  # [B, Hq]
+        # Tiny headroom for the kernel-side tile_cast rounding of q/k.
+        bound = (c * qn * kn_max[:, :, None] * (1.0 + 2e-2) + 1e-6)[..., None]
 
     fold_rowsum = use_fold_rowsum(head_dim, tile_dtype, q.dtype)
     if fold_rowsum:
@@ -598,6 +666,7 @@ def fa2_forward_aligned(
         fold_rowsum=fold_rowsum,
         window=window,
         sinks=sinks,
+        static_max=static_max,
     )
 
     in_specs = [
@@ -620,13 +689,18 @@ def fa2_forward_aligned(
             pl.BlockSpec((1, 1, block_k), kvseg_index_map),
         ]
         inputs += [q_seg, kv_seg]
+    if static_max:
+        in_specs.append(pl.BlockSpec((1, 1, block_q, 1), q_index_map))
+        inputs.append(bound)
 
     out_shape = (
         jax.ShapeDtypeStruct(q.shape, q.dtype),
         jax.ShapeDtypeStruct((batch, heads, q_len, 1), jnp.float32),
     )
-    scratch_shapes = [pltpu.VMEM((block_q, NUM_LANES), jnp.float32)]
-    if not fold_rowsum:
+    scratch_shapes = []
+    if not static_max:  # running-max scratch
+        scratch_shapes.append(pltpu.VMEM((block_q, NUM_LANES), jnp.float32))
+    if not fold_rowsum:  # separate l scratch
         scratch_shapes.append(pltpu.VMEM((block_q, NUM_LANES), jnp.float32))
     scratch_shapes.append(
         pltpu.VMEM((block_q, NUM_LANES if fold_rowsum else head_dim), jnp.float32)

@@ -39,6 +39,7 @@ def main():
     print(json.dumps({
         "chain": os.environ.get("CFA_BF16_VPU_CHAIN", "1"),
         "fold": os.environ.get("CFA_BWD_STAT_FOLD", "1"),
+        "static_max": os.environ.get("CFA_STATIC_MAX", "0"),
         "fwd_ms": round(t_fwd * 1e3, 3),
         "bwd_ms": round(t_bwd * 1e3, 3),
     }))
