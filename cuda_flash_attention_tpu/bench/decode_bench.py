@@ -187,6 +187,7 @@ def measure_engine_throughput(
     mesh=None,
     spec_tokens: int = 0,
     draft_layers: int = 1,
+    spec_mode: str = "draft",
     prefill_chunk: int | None = None,
 ) -> dict:
     """END-TO-END engine tokens/sec including the host scheduler (admission,
@@ -206,7 +207,9 @@ def measure_engine_throughput(
     params = init_params(jax.random.PRNGKey(0), cfg)
     max_len = prompt_len + gen_tokens + 1 + spec_tokens
     spec_kw = {}
-    if spec_tokens:
+    if spec_tokens and spec_mode == "prompt_lookup":
+        spec_kw = dict(spec_tokens=spec_tokens, spec_mode="prompt_lookup")
+    elif spec_tokens:
         # Draft = a truncated copy of the target (first draft_layers layers,
         # same embeddings) — a realistic high-acceptance draft without
         # training a second model.
@@ -249,6 +252,7 @@ def measure_engine_throughput(
         "cache_dtype": str(jnp.dtype(cache_dtype)),
         "tp": 1 if mesh is None else int(np.prod(list(mesh.shape.values()))),
         "spec_tokens": spec_tokens,
+        "spec_mode": spec_mode if spec_tokens else None,
         "spec_acceptance": eng.acceptance_rate,
         "prefill_chunk": prefill_chunk,
         "prefill_chunks_run": eng.stats["prefill_chunks"],
@@ -303,6 +307,10 @@ def main():
                         "tokens per round (draft = first --draft-layers "
                         "layers of the target)")
     p.add_argument("--draft-layers", type=int, default=1)
+    p.add_argument("--spec-mode", default="draft",
+                   choices=["draft", "prompt_lookup"],
+                   help="speculation proposer: a draft model, or n-gram "
+                        "prompt lookup (no second model)")
     p.add_argument("--prefill-chunk", type=int, default=None,
                    help="with --engine: chunked prefill — prompts longer "
                         "than this advance one chunk per engine step")
@@ -334,7 +342,7 @@ def main():
             cfg, batch=args.batch, prompt_len=args.prompt_len,
             gen_tokens=args.gen, cache_dtype=jnp.dtype(args.cache_dtype),
             spec_tokens=args.spec, draft_layers=args.draft_layers,
-            prefill_chunk=args.prefill_chunk,
+            spec_mode=args.spec_mode, prefill_chunk=args.prefill_chunk,
         )
     else:
         out = measure_decode_throughput(

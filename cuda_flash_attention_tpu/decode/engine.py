@@ -98,11 +98,14 @@ class DecodeEngine:
         temperature: float = 0.0,
         top_k: int = 0,
         top_p: float = 1.0,
+        min_p: float = 0.0,
         seed: int = 0,
         mesh=None,
         draft_params=None,
         draft_cfg: TransformerConfig | None = None,
         spec_tokens: int = 0,
+        spec_mode: str = "draft",
+        lookup_ngram: int = 2,
         prefix_cache: bool = False,
         logprobs: bool = False,
         prefill_chunk: int | None = None,
@@ -189,6 +192,7 @@ class DecodeEngine:
         self.temperature = temperature
         self.top_k = top_k
         self.top_p = top_p
+        self.min_p = min_p
         self.want_logprobs = bool(logprobs)
         self.interpret = interpret
         # Data-parallel serving (north-star "continuous batching across
@@ -379,7 +383,7 @@ class DecodeEngine:
             functools.partial(
                 self._device_step, cfg=cfg, interpret=interpret, mesh=mesh,
                 temperature=temperature, top_k=top_k, top_p=top_p,
-                return_logprob=self.want_logprobs,
+                min_p=min_p, return_logprob=self.want_logprobs,
             ),
             static_argnames=(),
             donate_argnums=(1,),  # caches are updated in place
@@ -393,16 +397,34 @@ class DecodeEngine:
             donate_argnums=(0,),
         )
 
-        # Speculative decoding (draft-and-verify): a small greedy draft
-        # model proposes `spec_tokens` tokens per round; the target scores
-        # all of them in ONE chunked forward (decode/model.verify_step) and
-        # the host accepts the longest matching prefix + one bonus token —
-        # 1..spec_tokens+1 tokens per target pass, exact greedy parity.
-        # The draft shares the allocator, page table, and page GEOMETRY
-        # (same num_pages/page_size, its own KVPages pools), so lengths and
-        # page ids stay valid for both models with zero extra bookkeeping.
+        # Speculative decoding (draft-and-verify): a proposer supplies
+        # `spec_tokens` tokens per round; the target scores all of them in
+        # ONE chunked forward (decode/model.verify_step) and the host
+        # accepts the longest matching prefix + one bonus token —
+        # 1..spec_tokens+1 tokens per target pass, exact greedy parity
+        # (exact target-distribution sampling in sampled mode).  Two
+        # proposer modes:
+        #   * "draft": a small draft MODEL (shares the allocator, page
+        #     table, and page geometry — its own KVPages pools).
+        #   * "prompt_lookup": NO second model — drafts come from the most
+        #     recent n-gram match in the request's own history (vLLM-style
+        #     prompt-lookup decoding; great on repetitive/extractive
+        #     workloads).  Under sampling the drafts are deterministic, so
+        #     pd is one-hot and the Leviathan rule stays exact.
         self.spec_tokens = int(spec_tokens)
-        if self.spec_tokens:
+        self.spec_mode = spec_mode
+        self._use_draft = self.spec_tokens > 0 and spec_mode == "draft"
+        self.lookup_ngram = int(lookup_ngram)
+        if self.spec_tokens and spec_mode == "prompt_lookup":
+            if draft_params is not None or draft_cfg is not None:
+                raise ValueError(
+                    "spec_mode='prompt_lookup' takes no draft model"
+                )
+            if self.lookup_ngram < 1:
+                raise ValueError("lookup_ngram must be >= 1")
+        elif self.spec_tokens and spec_mode != "draft":
+            raise ValueError(f"unknown spec_mode {spec_mode!r}")
+        if self._use_draft:
             if draft_params is None or draft_cfg is None:
                 raise ValueError(
                     "spec_tokens > 0 requires draft_params and draft_cfg"
@@ -501,16 +523,7 @@ class DecodeEngine:
                     functools.partial(
                         self._device_propose_sampled, cfg=draft_cfg,
                         k=self.spec_tokens, temperature=temperature,
-                        top_k=top_k, top_p=top_p, mesh=mesh,
-                        interpret=interpret,
-                    ),
-                    donate_argnums=(1,),
-                )
-                self._verify_fn = jax.jit(
-                    functools.partial(
-                        self._device_verify_sampled, cfg=cfg,
-                        temperature=temperature, top_k=top_k, top_p=top_p,
-                        mesh=mesh, return_logprob=self.want_logprobs,
+                        top_k=top_k, top_p=top_p, min_p=min_p, mesh=mesh,
                         interpret=interpret,
                     ),
                     donate_argnums=(1,),
@@ -523,6 +536,20 @@ class DecodeEngine:
                     ),
                     donate_argnums=(1,),
                 )
+        if self.spec_tokens:
+            # Target-side verification — shared by both proposer modes.
+            if temperature > 0.0:
+                self._verify_fn = jax.jit(
+                    functools.partial(
+                        self._device_verify_sampled, cfg=cfg,
+                        temperature=temperature, top_k=top_k, top_p=top_p,
+                        min_p=min_p, mesh=mesh,
+                        return_logprob=self.want_logprobs,
+                        interpret=interpret,
+                    ),
+                    donate_argnums=(1,),
+                )
+            else:
                 self._verify_fn = jax.jit(
                     functools.partial(
                         self._device_verify, cfg=cfg, mesh=mesh,
@@ -531,6 +558,7 @@ class DecodeEngine:
                     ),
                     donate_argnums=(1,),
                 )
+        if self._use_draft:
             self._draft_prefill_fn = jax.jit(
                 lambda params, tokens: prefill_forward(
                     params, tokens, draft_cfg, mesh
@@ -580,7 +608,7 @@ class DecodeEngine:
                 )
             # Same program as chunked prefill — alias, don't re-jit.
             self._suffix_fn = self._chunk_fn
-            if self.spec_tokens:
+            if self._use_draft:
                 if self.prefill_chunk is None:
                     self._draft_chunk_fn = jax.jit(
                         functools.partial(
@@ -598,7 +626,7 @@ class DecodeEngine:
     @staticmethod
     def _device_step(params, caches, tokens, positions, page_table, active,
                      key, *, cfg, interpret, mesh=None,
-                     temperature=0.0, top_k=0, top_p=1.0,
+                     temperature=0.0, top_k=0, top_p=1.0, min_p=0.0,
                      return_logprob=False):
         """One fused decode step: embed + append-KV + paged attention +
         SAMPLING, all in a single device program — steady-state decode costs
@@ -616,11 +644,12 @@ class DecodeEngine:
 
             next_tokens, lp = sample_with_logprob(
                 logits, key, temperature=temperature, top_k=top_k,
-                top_p=top_p,
+                top_p=top_p, min_p=min_p,
             )
             return next_tokens, lp, new_caches
         next_tokens = sample_tokens(
             logits, key, temperature=temperature, top_k=top_k, top_p=top_p,
+            min_p=min_p,
         )
         return next_tokens, new_caches
 
@@ -666,8 +695,8 @@ class DecodeEngine:
     @staticmethod
     def _device_propose_sampled(params, caches, tokens, positions,
                                 page_table, active, key, *, cfg, k,
-                                temperature, top_k, top_p, mesh=None,
-                                interpret=None):
+                                temperature, top_k, top_p, min_p=0.0,
+                                mesh=None, interpret=None):
         """Sampled draft: k+1 warped-categorical steps, recording the
         k proposals AND the full distributions they were drawn from (the
         acceptance rule needs pd).  Draft and target apply the SAME warp
@@ -684,7 +713,8 @@ class DecodeEngine:
                 cfg, mesh=mesh, interpret=interpret,
             )
             warped = warp_logits(
-                logits, temperature=temperature, top_k=top_k, top_p=top_p
+                logits, temperature=temperature, top_k=top_k, top_p=top_p,
+                min_p=min_p,
             )
             key, sub = jax.random.split(key)
             tok = jax.random.categorical(sub, warped, axis=-1).astype(
@@ -703,7 +733,7 @@ class DecodeEngine:
     def _device_verify_sampled(params, caches, chunk_tokens,
                                first_positions, page_table, active,
                                draft_probs, key, *, cfg, temperature,
-                               top_k, top_p, mesh=None,
+                               top_k, top_p, min_p=0.0, mesh=None,
                                return_logprob=False, interpret=None):
         """Target-side speculative SAMPLING: one chunked forward, then the
         Leviathan/Chen acceptance entirely on device — returns (m accepted
@@ -727,9 +757,17 @@ class DecodeEngine:
             warp_logits(
                 logits.reshape(-1, logits.shape[-1]),
                 temperature=temperature, top_k=top_k, top_p=top_p,
+                min_p=min_p,
             ).reshape(logits.shape),
             axis=-1,
         )
+        if draft_probs is None:
+            # Deterministic proposer (prompt lookup): pd is one-hot at the
+            # draft token — accept prob becomes min(1, pt(d)) and the
+            # residual max(pt - onehot, 0); the Leviathan rule stays exact.
+            draft_probs = jax.nn.one_hot(
+                chunk_tokens[:, 1:], pt.shape[-1], dtype=pt.dtype
+            )
         m, final = speculative_accept(
             pt, chunk_tokens[:, 1:], draft_probs, key
         )
@@ -1031,12 +1069,12 @@ class DecodeEngine:
 
             tok, lp = sample_with_logprob(
                 logits, sub, temperature=self.temperature, top_k=self.top_k,
-                top_p=self.top_p,
+                top_p=self.top_p, min_p=self.min_p,
             )
             return tok, np.asarray(lp)
         return sample_tokens(
             logits, sub, temperature=self.temperature, top_k=self.top_k,
-            top_p=self.top_p,
+            top_p=self.top_p, min_p=self.min_p,
         ), None
 
     def _emit(self, req: Request, tok: int, logprob=None):
@@ -1064,7 +1102,7 @@ class DecodeEngine:
             tokens[i, :len(r.prompt)] = r.prompt
         logits, kv = self._prefill_fn(self.params, jnp.asarray(tokens))
         logits = logits[:n_real]
-        if self.spec_tokens:
+        if self._use_draft:
             # The draft model's cache must mirror the prompt too (same page
             # ids, its own pools).
             _, draft_kv = self._draft_prefill_fn(
@@ -1113,7 +1151,7 @@ class DecodeEngine:
                         self.caches[li], k[i, :kv_len], v[i, :kv_len],
                         ids_dev[self._layer_group[li]],
                     )
-            if self.spec_tokens:
+            if self._use_draft:
                 if self._draft_scanned:
                     dk_all, dv_all = draft_kv
                     self.draft_caches = self._draft_write_fn(
@@ -1224,7 +1262,7 @@ class DecodeEngine:
             self.params, jnp.array(tokens), jnp.array(first_pos),
             self.caches, jnp.array(table), jnp.array(mask),
         )
-        if self.spec_tokens:
+        if self._use_draft:
             _, self.draft_caches = self._draft_suffix_fn(
                 self.draft_params, jnp.array(tokens),
                 jnp.array(first_pos), self.draft_caches,
@@ -1320,7 +1358,7 @@ class DecodeEngine:
                 self.caches, self._tables_dev(copy=True),
                 jnp.array(mask),
             )
-            if self.spec_tokens:
+            if self._use_draft:
                 _, self.draft_caches = self._draft_chunk_fn(
                     self.draft_params, jnp.array(tokens),
                     jnp.array(first_pos), self.draft_caches,
@@ -1336,7 +1374,7 @@ class DecodeEngine:
                 # TPU programs sequence donated buffers correctly, so no
                 # sync is paid there.
                 jax.block_until_ready(self.caches)
-                if self.spec_tokens:
+                if self._use_draft:
                     jax.block_until_ready(self.draft_caches)
             self.stats["prefill_chunks"] += 1
             finish_rows, finish_slots = [], []
@@ -1486,6 +1524,29 @@ class DecodeEngine:
             self._maybe_finish(req, tok)
         return finished
 
+    def _lookup_proposals(self, k: int) -> np.ndarray:
+        """Prompt-lookup drafts [max_seqs, k]: for each active slot, find
+        the most recent PRIOR occurrence of the history's last
+        `lookup_ngram` tokens and propose the k tokens that followed it
+        (zero-padded; no match proposes zeros, which the target simply
+        rejects).  Pure host work — no second model, no draft cache."""
+        n = self.lookup_ngram
+        out = np.zeros((self.max_seqs, k), np.int32)
+        for slot in range(self.max_seqs):
+            if not self.active[slot]:
+                continue
+            req = self._slot_req[slot]
+            hist = req.prompt + req.generated
+            if len(hist) <= n:
+                continue
+            pattern = hist[-n:]
+            for start in range(len(hist) - n - 1, -1, -1):
+                if hist[start:start + n] == pattern:
+                    nxt = hist[start + n:start + n + k]
+                    out[slot, :len(nxt)] = nxt
+                    break
+        return out
+
     def _spec_round(self):
         """One draft-and-verify round: up to spec_tokens+1 tokens per slot
         from a single target forward.  Greedy acceptance: take draft tokens
@@ -1505,11 +1566,16 @@ class DecodeEngine:
         sampled = self.temperature > 0.0
         if sampled:
             self._key, k1, k2 = jax.random.split(self._key, 3)
-            drafts_dev, draft_probs, self.draft_caches = self._propose_fn(
-                self.draft_params, self.draft_caches,
-                jnp.asarray(self.last_token), positions, pt, act, k1,
-            )
-            drafts = np.asarray(drafts_dev)  # [max_seqs, k]
+            if self._use_draft:
+                (drafts_dev, draft_probs,
+                 self.draft_caches) = self._propose_fn(
+                    self.draft_params, self.draft_caches,
+                    jnp.asarray(self.last_token), positions, pt, act, k1,
+                )
+                drafts = np.asarray(drafts_dev)  # [max_seqs, k]
+            else:
+                drafts = self._lookup_proposals(k)
+                draft_probs = None  # deterministic drafts: one-hot pd
             chunk = np.concatenate(
                 [self.last_token[:, None], drafts], axis=1
             )
@@ -1527,11 +1593,14 @@ class DecodeEngine:
             m_all = np.asarray(m_dev)
             final_all = np.asarray(final_dev)
         else:
-            drafts_dev, self.draft_caches = self._propose_fn(
-                self.draft_params, self.draft_caches,
-                jnp.asarray(self.last_token), positions, pt, act,
-            )
-            drafts = np.asarray(drafts_dev)  # [max_seqs, k]
+            if self._use_draft:
+                drafts_dev, self.draft_caches = self._propose_fn(
+                    self.draft_params, self.draft_caches,
+                    jnp.asarray(self.last_token), positions, pt, act,
+                )
+                drafts = np.asarray(drafts_dev)  # [max_seqs, k]
+            else:
+                drafts = self._lookup_proposals(k)
             chunk = np.concatenate(
                 [self.last_token[:, None], drafts], axis=1
             )

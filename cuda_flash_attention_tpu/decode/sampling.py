@@ -18,9 +18,10 @@ def warp_logits(
     temperature: float,
     top_k: int = 0,
     top_p: float = 1.0,
+    min_p: float = 0.0,
 ):
-    """Temperature + nucleus + top-k warping as SUPPORT FILTERING: returns
-    logits/temperature with every non-kept entry at -inf, so
+    """Temperature + nucleus + top-k + min-p warping as SUPPORT FILTERING:
+    returns logits/temperature with every non-kept entry at -inf, so
     softmax(warped) is the exact sampling distribution.  One shared
     definition serves both the direct decode step and BOTH sides of
     speculative sampling — the Leviathan acceptance rule is exact for any
@@ -28,13 +29,22 @@ def warp_logits(
     same warp of their model's logits.
 
     top_k keeps every token tied with the k-th largest logit (support
-    filtering), matching the nucleus rule's tie behavior."""
+    filtering), matching the nucleus rule's tie behavior.  min_p keeps
+    tokens whose probability is >= min_p * p(top token) — the
+    entropy-adaptive truncation rule."""
     if not 0.0 < top_p <= 1.0:
         raise ValueError(
             f"top_p must be in (0, 1]; got {top_p} (use temperature=0 for "
             "greedy decoding)"
         )
+    if not 0.0 <= min_p < 1.0:
+        raise ValueError(f"min_p must be in [0, 1); got {min_p}")
     logits = logits / temperature
+    if min_p > 0.0:
+        # p_i >= min_p * p_max  <=>  logit_i >= logit_max + log(min_p)
+        # (same softmax denominator on both sides).
+        cutoff = jnp.max(logits, axis=-1, keepdims=True) + jnp.log(min_p)
+        logits = jnp.where(logits >= cutoff, logits, -jnp.inf)
     if top_p < 1.0:
         sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]  # descending
         probs = jax.nn.softmax(sorted_logits, axis=-1)
@@ -53,7 +63,7 @@ def warp_logits(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("temperature", "top_k", "top_p")
+    jax.jit, static_argnames=("temperature", "top_k", "top_p", "min_p")
 )
 def sample_tokens(
     logits,       # [num_seqs, vocab]
@@ -62,10 +72,12 @@ def sample_tokens(
     temperature: float = 0.0,
     top_k: int = 0,
     top_p: float = 1.0,
+    min_p: float = 0.0,
 ):
     """Sample one token per row. temperature<=0 -> greedy; top_k>0 restricts
     to the k most likely tokens; top_p<1 restricts to the smallest nucleus
-    whose probability mass reaches p (static-shaped: sort + cumsum)."""
+    whose probability mass reaches p (static-shaped: sort + cumsum);
+    min_p>0 drops tokens below min_p * p(top token)."""
     if temperature <= 0.0:
         # Still validate so a bad top_p fails loudly in greedy mode too.
         if not 0.0 < top_p <= 1.0:
@@ -75,13 +87,14 @@ def sample_tokens(
             )
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     warped = warp_logits(
-        logits, temperature=temperature, top_k=top_k, top_p=top_p
+        logits, temperature=temperature, top_k=top_k, top_p=top_p,
+        min_p=min_p,
     )
     return jax.random.categorical(key, warped, axis=-1).astype(jnp.int32)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("temperature", "top_k", "top_p")
+    jax.jit, static_argnames=("temperature", "top_k", "top_p", "min_p")
 )
 def sample_with_logprob(
     logits,       # [num_seqs, vocab]
@@ -90,6 +103,7 @@ def sample_with_logprob(
     temperature: float = 0.0,
     top_k: int = 0,
     top_p: float = 1.0,
+    min_p: float = 0.0,
 ):
     """sample_tokens PLUS the log-probability of each chosen token under
     the distribution it was drawn from: log_softmax(logits) at the argmax
@@ -100,7 +114,8 @@ def sample_with_logprob(
         lp = jax.nn.log_softmax(logits, axis=-1)
     else:
         warped = warp_logits(
-            logits, temperature=temperature, top_k=top_k, top_p=top_p
+            logits, temperature=temperature, top_k=top_k, top_p=top_p,
+            min_p=min_p,
         )
         tok = jax.random.categorical(key, warped, axis=-1).astype(jnp.int32)
         lp = jax.nn.log_softmax(warped, axis=-1)

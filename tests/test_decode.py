@@ -392,6 +392,28 @@ def test_logprobs_under_greedy_speculation_match_plain():
     np.testing.assert_allclose(r2.logprobs, r1.logprobs, atol=1e-4)
 
 
+def test_min_p_sampling():
+    """min_p keeps only tokens with p >= min_p * p_max: with one dominant
+    token and min_p above the runner-up's ratio, sampling is pinned."""
+    from cuda_flash_attention_tpu.decode.sampling import sample_tokens
+
+    logits = jnp.asarray([[8.0, 4.0, 0.0, -4.0]])  # p ~ [0.982, 0.018, ..]
+    for i in range(24):
+        t = sample_tokens(logits, jax.random.PRNGKey(i), temperature=1.0,
+                          min_p=0.1)
+        assert int(t[0]) == 0
+    # Low threshold keeps the runner-up reachable.
+    seen = {
+        int(sample_tokens(logits, jax.random.PRNGKey(i), temperature=1.0,
+                          min_p=0.001)[0])
+        for i in range(200)
+    }
+    assert 1 in seen
+    with pytest.raises(ValueError, match="min_p"):
+        sample_tokens(logits, jax.random.PRNGKey(0), temperature=1.0,
+                      min_p=1.5)
+
+
 def test_top_p_validation():
     from cuda_flash_attention_tpu.decode.sampling import sample_tokens
 

@@ -226,6 +226,55 @@ def test_spec_sampled_logprobs_finite():
     assert all(np.isfinite(lp) and lp <= 0.0 for lp in r.logprobs)
 
 
+def test_prompt_lookup_greedy_matches_plain():
+    """Prompt-lookup speculation (NO draft model): exact greedy parity
+    with the plain engine, and a repetitive prompt must actually get
+    drafts accepted (the n-gram match predicts the continuation)."""
+    cfg, params, _, _ = _models()
+    # Repetitive prompt: the model tends to continue cycles, so lookup
+    # proposals from prior occurrences match often.
+    prompt = [5, 17, 100, 42] * 12
+    plain = DecodeEngine(params, cfg, max_seqs=1, max_seq_len=512,
+                         page_size=PAGE, cache_dtype=jnp.float32)
+    ref = plain.run([prompt], max_new_tokens=10)[0].generated
+
+    eng = DecodeEngine(params, cfg, max_seqs=1, max_seq_len=512,
+                       page_size=PAGE, cache_dtype=jnp.float32,
+                       spec_tokens=3, spec_mode="prompt_lookup")
+    r = eng.run([prompt], max_new_tokens=10)[0]
+    assert r.generated == ref, (r.generated, ref)
+    assert eng.stats["spec_rounds"] > 0
+    assert eng.allocator.available == eng.allocator.num_pages - 1
+
+
+def test_prompt_lookup_sampled_generates():
+    """Sampled prompt-lookup: deterministic drafts verify against a
+    one-hot pd — generation completes in-vocab with logprobs."""
+    cfg, params, _, _ = _models()
+    eng = DecodeEngine(params, cfg, max_seqs=2, max_seq_len=512,
+                       page_size=PAGE, cache_dtype=jnp.float32,
+                       spec_tokens=3, spec_mode="prompt_lookup",
+                       temperature=0.8, top_k=20, logprobs=True)
+    reqs = eng.run([[5, 17, 100, 42] * 8, [7, 3]], max_new_tokens=8)
+    for r in reqs:
+        assert r.done and len(r.generated) == 8
+        assert all(0 <= t < cfg.vocab_size for t in r.generated)
+        assert len(r.logprobs) == 8
+        assert all(np.isfinite(lp) and lp <= 0 for lp in r.logprobs)
+
+
+def test_prompt_lookup_validation():
+    cfg, params, draft_cfg, draft_params = _models()
+    with pytest.raises(ValueError, match="no draft model"):
+        DecodeEngine(params, cfg, max_seqs=1, max_seq_len=256,
+                     page_size=PAGE, spec_tokens=2,
+                     spec_mode="prompt_lookup", draft_params=draft_params,
+                     draft_cfg=draft_cfg)
+    with pytest.raises(ValueError, match="spec_mode"):
+        DecodeEngine(params, cfg, max_seqs=1, max_seq_len=256,
+                     page_size=PAGE, spec_tokens=2, spec_mode="banana")
+
+
 def test_acceptance_stats():
     cfg = dataclasses.replace(
         TransformerConfig.tiny(), dtype=jnp.float32, attn_tile_dtype=None,
