@@ -79,3 +79,23 @@ for label, win in (("global", None), ("win4096", 4096)):
 rows["speedup"] = round(rows["global"] / rows["win4096"], 2)
 print(json.dumps({"window_prefill_ms": rows}))
 PY
+
+# 10. Collect every JSON line the steps emitted into one summary file so
+#     the next session can update BASELINE.md without re-parsing logs.
+python - <<'PY'
+import json, os, re
+out = []
+for name in sorted(os.listdir("logs")):
+    if not name.endswith(".log"):
+        continue
+    for line in open(os.path.join("logs", name), errors="replace"):
+        line = line.strip()
+        if line.startswith("{") and line.endswith("}"):
+            try:
+                out.append({"log": name, "data": json.loads(line)})
+            except Exception:
+                pass
+json.dump(out, open("logs/campaign_summary.json", "w"), indent=1)
+print(f"campaign_summary.json: {len(out)} JSON lines collected")
+PY
+echo "ROUND-3 CAMPAIGN COMPLETE"
