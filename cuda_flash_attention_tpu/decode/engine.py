@@ -71,6 +71,9 @@ class Request:
     # Per-token log-probabilities of the sampled tokens (filled only when
     # the engine was constructed with logprobs=True).
     logprobs: list[float] = dataclasses.field(default_factory=list)
+    # Per-request logit bias {token_id: bias} added to every step's logits
+    # BEFORE sampling/argmax — float('-inf') bans a token outright.
+    logit_bias: dict | None = None
 
 
 def _stop_hit(tokens: list[int], stop) -> bool:
@@ -368,6 +371,10 @@ class DecodeEngine:
             [0] * self.n_groups for _ in range(max_seqs)
         ]
         self._pending: deque[Request] = deque()
+        # Per-slot logit-bias matrix [max_seqs, vocab] — created lazily on
+        # the first biased request (unbiased engines never pay the extra
+        # device input; once created, the jits retrace once with the arg).
+        self._bias: np.ndarray | None = None
         self._next_uid = 0
         self._key = jax.random.PRNGKey(seed)
         # Serving telemetry (host counters; no device syncs): device steps,
@@ -625,7 +632,7 @@ class DecodeEngine:
 
     @staticmethod
     def _device_step(params, caches, tokens, positions, page_table, active,
-                     key, *, cfg, interpret, mesh=None,
+                     key, bias=None, *, cfg, interpret, mesh=None,
                      temperature=0.0, top_k=0, top_p=1.0, min_p=0.0,
                      return_logprob=False):
         """One fused decode step: embed + append-KV + paged attention +
@@ -637,6 +644,8 @@ class DecodeEngine:
             params, tokens, positions, caches, page_table, active, cfg,
             mesh=mesh, interpret=interpret,
         )
+        if bias is not None:
+            logits = logits + bias  # per-slot logit_bias (-inf bans)
         if return_logprob:
             from cuda_flash_attention_tpu.decode.sampling import (
                 sample_with_logprob,
@@ -672,7 +681,7 @@ class DecodeEngine:
 
     @staticmethod
     def _device_verify(params, caches, chunk_tokens, first_positions,
-                       page_table, active, *, cfg, mesh=None,
+                       page_table, active, bias=None, *, cfg, mesh=None,
                        return_logprob=False, interpret=None):
         """Target-side verification: greedy argmax at every chunk position
         from ONE chunked forward (the chunk's KV is appended inside).
@@ -683,6 +692,8 @@ class DecodeEngine:
             params, chunk_tokens, first_positions, caches, page_table,
             active, cfg, mesh=mesh, interpret=interpret,
         )
+        if bias is not None:
+            logits = logits + bias[:, None, :]
         greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         if return_logprob:
             lp = jnp.take_along_axis(
@@ -732,9 +743,10 @@ class DecodeEngine:
     @staticmethod
     def _device_verify_sampled(params, caches, chunk_tokens,
                                first_positions, page_table, active,
-                               draft_probs, key, *, cfg, temperature,
-                               top_k, top_p, min_p=0.0, mesh=None,
-                               return_logprob=False, interpret=None):
+                               draft_probs, key, bias=None, *, cfg,
+                               temperature, top_k, top_p, min_p=0.0,
+                               mesh=None, return_logprob=False,
+                               interpret=None):
         """Target-side speculative SAMPLING: one chunked forward, then the
         Leviathan/Chen acceptance entirely on device — returns (m accepted
         drafts, final correction/bonus token) per slot.  The target warps
@@ -753,6 +765,8 @@ class DecodeEngine:
             params, chunk_tokens, first_positions, caches, page_table,
             active, cfg, mesh=mesh, interpret=interpret,
         )
+        if bias is not None:
+            logits = logits + bias[:, None, :]
         pt = jax.nn.softmax(
             warp_logits(
                 logits.reshape(-1, logits.shape[-1]),
@@ -823,14 +837,16 @@ class DecodeEngine:
 
     def submit(self, prompt: list[int], max_new_tokens: int = 32,
                eos_id: int | None = None, stop=None,
-               on_token=None) -> Request:
+               on_token=None, logit_bias=None) -> Request:
         """Queue a request; admitted as soon as a slot frees up.  `stop` is
         an optional list of token-id sequences ending generation; `on_token`
-        an optional per-token streaming callback."""
+        an optional per-token streaming callback; `logit_bias` maps
+        token_id -> bias added to every step's logits (-inf bans)."""
         prompt = list(prompt)
         self._validate_request(prompt, max_new_tokens)
         req = Request(self._next_uid, prompt, max_new_tokens, eos_id,
-                      stop=self._norm_stop(stop), on_token=on_token)
+                      stop=self._norm_stop(stop), on_token=on_token,
+                      logit_bias=dict(logit_bias) if logit_bias else None)
         self._next_uid += 1
         self._pending.append(req)
         self._admit()
@@ -838,17 +854,19 @@ class DecodeEngine:
 
     def submit_many(self, prompts, max_new_tokens: int = 32,
                     eos_id: int | None = None, stop=None,
-                    on_token=None) -> list[Request]:
+                    on_token=None, logit_bias=None) -> list[Request]:
         """Enqueue several requests BEFORE admitting, so same-length-bucket
         prompts prefill as one batched forward (submit() admits eagerly,
         which would prefill them one by one)."""
         stop = self._norm_stop(stop)
+        bias = dict(logit_bias) if logit_bias else None
         reqs = []
         for p in prompts:
             p = list(p)
             self._validate_request(p, max_new_tokens)
             reqs.append(Request(self._next_uid, p, max_new_tokens, eos_id,
-                                stop=stop, on_token=on_token))
+                                stop=stop, on_token=on_token,
+                                logit_bias=bias))
             self._next_uid += 1
             self._pending.append(reqs[-1])
         self._admit()
@@ -872,6 +890,28 @@ class DecodeEngine:
         return tuple(
             devs[self._layer_group[i]] for i in range(self.cfg.n_layers)
         )
+
+    def _bind_bias(self, req: Request, slot: int):
+        """Materialize a request's logit_bias into its slot's row of the
+        [max_seqs, vocab] bias matrix (created lazily on first use)."""
+        if req.logit_bias is None:
+            if self._bias is not None:
+                self._bias[slot, :] = 0.0
+            return
+        if self._bias is None:
+            self._bias = np.zeros(
+                (self.max_seqs, self.cfg.vocab_size), np.float32
+            )
+        row = self._bias[slot]
+        row[:] = 0.0
+        for t, b in req.logit_bias.items():
+            t = int(t)
+            if not 0 <= t < self.cfg.vocab_size:
+                raise ValueError(f"logit_bias token {t} out of vocab")
+            row[t] = b
+
+    def _bias_dev(self):
+        return None if self._bias is None else jnp.asarray(self._bias)
 
     def _worst_pages_for(self, prompt_len: int,
                          max_new_tokens: int) -> list[int]:
@@ -1100,6 +1140,8 @@ class DecodeEngine:
         tokens = np.zeros((n_rows, pad_len), dtype=np.int32)
         for i, r in enumerate(reqs):
             tokens[i, :len(r.prompt)] = r.prompt
+        for req, slot in zip(reqs, slots):
+            self._bind_bias(req, slot)
         logits, kv = self._prefill_fn(self.params, jnp.asarray(tokens))
         logits = logits[:n_real]
         if self._use_draft:
@@ -1115,6 +1157,10 @@ class DecodeEngine:
         last_logits = jnp.take_along_axis(
             logits, last_idx[:, None, None], axis=1
         )[:, 0, :]
+        if self._bias is not None:
+            last_logits = last_logits + jnp.asarray(
+                self._bias[np.asarray(slots)]
+            )
         firsts_dev, first_lps = self._sample(last_logits)
         firsts = np.asarray(firsts_dev)
 
@@ -1233,6 +1279,7 @@ class DecodeEngine:
         ps = self.page_size
         prefix_len = len(hits) * ps
         suffix = req.prompt[prefix_len:]
+        self._bind_bias(req, slot)
         quantum = max(128, ps)
         pad_len = _cdiv(len(suffix), quantum) * quantum
         shard = self._slot_shard(slot)
@@ -1273,9 +1320,10 @@ class DecodeEngine:
                 # chain (no readback syncs it, unlike the target's
                 # sampling below).
                 jax.block_until_ready(self.draft_caches)
-        first_dev, first_lp = self._sample(
-            logits[row:row + 1, len(suffix) - 1, :]
-        )
+        row_logits = logits[row:row + 1, len(suffix) - 1, :]
+        if self._bias is not None:
+            row_logits = row_logits + jnp.asarray(self._bias[slot])
+        first_dev, first_lp = self._sample(row_logits)
         first = int(np.asarray(first_dev)[0])
         self._emit(
             req, first, first_lp[0] if first_lp is not None else None
@@ -1299,6 +1347,7 @@ class DecodeEngine:
         (prefix-cache pages covering the prompt head), the shared pages
         join group 0 and only the SUFFIX is chunked."""
         shard = self._slot_shard(slot)
+        self._bind_bias(req, slot)
         for g in range(self.n_groups):
             self._tables[g][slot, :] = 0
             self._slot_pages[slot][g] = []
@@ -1391,7 +1440,12 @@ class DecodeEngine:
                     self.lengths[s] = start + size
                     self._recycle_stale(s)
             if finish_slots:
-                toks_dev, lps = self._sample(jnp.stack(finish_rows))
+                stacked = jnp.stack(finish_rows)
+                if self._bias is not None:
+                    stacked = stacked + jnp.asarray(
+                        self._bias[np.asarray(finish_slots)]
+                    )
+                toks_dev, lps = self._sample(stacked)
                 toks = np.asarray(toks_dev)
                 for i, s in enumerate(finish_slots):
                     req = self._slot_req[s]
@@ -1449,6 +1503,8 @@ class DecodeEngine:
             )
             self._slot_pages[slot][g] = []
             self._tables[g][slot, :] = 0
+        if self._bias is not None:
+            self._bias[slot, :] = 0.0
         self.lengths[slot] = 0
         self.active[slot] = False
         self._slot_req[slot] = None
@@ -1503,6 +1559,7 @@ class DecodeEngine:
             self._tables_dev(),
             jnp.asarray(self.active),
             sub,
+            self._bias_dev(),
         )
         if self.want_logprobs:
             next_tokens_dev, lps_dev, self.caches = out
@@ -1581,7 +1638,7 @@ class DecodeEngine:
             )
             out = self._verify_fn(
                 self.params, self.caches, jnp.asarray(chunk), positions,
-                pt, act, draft_probs, k2,
+                pt, act, draft_probs, k2, self._bias_dev(),
             )
             if self.want_logprobs:
                 m_dev, final_dev, lp_d_dev, lp_f_dev, self.caches = out
@@ -1606,7 +1663,7 @@ class DecodeEngine:
             )
             out = self._verify_fn(
                 self.params, self.caches, jnp.asarray(chunk), positions,
-                pt, act,
+                pt, act, self._bias_dev(),
             )
             if self.want_logprobs:
                 greedy_dev, lp_all_dev, self.caches = out
@@ -1662,11 +1719,12 @@ class DecodeEngine:
             self._maybe_finish(req, take[-1])
 
     def run(self, prompts, max_new_tokens: int = 32, eos_id: int | None = None,
-            max_steps: int = 10000, stop=None, on_token=None):
+            max_steps: int = 10000, stop=None, on_token=None,
+            logit_bias=None):
         """Convenience: submit all prompts (batch-admitted), step until done,
         return requests in submission order."""
         reqs = self.submit_many(prompts, max_new_tokens, eos_id, stop=stop,
-                                on_token=on_token)
+                                on_token=on_token, logit_bias=logit_bias)
         steps = 0
         while (any(not r.done for r in reqs) or self._pending) and steps < max_steps:
             self.step()

@@ -392,6 +392,51 @@ def test_logprobs_under_greedy_speculation_match_plain():
     np.testing.assert_allclose(r2.logprobs, r1.logprobs, atol=1e-4)
 
 
+def test_logit_bias_bans_and_pins_tokens():
+    """Per-request logit_bias: -inf bans a token across prefill AND decode
+    steps; a huge positive bias pins every sampled token."""
+    cfg, params, eng = _engine()
+    base = eng.run([[5, 7, 11]], max_new_tokens=6)[0].generated
+
+    cfg2, params2, eng2 = _engine()
+    banned = set(base)
+    r = eng2.run([[5, 7, 11]], max_new_tokens=6,
+                 logit_bias={t: float("-inf") for t in banned})[0]
+    assert not (set(r.generated) & banned), (r.generated, banned)
+    assert len(r.generated) == 6
+
+    cfg3, params3, eng3 = _engine()
+    r3 = eng3.run([[5, 7, 11]], max_new_tokens=4, logit_bias={42: 1e9})[0]
+    assert r3.generated == [42] * 4
+
+    # Unbiased requests in the same engine afterwards are unaffected.
+    r4 = eng3.run([[5, 7, 11]], max_new_tokens=6)[0]
+    assert r4.generated == base
+
+
+def test_logit_bias_under_speculation():
+    """Banned tokens stay banned through the verify path (greedy spec via
+    prompt lookup — no draft model needed)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        TransformerConfig.tiny(), dtype=jnp.float32, attn_tile_dtype=None,
+    )
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    plain = DecodeEngine(params, cfg, max_seqs=1, max_seq_len=512,
+                         page_size=PAGE, cache_dtype=jnp.float32)
+    base = plain.run([[5, 7, 11] * 8], max_new_tokens=8)[0].generated
+
+    eng = DecodeEngine(params, cfg, max_seqs=1, max_seq_len=512,
+                       page_size=PAGE, cache_dtype=jnp.float32,
+                       spec_tokens=3, spec_mode="prompt_lookup")
+    banned = {base[0], base[1]}
+    r = eng.run([[5, 7, 11] * 8], max_new_tokens=8,
+                logit_bias={t: float("-inf") for t in banned})[0]
+    assert not (set(r.generated) & banned)
+    assert len(r.generated) == 8
+
+
 def test_min_p_sampling():
     """min_p keeps only tokens with p >= min_p * p_max: with one dominant
     token and min_p above the runner-up's ratio, sampling is pinned."""
