@@ -74,6 +74,12 @@ class Request:
     # Per-request logit bias {token_id: bias} added to every step's logits
     # BEFORE sampling/argmax — float('-inf') bans a token outright.
     logit_bias: dict | None = None
+    # OpenAI-style repetition controls: presence_penalty subtracts once per
+    # distinct generated token, frequency_penalty per occurrence.  Applied
+    # through the same bias row (under speculation the update lands between
+    # ROUNDS, not within a verified chunk).
+    presence_penalty: float = 0.0
+    frequency_penalty: float = 0.0
 
 
 def _stop_hit(tokens: list[int], stop) -> bool:
@@ -837,7 +843,9 @@ class DecodeEngine:
 
     def submit(self, prompt: list[int], max_new_tokens: int = 32,
                eos_id: int | None = None, stop=None,
-               on_token=None, logit_bias=None) -> Request:
+               on_token=None, logit_bias=None,
+               presence_penalty: float = 0.0,
+               frequency_penalty: float = 0.0) -> Request:
         """Queue a request; admitted as soon as a slot frees up.  `stop` is
         an optional list of token-id sequences ending generation; `on_token`
         an optional per-token streaming callback; `logit_bias` maps
@@ -846,7 +854,9 @@ class DecodeEngine:
         self._validate_request(prompt, max_new_tokens)
         req = Request(self._next_uid, prompt, max_new_tokens, eos_id,
                       stop=self._norm_stop(stop), on_token=on_token,
-                      logit_bias=dict(logit_bias) if logit_bias else None)
+                      logit_bias=dict(logit_bias) if logit_bias else None,
+                      presence_penalty=float(presence_penalty),
+                      frequency_penalty=float(frequency_penalty))
         self._next_uid += 1
         self._pending.append(req)
         self._admit()
@@ -854,7 +864,9 @@ class DecodeEngine:
 
     def submit_many(self, prompts, max_new_tokens: int = 32,
                     eos_id: int | None = None, stop=None,
-                    on_token=None, logit_bias=None) -> list[Request]:
+                    on_token=None, logit_bias=None,
+                    presence_penalty: float = 0.0,
+                    frequency_penalty: float = 0.0) -> list[Request]:
         """Enqueue several requests BEFORE admitting, so same-length-bucket
         prompts prefill as one batched forward (submit() admits eagerly,
         which would prefill them one by one)."""
@@ -866,7 +878,9 @@ class DecodeEngine:
             self._validate_request(p, max_new_tokens)
             reqs.append(Request(self._next_uid, p, max_new_tokens, eos_id,
                                 stop=stop, on_token=on_token,
-                                logit_bias=bias))
+                                logit_bias=bias,
+                                presence_penalty=float(presence_penalty),
+                                frequency_penalty=float(frequency_penalty)))
             self._next_uid += 1
             self._pending.append(reqs[-1])
         self._admit()
@@ -1119,7 +1133,18 @@ class DecodeEngine:
 
     def _emit(self, req: Request, tok: int, logprob=None):
         """Record one generated token: request transcript, optional
-        logprob, telemetry, and the streaming callback."""
+        logprob, telemetry, repetition penalties, and the streaming
+        callback."""
+        if req.presence_penalty or req.frequency_penalty:
+            if self._bias is None:
+                self._bias = np.zeros(
+                    (self.max_seqs, self.cfg.vocab_size), np.float32
+                )
+            row = self._bias[req.slot]
+            if req.presence_penalty and tok not in set(req.generated):
+                row[tok] -= req.presence_penalty
+            if req.frequency_penalty:
+                row[tok] -= req.frequency_penalty
         req.generated.append(tok)
         if logprob is not None:
             req.logprobs.append(float(logprob))
@@ -1212,11 +1237,11 @@ class DecodeEngine:
                             dv[i, :kv_len], ids_dev[0],
                         )
             first = int(firsts[i])
+            req.slot = slot  # before _emit: penalties index the bias row
             self._emit(
                 req, first,
                 first_lps[i] if first_lps is not None else None,
             )
-            req.slot = slot
             self._slot_req[slot] = req
             self._slot_worst[slot] = self._worst_pages(req)
             self.lengths[slot] = prompt_len
@@ -1325,10 +1350,10 @@ class DecodeEngine:
             row_logits = row_logits + jnp.asarray(self._bias[slot])
         first_dev, first_lp = self._sample(row_logits)
         first = int(np.asarray(first_dev)[0])
+        req.slot = slot  # before _emit: penalties index the bias row
         self._emit(
             req, first, first_lp[0] if first_lp is not None else None
         )
-        req.slot = slot
         self._slot_req[slot] = req
         self._slot_worst[slot] = self._worst_pages(req)
         self.lengths[slot] = len(req.prompt)
@@ -1720,11 +1745,14 @@ class DecodeEngine:
 
     def run(self, prompts, max_new_tokens: int = 32, eos_id: int | None = None,
             max_steps: int = 10000, stop=None, on_token=None,
-            logit_bias=None):
+            logit_bias=None, presence_penalty: float = 0.0,
+            frequency_penalty: float = 0.0):
         """Convenience: submit all prompts (batch-admitted), step until done,
         return requests in submission order."""
         reqs = self.submit_many(prompts, max_new_tokens, eos_id, stop=stop,
-                                on_token=on_token, logit_bias=logit_bias)
+                                on_token=on_token, logit_bias=logit_bias,
+                                presence_penalty=presence_penalty,
+                                frequency_penalty=frequency_penalty)
         steps = 0
         while (any(not r.done for r in reqs) or self._pending) and steps < max_steps:
             self.step()

@@ -437,6 +437,24 @@ def test_logit_bias_under_speculation():
     assert len(r.generated) == 8
 
 
+def test_frequency_penalty_blocks_repetition():
+    """A huge frequency penalty forbids re-emitting any generated token —
+    all tokens distinct; without it greedy tiny models often loop."""
+    cfg, params, eng = _engine()
+    r = eng.run([[5, 7, 11]], max_new_tokens=12,
+                frequency_penalty=1e9)[0]
+    assert len(r.generated) == 12
+    assert len(set(r.generated)) == 12, r.generated
+
+    # Presence penalty with 0 magnitude changes nothing vs the base run.
+    cfg2, params2, eng2 = _engine()
+    base = eng2.run([[5, 7, 11]], max_new_tokens=6)[0].generated
+    cfg3, params3, eng3 = _engine()
+    same = eng3.run([[5, 7, 11]], max_new_tokens=6,
+                    presence_penalty=0.0)[0].generated
+    assert same == base
+
+
 def test_min_p_sampling():
     """min_p keeps only tokens with p >= min_p * p_max: with one dominant
     token and min_p above the runner-up's ratio, sampling is pinned."""
