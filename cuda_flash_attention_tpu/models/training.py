@@ -75,9 +75,26 @@ def make_optax_train_step(cfg: TransformerConfig, optimizer, mesh=None,
     hyperparameters are batch-size-invariant."""
     import optax
 
+    def _vag(params, tokens):
+        """value_and_grad tolerating INTEGER leaves (quantized QLoRA
+        bases): allow_int gives them float0 tangents, which optax can't
+        add — replace with typed zeros (they're frozen regardless)."""
+        loss, g = jax.value_and_grad(loss_fn, allow_int=True)(
+            params, tokens, cfg, mesh
+        )
+        g = jax.tree.map(
+            lambda gi, p: (
+                jnp.zeros_like(p)
+                if getattr(gi, "dtype", None) == jax.dtypes.float0
+                else gi
+            ),
+            g, params,
+        )
+        return loss, g
+
     def _grads(params, tokens):
         if grad_accum <= 1:
-            return jax.value_and_grad(loss_fn)(params, tokens, cfg, mesh)
+            return _vag(params, tokens)
         b = tokens.shape[0]
         assert b % grad_accum == 0, (
             f"batch {b} must divide into grad_accum={grad_accum} "
@@ -87,7 +104,7 @@ def make_optax_train_step(cfg: TransformerConfig, optimizer, mesh=None,
 
         def body(carry, mb):
             loss_sum, g_acc = carry
-            loss, g = jax.value_and_grad(loss_fn)(params, mb, cfg, mesh)
+            loss, g = _vag(params, mb)
             g_acc = jax.tree.map(
                 lambda a, x: a + x.astype(jnp.float32), g_acc, g
             )

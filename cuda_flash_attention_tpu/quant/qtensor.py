@@ -74,6 +74,13 @@ class QuantizedTensor:
         return self.values.shape
 
     @property
+    def ndim(self):
+        # Logical rank (the packed int4 form still reports the logical
+        # shape) — REQUIRED by models/lora.apply_lora's 2D-projection
+        # match; without it quantized bases silently never got adapters.
+        return len(self.shape)
+
+    @property
     def dtype(self):
         return self.values.dtype
 

@@ -115,15 +115,25 @@ def test_train_updates_only_adapters():
 
 
 def test_qlora_int8_base():
+    from cuda_flash_attention_tpu.models.lora import LoRATensor
     from cuda_flash_attention_tpu.quant import quantize_transformer_params
     from cuda_flash_attention_tpu.quant.qtensor import QuantizedTensor
 
     cfg, params = _cfg_params()
     qp = quantize_transformer_params(params, jnp.int8)
-    lp = _randomize_adapters(apply_lora(qp, jax.random.PRNGKey(3), rank=4))
+    lp = apply_lora(qp, jax.random.PRNGKey(3), rank=4)
+    # Regression: QuantizedTensor lacked .ndim, so apply_lora silently
+    # skipped every quantized base — QLoRA without adapters.
+    wrapped = lp["layers"][0]["wq"]
+    assert isinstance(wrapped, LoRATensor)
+    assert isinstance(wrapped.base, QuantizedTensor)
+    lp = _randomize_adapters(lp)
     toks = _tokens(cfg)
     out = forward(lp, toks, cfg)
     assert bool(jnp.isfinite(out).all())
+    # Randomized adapters actually change the forward vs the bare base.
+    out_base = forward(qp, toks, cfg)
+    assert float(jnp.max(jnp.abs(out - out_base))) > 1e-3
     merged = merge_lora(lp)
     # Merge keeps the int8 storage format.
     wq = merged["layers"][0]["wq"]
@@ -131,3 +141,37 @@ def test_qlora_int8_base():
     out_m = forward(merged, toks, cfg)
     # int8 requantization noise bounds the merge error.
     assert float(jnp.max(jnp.abs(out - out_m))) < 0.3
+
+
+def test_qlora_quantized_base_trains():
+    """QLoRA training end to end on a quantized base: integer base leaves
+    get float0 tangents (allow_int), adapters move, loss decreases."""
+    from cuda_flash_attention_tpu.models import make_lora_optimizer
+    from cuda_flash_attention_tpu.models.lora import LoRATensor
+    from cuda_flash_attention_tpu.models.training import (
+        init_train_state,
+        make_optax_train_step,
+        make_optimizer,
+    )
+    from cuda_flash_attention_tpu.quant import quantize_transformer_params
+
+    cfg, params = _cfg_params()
+    qp = quantize_transformer_params(params, "int4")
+    lp = apply_lora(qp, jax.random.PRNGKey(3), rank=4)
+    assert isinstance(lp["layers"][0]["wq"], LoRATensor)
+    opt = make_lora_optimizer(
+        make_optimizer(learning_rate=1e-2, warmup_steps=1, decay_steps=100),
+        lp,
+    )
+    state = init_train_state(lp, opt)
+    step = jax.jit(make_optax_train_step(cfg, opt))
+    losses = []
+    for _ in range(8):
+        state, metrics = step(state, _tokens(cfg, seed=1))
+        losses.append(float(metrics["loss"]))
+    assert all(jnp.isfinite(jnp.asarray(losses)))
+    assert losses[-1] < losses[0], losses
+    # Adapters moved; the packed int4 base is bit-identical.
+    w0, w1 = lp["layers"][0]["wq"], state.params["layers"][0]["wq"]
+    assert float(jnp.abs(w1.b - w0.b).max()) > 0.0
+    assert bool(jnp.array_equal(w0.base.values, w1.base.values))
