@@ -80,6 +80,8 @@ class Request:
     # ROUNDS, not within a verified chunk).
     presence_penalty: float = 0.0
     frequency_penalty: float = 0.0
+    # Distinct generated tokens (O(1) presence-penalty checks).
+    seen: set = dataclasses.field(default_factory=set)
 
 
 def _stop_hit(tokens: list[int], stop) -> bool:
@@ -191,8 +193,9 @@ class DecodeEngine:
                     "hybrid cache + prefix caching: per-group prefix maps "
                     "are not wired"
                 )
-        # self.window drives the WHOLE-sequence rolling bound (admission +
-        # max_seq_len budget): only meaningful when EVERY layer is windowed.
+        # INFORMATIONAL attribute (recycling/admission run per group via
+        # _group_windows): the whole-sequence rolling bound, None as soon
+        # as any layer is global.
         self.window = (
             cfg.attn_window if None not in self._group_windows else None
         )
@@ -379,8 +382,13 @@ class DecodeEngine:
         self._pending: deque[Request] = deque()
         # Per-slot logit-bias matrix [max_seqs, vocab] — created lazily on
         # the first biased request (unbiased engines never pay the extra
-        # device input; once created, the jits retrace once with the arg).
+        # device input), uploaded as an IMMUTABLE device copy cached by
+        # revision (steady-state steps with unchanged bias reuse it), and
+        # released back to None when the last biased request retires.
         self._bias: np.ndarray | None = None
+        self._bias_rev = 0
+        self._bias_dev_cache: tuple = (None, -1)
+        self._biased_slots: set[int] = set()
         self._next_uid = 0
         self._key = jax.random.PRNGKey(seed)
         # Serving telemetry (host counters; no device syncs): device steps,
@@ -831,6 +839,16 @@ class DecodeEngine:
                 f"num_pages or shorten prompt/max_new_tokens"
             )
 
+    def _validate_bias(self, logit_bias):
+        """Reject out-of-vocab bias keys AT SUBMIT (an admission-time
+        failure would surface from an unrelated step() and drop every
+        co-admitted request in the bucket)."""
+        if not logit_bias:
+            return
+        for t in logit_bias:
+            if not 0 <= int(t) < self.cfg.vocab_size:
+                raise ValueError(f"logit_bias token {int(t)} out of vocab")
+
     @staticmethod
     def _norm_stop(stop):
         """Normalize stop sequences to a tuple of non-empty int tuples."""
@@ -852,6 +870,7 @@ class DecodeEngine:
         token_id -> bias added to every step's logits (-inf bans)."""
         prompt = list(prompt)
         self._validate_request(prompt, max_new_tokens)
+        self._validate_bias(logit_bias)
         req = Request(self._next_uid, prompt, max_new_tokens, eos_id,
                       stop=self._norm_stop(stop), on_token=on_token,
                       logit_bias=dict(logit_bias) if logit_bias else None,
@@ -871,6 +890,7 @@ class DecodeEngine:
         prompts prefill as one batched forward (submit() admits eagerly,
         which would prefill them one by one)."""
         stop = self._norm_stop(stop)
+        self._validate_bias(logit_bias)
         bias = dict(logit_bias) if logit_bias else None
         reqs = []
         for p in prompts:
@@ -905,27 +925,43 @@ class DecodeEngine:
             devs[self._layer_group[i]] for i in range(self.cfg.n_layers)
         )
 
-    def _bind_bias(self, req: Request, slot: int):
-        """Materialize a request's logit_bias into its slot's row of the
-        [max_seqs, vocab] bias matrix (created lazily on first use)."""
-        if req.logit_bias is None:
-            if self._bias is not None:
-                self._bias[slot, :] = 0.0
-            return
+    def _ensure_bias(self) -> np.ndarray:
         if self._bias is None:
             self._bias = np.zeros(
                 (self.max_seqs, self.cfg.vocab_size), np.float32
             )
-        row = self._bias[slot]
+        return self._bias
+
+    def _bind_bias(self, req: Request, slot: int):
+        """Materialize a request's logit_bias into its slot's row of the
+        [max_seqs, vocab] bias matrix (created lazily on first use)."""
+        uses_bias = (
+            req.logit_bias is not None
+            or req.presence_penalty or req.frequency_penalty
+        )
+        if not uses_bias:
+            if self._bias is not None and slot in self._biased_slots:
+                self._bias[slot, :] = 0.0
+                self._biased_slots.discard(slot)
+                self._bias_rev += 1
+            return
+        row = self._ensure_bias()[slot]
         row[:] = 0.0
-        for t, b in req.logit_bias.items():
-            t = int(t)
-            if not 0 <= t < self.cfg.vocab_size:
-                raise ValueError(f"logit_bias token {t} out of vocab")
-            row[t] = b
+        for t, b in (req.logit_bias or {}).items():
+            row[int(t)] = b  # keys validated at submit (_validate_bias)
+        self._biased_slots.add(slot)
+        self._bias_rev += 1
 
     def _bias_dev(self):
-        return None if self._bias is None else jnp.asarray(self._bias)
+        if self._bias is None:
+            return None
+        arr, rev = self._bias_dev_cache
+        if rev != self._bias_rev:
+            # jnp.array COPIES — the cached device buffer must not alias
+            # the host matrix the penalties keep mutating.
+            arr = jnp.array(self._bias)
+            self._bias_dev_cache = (arr, self._bias_rev)
+        return arr
 
     def _worst_pages_for(self, prompt_len: int,
                          max_new_tokens: int) -> list[int]:
@@ -1068,10 +1104,19 @@ class DecodeEngine:
             missed = []
             for r, slot in take:
                 hits = self._prefix_hits(r.prompt, self._slot_shard(slot))
+                ps = self.page_size
                 if hits:
-                    suffix_len = (
-                        len(r.prompt) - len(hits) * self.page_size
+                    suffix_len = len(r.prompt) - len(hits) * ps
+                    # The padded one-shot suffix (128-quantum) can need
+                    # more table columns than pages_per_seq provides when
+                    # page_size < 128 — treat such hits as misses instead
+                    # of crashing mid-admission.
+                    pad_pages = (
+                        _cdiv(suffix_len, max(128, ps)) * max(128, ps) // ps
                     )
+                    if len(hits) + pad_pages > self.pages_per_seq:
+                        hits = []
+                if hits:
                     if (self.prefill_chunk is not None
                             and suffix_len > self.prefill_chunk):
                         # Long uncached suffix: chunk it like any other
@@ -1136,15 +1181,14 @@ class DecodeEngine:
         logprob, telemetry, repetition penalties, and the streaming
         callback."""
         if req.presence_penalty or req.frequency_penalty:
-            if self._bias is None:
-                self._bias = np.zeros(
-                    (self.max_seqs, self.cfg.vocab_size), np.float32
-                )
-            row = self._bias[req.slot]
-            if req.presence_penalty and tok not in set(req.generated):
+            row = self._ensure_bias()[req.slot]
+            if req.presence_penalty and tok not in req.seen:
                 row[tok] -= req.presence_penalty
             if req.frequency_penalty:
                 row[tok] -= req.frequency_penalty
+            self._biased_slots.add(req.slot)
+            self._bias_rev += 1
+        req.seen.add(tok)
         req.generated.append(tok)
         if logprob is not None:
             req.logprobs.append(float(logprob))
@@ -1528,8 +1572,14 @@ class DecodeEngine:
             )
             self._slot_pages[slot][g] = []
             self._tables[g][slot, :] = 0
-        if self._bias is not None:
+        if self._bias is not None and slot in self._biased_slots:
             self._bias[slot, :] = 0.0
+            self._biased_slots.discard(slot)
+            self._bias_rev += 1
+            if not self._biased_slots:
+                # Last biased request gone: stop paying the device input.
+                self._bias = None
+                self._bias_dev_cache = (None, -1)
         self.lengths[slot] = 0
         self.active[slot] = False
         self._slot_req[slot] = None

@@ -130,7 +130,7 @@ def quantize_int4(w: jax.Array, group_size: int = 128) -> QuantizedTensor:
         raise ValueError(f"int4 quantization expects 2D weights; {w.shape}")
     in_dim, out = w.shape
     group_size = min(group_size, in_dim)
-    if in_dim % group_size or (in_dim // 1) % 2:
+    if in_dim % group_size or in_dim % 2:
         raise ValueError(
             f"int4 needs group_size | in_dim and an even in_dim; got "
             f"{in_dim=} {group_size=}"
