@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import time
 from collections import deque
 
 import jax
@@ -82,6 +83,28 @@ class Request:
     frequency_penalty: float = 0.0
     # Distinct generated tokens (O(1) presence-penalty checks).
     seen: set = dataclasses.field(default_factory=set)
+    # Serving observability (host wall-clock, time.monotonic):
+    # submit -> first token = TTFT; per-token spacing after = TPOT.
+    submitted_at: float = 0.0
+    first_token_at: float = 0.0
+    finished_at: float = 0.0
+
+    @property
+    def ttft_s(self) -> float | None:
+        """Time to first token (s), None until the first token lands."""
+        if not self.first_token_at:
+            return None
+        return self.first_token_at - self.submitted_at
+
+    @property
+    def tpot_s(self) -> float | None:
+        """Mean time per output token AFTER the first (s)."""
+        if not self.finished_at or len(self.generated) < 2:
+            return None
+        return (
+            (self.finished_at - self.first_token_at)
+            / (len(self.generated) - 1)
+        )
 
 
 def _stop_hit(tokens: list[int], stop) -> bool:
@@ -875,7 +898,8 @@ class DecodeEngine:
                       stop=self._norm_stop(stop), on_token=on_token,
                       logit_bias=dict(logit_bias) if logit_bias else None,
                       presence_penalty=float(presence_penalty),
-                      frequency_penalty=float(frequency_penalty))
+                      frequency_penalty=float(frequency_penalty),
+                      submitted_at=time.monotonic())
         self._next_uid += 1
         self._pending.append(req)
         self._admit()
@@ -900,7 +924,8 @@ class DecodeEngine:
                                 stop=stop, on_token=on_token,
                                 logit_bias=bias,
                                 presence_penalty=float(presence_penalty),
-                                frequency_penalty=float(frequency_penalty)))
+                                frequency_penalty=float(frequency_penalty),
+                                submitted_at=time.monotonic()))
             self._next_uid += 1
             self._pending.append(reqs[-1])
         self._admit()
@@ -1189,6 +1214,8 @@ class DecodeEngine:
             self._biased_slots.add(req.slot)
             self._bias_rev += 1
         req.seen.add(tok)
+        if not req.first_token_at:
+            req.first_token_at = time.monotonic()
         req.generated.append(tok)
         if logprob is not None:
             req.logprobs.append(float(logprob))
@@ -1562,6 +1589,7 @@ class DecodeEngine:
         if (hit_eos or len(req.generated) >= req.max_new_tokens
                 or _stop_hit(req.generated, req.stop)):
             req.done = True
+            req.finished_at = time.monotonic()
 
     def _retire(self, slot: int) -> Request:
         req = self._slot_req[slot]

@@ -437,6 +437,22 @@ def test_logit_bias_under_speculation():
     assert len(r.generated) == 8
 
 
+def test_request_latency_metrics():
+    """TTFT/TPOT observability: stamps are ordered and the derived metrics
+    are positive once a request finishes."""
+    cfg, params, eng = _engine()
+    r = eng.run([[5, 7, 11]], max_new_tokens=5)[0]
+    assert r.submitted_at <= r.first_token_at <= r.finished_at
+    assert r.ttft_s is not None and r.ttft_s >= 0.0
+    assert r.tpot_s is not None and r.tpot_s >= 0.0
+    # An unfinished request reports None for TPOT.
+    eng2 = DecodeEngine(params, cfg, max_seqs=2, max_seq_len=512,
+                        page_size=PAGE, cache_dtype=jnp.int8)
+    q = eng2.submit([1, 2, 3], max_new_tokens=8)
+    eng2.step()
+    assert not q.done and q.tpot_s is None and q.ttft_s is not None
+
+
 def test_frequency_penalty_blocks_repetition():
     """A huge frequency penalty forbids re-emitting any generated token —
     all tokens distinct; without it greedy tiny models often loop."""
