@@ -1614,6 +1614,26 @@ class DecodeEngine:
         self._slot_worst[slot] = [0] * self.n_groups
         return req
 
+    def cancel(self, req: Request) -> bool:
+        """Abort a request: pending requests leave the queue immediately;
+        admitted ones (decoding OR mid-chunked-prefill) retire at the next
+        step(), freeing their slot and pages.  Returns False if the
+        request already finished."""
+        if req.done:
+            return False
+        req.done = True
+        req.finished_at = time.monotonic()
+        try:
+            self._pending.remove(req)
+            return True  # never admitted: nothing device-side to release
+        except ValueError:
+            pass
+        if req.slot is not None and self._slot_req[req.slot] is req:
+            # A mid-prefill slot must not keep chunking; _retire (via the
+            # next step's drain) frees its pages either way.
+            self.prefilling[req.slot] = False
+        return True
+
     def _drain_finished(self, finished: list):
         """Retire done slots and admit pending requests; loop because an
         admitted request may finish AT prefill (EOS on the first sampled

@@ -437,6 +437,45 @@ def test_logit_bias_under_speculation():
     assert len(r.generated) == 8
 
 
+def test_cancel_requests():
+    """cancel(): pending requests leave the queue; an active request
+    retires on the next step with its pages returned; a mid-chunked-
+    prefill request stops chunking."""
+    cfg, params, eng = _engine()
+    a = eng.submit([1, 2, 3], max_new_tokens=30)
+    b = eng.submit([4, 5], max_new_tokens=30)
+    c = eng.submit([6, 7], max_new_tokens=30)  # queued (2 slots)
+    assert eng.cancel(c) and c.done
+    eng.step()
+    assert eng.cancel(a)
+    for _ in range(3):
+        eng.step()
+    assert a.done and len(a.generated) < 30
+    while not b.done:
+        eng.step()
+    eng.step()
+    assert eng.allocator.available == eng.allocator.num_pages - 1
+    assert not eng.cancel(b)  # already finished
+
+    # Mid-chunked-prefill cancellation frees everything too.
+    import dataclasses
+    fcfg = dataclasses.replace(
+        TransformerConfig.tiny(), dtype=jnp.float32, attn_tile_dtype=None,
+    )
+    fparams = init_params(jax.random.PRNGKey(0), fcfg)
+    eng2 = DecodeEngine(fparams, fcfg, max_seqs=1, max_seq_len=512,
+                        page_size=PAGE, cache_dtype=jnp.float32,
+                        prefill_chunk=128)
+    long_prompt = list(np.random.default_rng(0).integers(0, 200, 400))
+    r = eng2.submit(long_prompt, max_new_tokens=8)
+    eng2.step()  # first chunk only
+    assert bool(eng2.prefilling[r.slot])
+    eng2.cancel(r)
+    eng2.step()
+    assert r.done and not eng2.prefilling.any()
+    assert eng2.allocator.available == eng2.allocator.num_pages - 1
+
+
 def test_request_latency_metrics():
     """TTFT/TPOT observability: stamps are ordered and the derived metrics
     are positive once a request finishes."""
