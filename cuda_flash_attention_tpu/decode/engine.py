@@ -1614,6 +1614,31 @@ class DecodeEngine:
         self._slot_worst[slot] = [0] * self.n_groups
         return req
 
+    def generate_n(self, prompt: list[int], n: int,
+                   max_new_tokens: int = 32, best_of: bool = False,
+                   max_steps: int = 10000, **kw) -> list[Request]:
+        """Best-of-n sampling: run `n` independent completions of ONE
+        prompt (requires temperature > 0 and logprobs=True for ranking)
+        and return them sorted by total sequence log-probability,
+        best first.  With prefix_cache=True the shared prompt's pages are
+        stored once and shared across the n slots.  ``best_of=True``
+        returns only the winner."""
+        if n < 1:
+            raise ValueError("n must be >= 1")
+        if n > 1 and not self.want_logprobs:
+            raise ValueError(
+                "generate_n ranking needs logprobs=True on the engine"
+            )
+        reqs = self.submit_many([list(prompt)] * n, max_new_tokens, **kw)
+        steps = 0
+        while (any(not r.done for r in reqs) or self._pending) \
+                and steps < max_steps:
+            self.step()
+            steps += 1
+        self.step()
+        reqs = sorted(reqs, key=lambda r: -sum(r.logprobs))
+        return reqs[:1] if best_of else reqs
+
     def cancel(self, req: Request) -> bool:
         """Abort a request: pending requests leave the queue immediately;
         admitted ones (decoding OR mid-chunked-prefill) retire at the next

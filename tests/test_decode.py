@@ -437,6 +437,22 @@ def test_logit_bias_under_speculation():
     assert len(r.generated) == 8
 
 
+def test_generate_n_best_of():
+    """Best-of-n: n completions sorted by total logprob; best_of returns
+    the winner only; greedy engines with n>1 must demand logprobs."""
+    cfg, params, eng = _engine(temperature=0.9, logprobs=True)
+    outs = eng.generate_n([5, 7, 11], n=3, max_new_tokens=5)
+    assert len(outs) == 3 and all(len(r.generated) == 5 for r in outs)
+    totals = [sum(r.logprobs) for r in outs]
+    assert totals == sorted(totals, reverse=True)
+    best = eng.generate_n([5, 7, 11], n=2, max_new_tokens=4, best_of=True)
+    assert len(best) == 1 and best[0].done
+
+    cfg2, params2, eng2 = _engine()  # no logprobs
+    with pytest.raises(ValueError, match="logprobs"):
+        eng2.generate_n([1, 2], n=2)
+
+
 def test_cancel_requests():
     """cancel(): pending requests leave the queue; an active request
     retires on the next step with its pages returned; a mid-chunked-
