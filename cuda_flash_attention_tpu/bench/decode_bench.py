@@ -162,7 +162,8 @@ def measure_decode_throughput(
         "step_ms": step_s * 1e3,
         "batch": batch,
         "prompt_len": prompt_len,
-        "cache_dtype": str(jnp.dtype(cache_dtype)),
+        "cache_dtype": ("int4" if cache_dtype == "int4"
+                        else str(jnp.dtype(cache_dtype))),
         "weight_dtype": (
             "w8a8" if act_quant
             else "int4" if weight_dtype == "int4"
@@ -249,7 +250,8 @@ def measure_engine_throughput(
         "engine_step_ms": dt / max(steps, 1) * 1e3,
         "steps": steps,
         "timed_tokens": timed_tokens,
-        "cache_dtype": str(jnp.dtype(cache_dtype)),
+        "cache_dtype": ("int4" if cache_dtype == "int4"
+                        else str(jnp.dtype(cache_dtype))),
         "tp": 1 if mesh is None else int(np.prod(list(mesh.shape.values()))),
         "spec_tokens": spec_tokens,
         "spec_mode": spec_mode if spec_tokens else None,
@@ -283,13 +285,21 @@ def tp_decode_dryrun(cfg: TransformerConfig, tp: int = 2, batch: int = 4,
     return out
 
 
+def _cache_dtype(args):
+    return (
+        "int4" if args.cache_dtype == "int4"
+        else jnp.dtype(args.cache_dtype)
+    )
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--prompt-len", type=int, default=128)
     p.add_argument("--gen", type=int, default=64)
     p.add_argument("--cache-dtype", default="int8",
-                   choices=["int8", "float8_e4m3fn", "bfloat16", "float32"])
+                   choices=["int4", "int8", "float8_e4m3fn", "bfloat16",
+                            "float32"])
     p.add_argument("--flagship", action="store_true",
                    help="use the flagship config instead of the bench default")
     p.add_argument("--config", choices=["tiny", "flagship", "base"],
@@ -340,14 +350,14 @@ def main():
     elif args.engine:
         out = measure_engine_throughput(
             cfg, batch=args.batch, prompt_len=args.prompt_len,
-            gen_tokens=args.gen, cache_dtype=jnp.dtype(args.cache_dtype),
+            gen_tokens=args.gen, cache_dtype=_cache_dtype(args),
             spec_tokens=args.spec, draft_layers=args.draft_layers,
             spec_mode=args.spec_mode, prefill_chunk=args.prefill_chunk,
         )
     else:
         out = measure_decode_throughput(
             cfg, batch=args.batch, prompt_len=args.prompt_len,
-            gen_tokens=args.gen, cache_dtype=jnp.dtype(args.cache_dtype),
+            gen_tokens=args.gen, cache_dtype=_cache_dtype(args),
             weight_dtype=weight_dtype, act_quant=args.w8a8,
         )
     print(json.dumps(out))

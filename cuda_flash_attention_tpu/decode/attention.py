@@ -42,6 +42,7 @@ from cuda_flash_attention_tpu.kernels.common import (
     NUM_LANES,
     matmul_precision,
     resolve_interpret,
+    kv_storage_cast,
     storage_cast,
 )
 
@@ -101,8 +102,11 @@ def _decode_kernel(
     @pl.when(live)
     def _run():
         hkv, group = q_ref.shape[1], q_ref.shape[2]
+        head_dim = q_ref.shape[-1]
         q = q_ref[0].astype(compute_dtype)          # [Hkv, group, D]
-        k = storage_cast(k_ref[:, 0], compute_dtype)  # [Hkv, page_size, D]
+        k = kv_storage_cast(
+            k_ref[:, 0], head_dim, compute_dtype
+        )  # [Hkv, page_size, D] (int4 pages unpack in-register)
         s = lax.dot_general(
             q, k, _BATCHED_QKT,
             preferred_element_type=jnp.float32,
@@ -132,7 +136,7 @@ def _decode_kernel(
         l_scr[...] = alpha * l_prev + jnp.sum(prob, axis=2)[..., None]
         m_scr[...] = m_next
 
-        v = storage_cast(v_ref[:, 0], compute_dtype)  # [Hkv, page_size, D]
+        v = kv_storage_cast(v_ref[:, 0], head_dim, compute_dtype)
         prob_scaled = (prob * vs_ref[:, 0]).astype(compute_dtype)
         pv = lax.dot_general(
             prob_scaled, v, _BATCHED_PV,
@@ -174,7 +178,7 @@ def paged_decode_attention(
     Stale page-table entries behind the window may be freed/reused by the
     engine — the index map never dereferences them."""
     num_seqs, n_heads, head_dim = q.shape
-    n_kv_heads, num_pages, page_size, _ = pages.k_pages.shape
+    n_kv_heads, num_pages, page_size, kv_dim = pages.k_pages.shape
     pages_per_seq = page_table.shape[1]
     assert n_heads % n_kv_heads == 0
     if window is not None:
@@ -218,9 +222,9 @@ def paged_decode_attention(
         grid=(num_seqs, pages_per_seq),
         in_specs=[
             pl.BlockSpec((1, n_kv_heads, group, head_dim), q_map),
-            pl.BlockSpec((n_kv_heads, 1, page_size, head_dim), page_map),
+            pl.BlockSpec((n_kv_heads, 1, page_size, kv_dim), page_map),
             pl.BlockSpec((n_kv_heads, 1, 1, page_size), page_map),
-            pl.BlockSpec((n_kv_heads, 1, page_size, head_dim), page_map),
+            pl.BlockSpec((n_kv_heads, 1, page_size, kv_dim), page_map),
             pl.BlockSpec((n_kv_heads, 1, 1, page_size), page_map),
         ],
         out_specs=pl.BlockSpec((1, n_kv_heads, group, head_dim), q_map),
@@ -297,8 +301,11 @@ def _chunk_kernel(
     @pl.when(live)
     def _run():
         hkv, rows = q_ref.shape[1], q_ref.shape[2]
+        head_dim = q_ref.shape[-1]
         q = q_ref[0].astype(compute_dtype)            # [Hkv, rows, D]
-        k = storage_cast(k_ref[:, 0], compute_dtype)  # [Hkv, page_size, D]
+        k = kv_storage_cast(
+            k_ref[:, 0], head_dim, compute_dtype
+        )  # [Hkv, page_size, D] (int4 pages unpack in-register)
         s = lax.dot_general(
             q, k, _BATCHED_QKT,
             preferred_element_type=jnp.float32,
@@ -333,7 +340,7 @@ def _chunk_kernel(
         l_scr[...] = alpha * l_prev + jnp.sum(prob, axis=2)[..., None]
         m_scr[...] = m_next
 
-        v = storage_cast(v_ref[:, 0], compute_dtype)
+        v = kv_storage_cast(v_ref[:, 0], head_dim, compute_dtype)
         prob_scaled = (prob * vs_ref[:, 0]).astype(compute_dtype)
         pv = lax.dot_general(
             prob_scaled, v, _BATCHED_PV,
@@ -372,7 +379,7 @@ def paged_chunk_attention(
     (`append_chunk_kv`), and query t attends causally up to its own global
     position length - T + t.  Returns [num_seqs, T, n_heads, D]."""
     num_seqs, chunk, n_heads, head_dim = q.shape
-    n_kv_heads, num_pages, page_size, _ = pages.k_pages.shape
+    n_kv_heads, num_pages, page_size, kv_dim = pages.k_pages.shape
     pages_per_seq = page_table.shape[1]
     assert n_heads % n_kv_heads == 0
     group = n_heads // n_kv_heads
@@ -419,9 +426,9 @@ def paged_chunk_attention(
         grid=(num_seqs, pages_per_seq),
         in_specs=[
             pl.BlockSpec((1, n_kv_heads, rows, head_dim), q_map),
-            pl.BlockSpec((n_kv_heads, 1, page_size, head_dim), page_map),
+            pl.BlockSpec((n_kv_heads, 1, page_size, kv_dim), page_map),
             pl.BlockSpec((n_kv_heads, 1, 1, page_size), page_map),
-            pl.BlockSpec((n_kv_heads, 1, page_size, head_dim), page_map),
+            pl.BlockSpec((n_kv_heads, 1, page_size, kv_dim), page_map),
             pl.BlockSpec((n_kv_heads, 1, 1, page_size), page_map),
         ],
         out_specs=pl.BlockSpec((1, n_kv_heads, rows, head_dim), q_map),

@@ -35,6 +35,20 @@ def _is_quantized(dtype) -> bool:
     return jnp.dtype(dtype) not in _FLOAT_CACHE_DTYPES
 
 
+def _resolve_cache_dtype(dtype, head_dim):
+    """Map a cache dtype (incl. the "int4" string) to
+    (storage_dtype, stored_width, packed).  INT4 packs two 4-bit values
+    per int8 byte in SPLIT-HALF layout: byte lane j holds k[j] in the low
+    nibble and k[j + head_dim//2] in the high nibble, so the kernel-side
+    unpack is two integer ops plus ONE lane-concat that restores the
+    exact element order (no interleave)."""
+    if isinstance(dtype, str) and dtype == "int4":
+        if head_dim % 2:
+            raise ValueError(f"int4 KV needs an even head_dim; {head_dim}")
+        return jnp.int8, head_dim // 2, True
+    return dtype, head_dim, False
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
 class KVPages:
@@ -75,6 +89,7 @@ def init_kv_pages(
     head_dim: int,
     dtype=jnp.int8,
 ) -> KVPages:
+    dtype, head_dim, _ = _resolve_cache_dtype(dtype, head_dim)
     shape = (n_kv_heads, num_pages, page_size, head_dim)
     sshape = (n_kv_heads, num_pages, page_size)
     return KVPages(
@@ -98,6 +113,7 @@ def init_kv_pages_stacked(
     stacked layer params consumes (one scanned body instead of ~n_layers x
     ~12 separate XLA ops per token; the round-2 decode step was
     op-dispatch-bound at 56% of the weight-streaming floor)."""
+    dtype, head_dim, _ = _resolve_cache_dtype(dtype, head_dim)
     shape = (n_layers, n_kv_heads, num_pages, page_size, head_dim)
     sshape = (n_layers, n_kv_heads, num_pages, page_size)
     return KVPages(
@@ -122,8 +138,9 @@ def write_prompt_kv_stacked(
     assert s % page_size == 0, "engine pads prompts to page multiples"
     n = s // page_size
     dtype = pages.k_pages.dtype
-    kq, ks = _quantize_rows(k_prompt, dtype)  # [L, S, Hkv, D], [L, S, Hkv]
-    vq, vs = _quantize_rows(v_prompt, dtype)
+    packed = pages.k_pages.shape[-1] * 2 == k_prompt.shape[-1]
+    kq, ks = _quantize_rows(k_prompt, dtype, packed)  # [L, S, Hkv, *]
+    vq, vs = _quantize_rows(v_prompt, dtype, packed)
 
     def to_pages(x):  # [L, S, Hkv, D] -> [L, Hkv, n, page_size, D]
         return x.transpose(0, 2, 1, 3).reshape(
@@ -141,8 +158,20 @@ def write_prompt_kv_stacked(
     )
 
 
-def _quantize_rows(x, dtype):
-    """Per-row (last-axis) symmetric quantization -> (values, scales)."""
+def _quantize_rows(x, dtype, packed: bool = False):
+    """Per-row (last-axis) symmetric quantization -> (values, scales).
+    ``packed``: INT4 — per-token scales at qmax 7, values packed
+    split-half (see _resolve_cache_dtype)."""
+    if packed:
+        x = x.astype(jnp.float32)
+        amax = jnp.max(jnp.abs(x), axis=-1)
+        scales = jnp.maximum(amax, 1e-12) / 7.0
+        q = jnp.clip(
+            jnp.round(x / scales[..., None]), -8, 7
+        ).astype(jnp.int8)
+        d = q.shape[-1] // 2
+        values = ((q[..., :d] & 0xF) | (q[..., d:] << 4)).astype(jnp.int8)
+        return values, scales
     if not _is_quantized(dtype):
         return x.astype(dtype), jnp.ones(x.shape[:-1], jnp.float32)
     qmax = qmax_for(dtype)
@@ -178,8 +207,9 @@ def append_token_kv(
         active, page_table[jnp.arange(num_seqs), page_idx], 0
     )  # [num_seqs]
     dtype = pages.k_pages.dtype
-    kq, ks = _quantize_rows(k_new, dtype)  # [S, Hkv, D], [S, Hkv]
-    vq, vs = _quantize_rows(v_new, dtype)
+    packed = pages.k_pages.shape[-1] * 2 == k_new.shape[-1]
+    kq, ks = _quantize_rows(k_new, dtype, packed)  # [S, Hkv, *], [S, Hkv]
+    vq, vs = _quantize_rows(v_new, dtype, packed)
     kq = kq.transpose(1, 0, 2)  # [Hkv, S, D]
     vq = vq.transpose(1, 0, 2)
     ks = ks.T  # [Hkv, S]
@@ -238,8 +268,9 @@ def write_chunk_kv_paged(
     )  # [n, npg]
     ids = jnp.where(active[:, None], ids, 0).reshape(-1)
     dtype = pages.k_pages.dtype
-    kq, ks = _quantize_rows(k_chunk.reshape(n * t, hkv, d), dtype)
-    vq, vs = _quantize_rows(v_chunk.reshape(n * t, hkv, d), dtype)
+    packed = pages.k_pages.shape[-1] * 2 == d
+    kq, ks = _quantize_rows(k_chunk.reshape(n * t, hkv, d), dtype, packed)
+    vq, vs = _quantize_rows(v_chunk.reshape(n * t, hkv, d), dtype, packed)
 
     def to_pages(x):  # [n*T, Hkv, D] -> [Hkv, n*npg, page_size, D]
         return x.transpose(1, 0, 2).reshape(hkv, n * npg, page_size, -1)
@@ -268,8 +299,9 @@ def write_prompt_kv(
     assert s % page_size == 0, "engine pads prompts to page multiples"
     n = s // page_size
     dtype = pages.k_pages.dtype
-    kq, ks = _quantize_rows(k_prompt, dtype)
-    vq, vs = _quantize_rows(v_prompt, dtype)
+    packed = pages.k_pages.shape[-1] * 2 == k_prompt.shape[-1]
+    kq, ks = _quantize_rows(k_prompt, dtype, packed)
+    vq, vs = _quantize_rows(v_prompt, dtype, packed)
     # [S, Hkv, D] -> [Hkv, n_pages, page_size, D]
     def to_pages(x):
         return x.transpose(1, 0, 2).reshape(x.shape[1], n, page_size, -1)

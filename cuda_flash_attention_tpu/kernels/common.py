@@ -372,6 +372,20 @@ def matmul_precision(operand_dtype):
     return lax.Precision.HIGHEST if operand_dtype == jnp.float32 else None
 
 
+def kv_storage_cast(x, head_dim, compute_dtype):
+    """storage_cast for paged-KV tiles that transparently unpacks the INT4
+    split-half layout (stored width head_dim//2; byte lane j = element j in
+    the low nibble, element j + head_dim//2 in the high nibble): two
+    integer VPU ops plus ONE lane-concat restore the exact element order —
+    no interleave, no permutation.  Packing is shape-inferred, so every
+    other cache dtype passes straight through."""
+    if x.shape[-1] * 2 == head_dim:
+        lo = ((x & 0xF) ^ 8) - 8     # sign-extend the low nibble
+        hi = x >> 4                   # arithmetic shift keeps the sign
+        x = jnp.concatenate([lo, hi], axis=-1)
+    return storage_cast(x, compute_dtype)
+
+
 def storage_cast(x, compute_dtype):
     """VPU-friendly cast from a KV-cache storage dtype to the compute dtype.
 
