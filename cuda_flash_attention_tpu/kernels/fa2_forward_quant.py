@@ -44,6 +44,7 @@ from cuda_flash_attention_tpu.kernels.common import (
     matmul_precision,
     pad_to_block,
     resolve_interpret,
+    kv_storage_cast,
     storage_cast,
     within_window,
 )
@@ -100,7 +101,9 @@ def _fa2_fwd_quant_kernel(
         # int8/fp8 -> compute dtype: a VPU convert (bit surgery for fp8 —
         # storage_cast); the scale itself is folded into S below, so no
         # dequantized K tile is materialized.
-        k = storage_cast(k_ref[0, 0], compute_dtype)
+        k = kv_storage_cast(
+            k_ref[0, 0], q_ref.shape[-1], compute_dtype
+        )  # int4 KV unpacks in-register (split-half nibbles)
         s = lax.dot_general(
             q, k, TRANS_B_DIMS,
             preferred_element_type=jnp.float32,
@@ -132,7 +135,7 @@ def _fa2_fwd_quant_kernel(
         # Fold V's row scales into P: (P * v_scale) @ V_q == P @ (v_scale * V_q).
         v_scale = v_scale_ref[0, 0]  # [1, block_k]
         p_scaled = (p * v_scale).astype(compute_dtype)
-        v = storage_cast(v_ref[0, 0], compute_dtype)
+        v = kv_storage_cast(v_ref[0, 0], q_ref.shape[-1], compute_dtype)
         pv = lax.dot(
             p_scaled, v,
             preferred_element_type=jnp.float32,
@@ -184,6 +187,7 @@ def fa2_forward_quant_aligned(
     straight from HBM — the 1-byte KV traffic stays 1x per KV head."""
     batch, heads, q_len, head_dim = q.shape
     kv_len_pad = k_vals.shape[2]
+    kv_dim = k_vals.shape[-1]  # head_dim, or head_dim//2 for packed int4
     assert q_len % block_q == 0 and kv_len_pad % block_k == 0
     assert k_vals.shape[1] * kv_groups == heads
     if window is not None:
@@ -234,9 +238,9 @@ def fa2_forward_quant_aligned(
 
     in_specs = [
         pl.BlockSpec((1, 1, block_q, head_dim), q_index_map),
-        pl.BlockSpec((1, 1, block_k, head_dim), kv_index_map),
+        pl.BlockSpec((1, 1, block_k, kv_dim), kv_index_map),
         pl.BlockSpec((1, 1, 1, block_k), kv_scale_index_map),
-        pl.BlockSpec((1, 1, block_k, head_dim), kv_index_map),
+        pl.BlockSpec((1, 1, block_k, kv_dim), kv_index_map),
         pl.BlockSpec((1, 1, 1, block_k), kv_scale_index_map),
     ]
     inputs = [q, k_vals, k_scales, v_vals, v_scales]
@@ -312,10 +316,13 @@ def _validate_quant_shapes(q, k_q: QuantizedTensor, v_q: QuantizedTensor):
         raise ValueError(
             f"k/v shape mismatch: {k_q.values.shape} vs {v_q.values.shape}"
         )
-    if q.shape[0] != k_q.values.shape[0] or q.shape[3] != k_q.values.shape[3]:
+    kv_dim = k_q.values.shape[3]
+    if q.shape[0] != k_q.values.shape[0] or (
+        kv_dim != q.shape[3] and kv_dim * 2 != q.shape[3]
+    ):
         raise ValueError(
-            f"q and k must agree on batch/head_dim: {q.shape} vs "
-            f"{k_q.values.shape}"
+            f"q and k must agree on batch/head_dim (packed int4 KV stores "
+            f"head_dim//2): {q.shape} vs {k_q.values.shape}"
         )
     if q.shape[1] % k_q.values.shape[1] != 0:
         raise ValueError(

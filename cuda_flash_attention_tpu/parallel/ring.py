@@ -415,6 +415,7 @@ def ring_attention_quantized(
     q, k, v,  # global [B, H, S, D], sequence sharded over the ctx axis
     *,
     kv_dtype=None,  # int8 (default) / float8_e4m3fn / float8_e5m2
+                    # / "int4" (split-half packed: 8x less ICI than fp32)
     causal: bool = False,
     sm_scale: float | None = None,
     compute_dtype=jnp.bfloat16,

@@ -79,6 +79,55 @@ def test_quantized_ring_gqa():
 
 
 @needs8
+def test_quantized_ring_int4():
+    """INT4-KV ring: packed split-half blocks rotate (8x less ICI than
+    fp32); accuracy within the 4-bit budget."""
+    from cuda_flash_attention_tpu.parallel import ring_attention_quantized
+    from cuda_flash_attention_tpu.parallel.mesh import cpu_test_mesh
+
+    from cuda_flash_attention_tpu.kernels.fa2_forward_quant import (
+        flash_attention_quantized_kv,
+    )
+    from cuda_flash_attention_tpu.quant.qtensor import quantize_kv
+
+    mesh = cpu_test_mesh({"ctx": 4})
+    ks = jax.random.split(jax.random.PRNGKey(14), 3)
+    q, k, v = (jax.random.normal(kk, (1, 2, 512, 64), jnp.float32) for kk in ks)
+    o = ring_attention_quantized(mesh, q, k, v, causal=True, kv_dtype="int4")
+    # Tight: per-token scales are shard-independent, so the ring must match
+    # the single-device int4 kernel (same quantization, different schedule).
+    k_q, v_q = quantize_kv(k, v, "int4")
+    o_single = flash_attention_quantized_kv(q, k_q, v_q, causal=True)
+    m = compute_metrics(o, o_single)
+    assert m.max_abs_error < 2e-2, m
+    # Loose sanity vs fp32: the 4-bit budget itself.
+    m_fp = compute_metrics(o, vanilla_attention(q, k, v, causal=True))
+    assert m_fp.mean_abs_error < 5e-2 and not m_fp.has_nan, m_fp
+
+
+def test_int4_quant_kernel_matches_dequant_oracle():
+    """The fused-dequant prefill kernel over packed int4 KV is EXACT
+    against attention over the dequantized tensors (quant error lives only
+    in the storage round trip)."""
+    from cuda_flash_attention_tpu.kernels.fa2_forward_quant import (
+        flash_attention_quantized_kv,
+    )
+    from cuda_flash_attention_tpu.quant.qtensor import quantize_kv
+
+    ks = jax.random.split(jax.random.PRNGKey(15), 3)
+    q, k, v = (jax.random.normal(kk, (1, 2, 256, 64), jnp.float32) for kk in ks)
+    k_q, v_q = quantize_kv(k, v, "int4")
+    assert k_q.values.shape[-1] == 32 and k_q.bits == 4
+    o = flash_attention_quantized_kv(q, k_q, v_q, causal=True)
+    ref = vanilla_attention(
+        q, k_q.dequantize(jnp.float32), v_q.dequantize(jnp.float32),
+        causal=True,
+    )
+    m = compute_metrics(o, ref)
+    assert m.max_abs_error < 2e-2, m  # bf16 compute budget, exact dequant
+
+
+@needs8
 def test_quantized_ring_fp8():
     from cuda_flash_attention_tpu.parallel import ring_attention_quantized
     from cuda_flash_attention_tpu.parallel.mesh import cpu_test_mesh
