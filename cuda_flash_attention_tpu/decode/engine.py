@@ -1139,7 +1139,14 @@ class DecodeEngine:
                     pad_pages = (
                         _cdiv(suffix_len, max(128, ps)) * max(128, ps) // ps
                     )
-                    if len(hits) + pad_pages > self.pages_per_seq:
+                    # ... and than the admission reservation covers (the
+                    # 128-quantum padding can overshoot the prompt's own
+                    # page count when page_size < 128).
+                    reserved = self._worst_pages_for(
+                        len(r.prompt), r.max_new_tokens
+                    )[0]
+                    if (len(hits) + pad_pages > self.pages_per_seq
+                            or len(hits) + pad_pages > reserved):
                         hits = []
                 if hits:
                     if (self.prefill_chunk is not None
@@ -1620,19 +1627,33 @@ class DecodeEngine:
         """Best-of-n sampling: run `n` independent completions of ONE
         prompt (requires temperature > 0 and logprobs=True for ranking)
         and return them sorted by total sequence log-probability,
-        best first.  With prefix_cache=True the shared prompt's pages are
-        stored once and shared across the n slots.  ``best_of=True``
-        returns only the winner."""
+        best first.  With prefix_cache=True the FIRST completion's prompt
+        pages register before the rest admit, so the other n-1 share them
+        (refcounted) instead of re-prefilling.  ``best_of=True`` returns
+        only the winner."""
         if n < 1:
             raise ValueError("n must be >= 1")
         if n > 1 and not self.want_logprobs:
             raise ValueError(
                 "generate_n ranking needs logprobs=True on the engine"
             )
-        reqs = self.submit_many([list(prompt)] * n, max_new_tokens, **kw)
+        if self.prefix_cache and n > 1:
+            # Stagger: admit ONE copy first so its prompt pages register,
+            # then the remaining copies hit the prefix cache.
+            first = self.submit(list(prompt), max_new_tokens, **kw)
+            self.step()
+            rest = self.submit_many(
+                [list(prompt)] * (n - 1), max_new_tokens, **kw
+            )
+            reqs = [first] + rest
+        else:
+            reqs = self.submit_many([list(prompt)] * n, max_new_tokens,
+                                    **kw)
         steps = 0
-        while (any(not r.done for r in reqs) or self._pending) \
-                and steps < max_steps:
+        # Only THIS call's requests gate the loop (queued ones are not
+        # done, so unadmitted copies still drive it) — other callers'
+        # pending work must not extend a short best-of-n call.
+        while any(not r.done for r in reqs) and steps < max_steps:
             self.step()
             steps += 1
         self.step()

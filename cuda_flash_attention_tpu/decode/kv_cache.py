@@ -163,15 +163,10 @@ def _quantize_rows(x, dtype, packed: bool = False):
     ``packed``: INT4 — per-token scales at qmax 7, values packed
     split-half (see _resolve_cache_dtype)."""
     if packed:
-        x = x.astype(jnp.float32)
-        amax = jnp.max(jnp.abs(x), axis=-1)
-        scales = jnp.maximum(amax, 1e-12) / 7.0
-        q = jnp.clip(
-            jnp.round(x / scales[..., None]), -8, 7
-        ).astype(jnp.int8)
-        d = q.shape[-1] // 2
-        values = ((q[..., :d] & 0xF) | (q[..., d:] << 4)).astype(jnp.int8)
-        return values, scales
+        from cuda_flash_attention_tpu.quant.qtensor import quantize_rows_int4
+
+        values, scales = quantize_rows_int4(x)
+        return values, scales[..., 0]
     if not _is_quantized(dtype):
         return x.astype(dtype), jnp.ones(x.shape[:-1], jnp.float32)
     qmax = qmax_for(dtype)

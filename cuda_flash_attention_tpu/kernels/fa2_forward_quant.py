@@ -317,8 +317,9 @@ def _validate_quant_shapes(q, k_q: QuantizedTensor, v_q: QuantizedTensor):
             f"k/v shape mismatch: {k_q.values.shape} vs {v_q.values.shape}"
         )
     kv_dim = k_q.values.shape[3]
+    packed_ok = getattr(k_q, "bits", 8) == 4 and kv_dim * 2 == q.shape[3]
     if q.shape[0] != k_q.values.shape[0] or (
-        kv_dim != q.shape[3] and kv_dim * 2 != q.shape[3]
+        kv_dim != q.shape[3] and not packed_ok
     ):
         raise ValueError(
             f"q and k must agree on batch/head_dim (packed int4 KV stores "

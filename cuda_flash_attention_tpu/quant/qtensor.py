@@ -94,9 +94,13 @@ class QuantizedTensor:
             w = v.reshape(v.shape[0] // g, g, v.shape[1]) * self.scales
             return w.reshape(v.shape).astype(dtype)
         if self.bits == 4:  # packed KV (split-half along the last axis)
-            lo = ((self.values & 0xF) ^ 8) - 8
-            hi = self.values >> 4
-            v = jnp.concatenate([lo, hi], axis=-1).astype(jnp.float32)
+            from cuda_flash_attention_tpu.kernels.common import (
+                kv_storage_cast,
+            )
+
+            v = kv_storage_cast(
+                self.values, self.values.shape[-1] * 2, jnp.float32
+            )
             return (v * self.scales).astype(dtype)
         return (self.values.astype(jnp.float32) * self.scales).astype(dtype)
 
@@ -175,20 +179,33 @@ def dequantize(qt: QuantizedTensor, dtype=jnp.float32) -> jax.Array:
     return qt.dequantize(dtype)
 
 
-def _quantize_kv_int4(x: jax.Array) -> QuantizedTensor:
-    """Per-token INT4 for [B, H, S, D] K/V: values packed SPLIT-HALF along
-    D (lane j = element j low nibble, j + D/2 high nibble — the layout the
-    fused-dequant kernels unpack with two int ops + one lane-concat)."""
-    d = x.shape[-1]
+def pack_int4_split_half(q: jax.Array) -> jax.Array:
+    """Pack int8 values in [-8, 7] two-per-byte SPLIT-HALF along the LAST
+    axis: byte lane j = element j (low nibble) + element j + D/2 (high
+    nibble).  The ONE shared definition of the KV packing layout — the
+    kernel-side inverse is kernels/common.kv_storage_cast (two integer
+    ops + one lane-concat restores exact element order)."""
+    d = q.shape[-1]
     if d % 2:
-        raise ValueError(f"int4 KV needs an even head_dim; got {d}")
+        raise ValueError(f"int4 split-half packing needs an even D; {d}")
+    return (
+        (q[..., : d // 2] & 0xF) | (q[..., d // 2:] << 4)
+    ).astype(jnp.int8)
+
+
+def quantize_rows_int4(x: jax.Array):
+    """Per-row (last-axis) symmetric INT4: (packed values, scales[..., 1])
+    at qmax 7 — shared by the KV-cache writers and quantize_kv."""
     x = x.astype(jnp.float32)
     amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
     scales = jnp.maximum(amax, 1e-12) / 7.0
     q = jnp.clip(jnp.round(x / scales), -8, 7).astype(jnp.int8)
-    packed = (
-        (q[..., : d // 2] & 0xF) | (q[..., d // 2:] << 4)
-    ).astype(jnp.int8)
+    return pack_int4_split_half(q), scales
+
+
+def _quantize_kv_int4(x: jax.Array) -> QuantizedTensor:
+    """Per-token INT4 for [B, H, S, D] K/V (split-half packed)."""
+    packed, scales = quantize_rows_int4(x)
     return QuantizedTensor(values=packed, scales=scales, bits=4)
 
 

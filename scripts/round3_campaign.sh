@@ -83,9 +83,10 @@ PY
 # 9b. INT4 KV cache: on-chip Mosaic compile smoke + decode throughput
 #     (the split-half nibble unpack is CPU-validated; this proves the
 #     compiled form) — opt-in feature, failure here must not kill the run.
-timeout 1200 python -m cuda_flash_attention_tpu.bench.decode_bench \
+( set -o pipefail; timeout 1200 python -m cuda_flash_attention_tpu.bench.decode_bench \
   --flagship --batch 16 --cache-dtype int4 \
-  2>&1 | tee logs/decode_int4.log || echo "int4 on-chip smoke FAILED (opt-in feature)" | tee -a logs/decode_int4.log
+  2>&1 | tee logs/decode_int4.log ) \
+  || echo "int4 on-chip smoke FAILED (opt-in feature)" | tee -a logs/decode_int4.log
 
 # 10. Collect every JSON line the steps emitted into one summary file so
 #     the next session can update BASELINE.md without re-parsing logs.

@@ -23,11 +23,12 @@ from cuda_flash_attention_tpu.ops.reference import vanilla_attention
 PAGE = 128
 
 
-def _dense_from_pages(pages, page_table, length, slot):
+def _dense_from_pages(pages, page_table, length, slot, head_dim=64):
     """Rebuild a slot's dense [Hkv, length, D] K/V — unpacking int4 via the
-    same kv_storage_cast the kernel uses (it is plain jnp outside Pallas)."""
-    hkv, _, _, kv_dim = pages.k_pages.shape
-    head_dim = kv_dim * 2 if pages.k_pages.dtype == jnp.int8 else kv_dim
+    same kv_storage_cast the kernel uses (it is plain jnp outside Pallas).
+    Packing is inferred the way the product code does: pages width vs the
+    KNOWN head_dim (a plain int8 cache passes straight through)."""
+    hkv = pages.k_pages.shape[0]
     n_pages = -(-length // PAGE)
     ks, vs = [], []
     for p in range(n_pages):
