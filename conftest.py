@@ -13,7 +13,8 @@ import sys
 
 # Force CPU regardless of ambient JAX_PLATFORMS (e.g. a TPU tunnel platform);
 # set CFA_TEST_PLATFORM to opt out (CFA_TEST_PLATFORM=tpu for on-chip smoke).
-os.environ["JAX_PLATFORMS"] = os.environ.get("CFA_TEST_PLATFORM", "cpu")
+_platform = os.environ.get("CFA_TEST_PLATFORM", "cpu")
+os.environ["JAX_PLATFORMS"] = _platform
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -21,3 +22,23 @@ if "xla_force_host_platform_device_count" not in _flags:
     ).strip()
 
 sys.path.insert(0, os.path.dirname(__file__))
+
+import jax  # noqa: E402
+
+# The env-var route above is NOT sufficient when the interpreter's
+# sitecustomize imports jax at startup (the tunneled-TPU image does:
+# PYTHONPATH=/root/.axon_site imports jax before pytest even loads this
+# conftest, with JAX_PLATFORMS=axon latched) — the whole suite then runs
+# on the remote chip: slow, and red where Mosaic rejects interpret-mode
+# kernels.  jax.config.update still wins as long as no backend has been
+# initialized, so pin the platform through the config API too.
+jax.config.update("jax_platforms", _platform)
+
+# fp32 means fp32 in tests.  XLA's DEFAULT matmul precision computes larger
+# fp32 matmuls in reduced precision on some backends (measured on XLA:CPU:
+# [5,128]@[128,128] fp32 -> 6.6e-2 max error vs fp64, while [1,128] GEMV
+# stays exact) — which made the plain-decode path (tiny per-token matmuls,
+# exact) drift up to 8.6e-3 from the speculative verify path (batched chunk
+# matmuls, reduced) in a pure-fp32 model.  Pallas kernels are unaffected
+# (they pass explicit precision); this pins the surrounding model math.
+jax.config.update("jax_default_matmul_precision", "highest")

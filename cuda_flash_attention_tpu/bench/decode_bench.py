@@ -28,7 +28,9 @@ import numpy as np
 
 from cuda_flash_attention_tpu.decode.kv_cache import (
     PageAllocator,
+    init_kv_pages,
     init_kv_pages_stacked,
+    write_prompt_kv,
     write_prompt_kv_stacked,
 )
 from cuda_flash_attention_tpu.decode.model import decode_step, prefill_forward
@@ -46,17 +48,21 @@ def _cdiv(a, b):
 
 def build_state(cfg: TransformerConfig, batch: int, prompt_len: int,
                 max_len: int, page_size: int = 128, cache_dtype=jnp.int8,
-                seed: int = 0, weight_dtype=None, act_quant: bool = False):
+                seed: int = 0, weight_dtype=None, act_quant: bool = False,
+                scan_layers: bool = False):
     """Prefill `batch` random prompts into a paged cache sized for max_len.
-    Uses the SCANNED layer layout (stacked params + stacked cache) — the
-    production decode path.
 
-    ``weight_dtype`` (int8/fp8) quantizes the dense projections BEFORE
-    stacking: QuantizedTensor is a pytree, so stack_layer_params stacks its
-    values/scales leaf-wise and lax.scan slices a 2D int8 weight + 1D scale
-    per layer — weight streaming stays 1 byte/param through the scanned
-    loop.  ``act_quant=True`` marks int8 weights for the W8A8 native-MXU
-    matmul path (quant/linear.py)."""
+    Uses the per-layer LIST layout (unrolled layer loop) by default — the
+    production decode path.  On-chip measurement (round 4, v5e) shows the
+    stacked lax.scan form is 2.4-2.9x slower per step (scan's per-layer
+    dynamic-slice of stacked weights + KV pages and the ys re-stack cost
+    two extra HBM passes); pass ``scan_layers=True`` to benchmark it.
+
+    ``weight_dtype`` (int8/fp8) quantizes the dense projections; in the
+    scanned form QuantizedTensor is a pytree, so stack_layer_params stacks
+    its values/scales leaf-wise and lax.scan slices a 2D int8 weight + 1D
+    scale per layer.  ``act_quant=True`` marks int8 weights for the W8A8
+    native-MXU matmul path (quant/linear.py)."""
     params = init_params(jax.random.PRNGKey(seed), cfg)
     if weight_dtype is not None:
         from cuda_flash_attention_tpu.quant.linear import (
@@ -66,20 +72,28 @@ def build_state(cfg: TransformerConfig, batch: int, prompt_len: int,
         params = quantize_transformer_params(
             params, weight_dtype, act_quant=act_quant
         )
-    params = {**params, "layers": stack_layer_params(params["layers"])}
+    if scan_layers:
+        params = {**params, "layers": stack_layer_params(params["layers"])}
     pages_per_seq = _cdiv(max_len, page_size)
     num_pages = batch * pages_per_seq + 1
     alloc = PageAllocator(num_pages)
     page_table = np.zeros((batch, pages_per_seq), np.int32)
 
-    caches = init_kv_pages_stacked(
-        cfg.n_layers, cfg.n_kv_heads, num_pages, page_size, cfg.head_dim,
-        cache_dtype,
-    )
+    if scan_layers:
+        caches = init_kv_pages_stacked(
+            cfg.n_layers, cfg.n_kv_heads, num_pages, page_size, cfg.head_dim,
+            cache_dtype,
+        )
+    else:
+        caches = [
+            init_kv_pages(cfg.n_kv_heads, num_pages, page_size, cfg.head_dim,
+                          cache_dtype)
+            for _ in range(cfg.n_layers)
+        ]
     tokens = jax.random.randint(
         jax.random.PRNGKey(seed + 1), (batch, prompt_len), 0, cfg.vocab_size
     )
-    logits, (k_all, v_all) = jax.jit(
+    logits, kv = jax.jit(
         lambda p, t: prefill_forward(p, t, cfg)
     )(params, tokens)
 
@@ -90,9 +104,16 @@ def build_state(cfg: TransformerConfig, batch: int, prompt_len: int,
         ids = alloc.alloc(pages_per_seq)  # preallocate the whole horizon
         page_table[s, :] = ids
         ids_prompt = jnp.asarray(ids[:n_prompt_pages], jnp.int32)
-        ks = jnp.pad(k_all[:, s], ((0, 0), (0, pad), (0, 0), (0, 0)))
-        vs = jnp.pad(v_all[:, s], ((0, 0), (0, pad), (0, 0), (0, 0)))
-        caches = write_prompt_kv_stacked(caches, ks, vs, ids_prompt)
+        if scan_layers:
+            k_all, v_all = kv
+            ks = jnp.pad(k_all[:, s], ((0, 0), (0, pad), (0, 0), (0, 0)))
+            vs = jnp.pad(v_all[:, s], ((0, 0), (0, pad), (0, 0), (0, 0)))
+            caches = write_prompt_kv_stacked(caches, ks, vs, ids_prompt)
+        else:
+            for li, (k_all, v_all) in enumerate(kv):
+                ks = jnp.pad(k_all[s], ((0, pad), (0, 0), (0, 0)))
+                vs = jnp.pad(v_all[s], ((0, pad), (0, 0), (0, 0)))
+                caches[li] = write_prompt_kv(caches[li], ks, vs, ids_prompt)
 
     first = jnp.argmax(logits[:, prompt_len - 1, :], axis=-1).astype(jnp.int32)
     return params, caches, jnp.asarray(page_table), first

@@ -143,6 +143,7 @@ class DecodeEngine:
         prefix_cache: bool = False,
         logprobs: bool = False,
         prefill_chunk: int | None = None,
+        scan_layers: bool = False,
         interpret=None,
     ):
         if page_size % 128 != 0:
@@ -280,14 +281,20 @@ class DecodeEngine:
             [PageAllocator(self.shard_pages) for _ in range(self.dp)]
             for _ in range(self.n_groups - 1)
         ]
-        # Scanned fast path: homogeneous layers stack into [L, ...] leaves
-        # and the cache into one stacked KVPages, so the whole layer loop
-        # compiles to ONE lax.scan body (decode/model.py).  Heterogeneous
-        # models keep the per-layer list form: MoE interleaves (params
-        # can't stack) and local/global window interleaves (the scan body
-        # can't vary the window per layer).
+        # Layer-loop form.  The unrolled per-layer LIST form is the
+        # production default: on-chip measurement (round 4, v5e) shows the
+        # lax.scan stacked form is 2.4-2.9x SLOWER per decode step (0.503
+        # vs 0.208 ms at the 4L/512d flagship; 3.27 vs 1.12 ms at the 254M
+        # base) because each scan iteration dynamic-slices the stacked
+        # weights and KV pages out of HBM and re-stacks the cache output —
+        # two full extra HBM passes over weights+cache per step.  The
+        # stacked scan (scan_layers=True) is kept for compile-time-bound
+        # cases (very deep homogeneous stacks) and is exercised by tests.
+        # Heterogeneous models always use the list form: MoE interleaves
+        # (params can't stack) and local/global window interleaves (the
+        # scan body can't vary the window per layer).
         self._scanned = False
-        if self._uniform_window:
+        if scan_layers and self._uniform_window:
             try:
                 self.params = {
                     **self.params,
@@ -486,13 +493,14 @@ class DecodeEngine:
                 draft_params,
                 is_leaf=lambda x: isinstance(x, QuantizedTensor),
             )
-            # The draft scans only when ITS windows are uniform (list path
-            # otherwise — same policy as the target).
+            # The draft scans only when opted in AND its windows are
+            # uniform (same policy as the target; list form is the
+            # measured-faster production default).
             draft_uniform = len(
                 {draft_cfg.layer_window(i) for i in range(draft_cfg.n_layers)}
             ) == 1
             self._draft_scanned = False
-            if draft_uniform:
+            if scan_layers and draft_uniform:
                 try:
                     self.draft_params = {
                         **self.draft_params,

@@ -380,8 +380,14 @@ def kv_storage_cast(x, head_dim, compute_dtype):
     no interleave, no permutation.  Packing is shape-inferred, so every
     other cache dtype passes straight through."""
     if x.shape[-1] * 2 == head_dim:
-        lo = ((x & 0xF) ^ 8) - 8     # sign-extend the low nibble
-        hi = x >> 4                   # arithmetic shift keeps the sign
+        # Widen to i32 FIRST: Mosaic cannot legalize 8-bit arith.subi /
+        # xor on v5e (round-3 failure: "failed to legalize operation
+        # 'arith.subi'"), so both nibble sign-extends run as i32 shift
+        # pairs — fully supported VPU ops.  x is int8 and astype
+        # sign-extends the byte, so bit 7 is replicated upward.
+        xi = x.astype(jnp.int32)
+        lo = (xi << 28) >> 28   # low nibble, sign bit at i32 bit 31
+        hi = (xi << 24) >> 28   # high nibble likewise
         x = jnp.concatenate([lo, hi], axis=-1)
     return storage_cast(x, compute_dtype)
 

@@ -106,7 +106,7 @@ def _compute_p_ds(q, k, v, do, lse, di, *, sm_scale, mask, mask_value, tile_dtyp
         CFA_BWD_STAT_FOLD=0 disables.
 
     fp16 is storage-rounding emulation (compute stays fp32) and keeps the
-    fp32 chain; the fp32-parity path keeps exact lane-packed emulation
+    fp32 chain; the fp32-parity path keeps the lane-packed 2-pass emulation
     (folding a stats lane would break _can_pack's d <= 64)."""
     c = sm_scale * LOG2E
     q_s = q.astype(jnp.float32) * c
@@ -216,19 +216,20 @@ def _fa2_bwd_fused_kernel(
         k_c = tile_cast(k, tile_dtype)
         p_c = tile_cast(p, tile_dtype).astype(do_c.dtype)
         ds_c = tile_cast(ds, tile_dtype).astype(q_s.dtype)
-        # fp32-parity path (tile_dtype None): exact 3-pass emulation keeps
-        # the reference's <1e-6 grad budget; the 2-pass form is ~1e-5.
-        exact = tile_dtype is None
-        dv_scr[...] += mxu_dot_ta_out(p_c, do_c, exact=exact)
+        # 2-pass lane-packed emulation: the measured grad error is set by
+        # the P recompute, not these output matmuls (on-chip A/B, round 4:
+        # 3-pass "exact" 14.49 ms err 3.03e-5 vs 2-pass 9.67 ms err
+        # 3.00e-5 at Stress-1) — the extra passes bought nothing.
+        dv_scr[...] += mxu_dot_ta_out(p_c, do_c)
         # q_s carries sm_scale*LOG2E; the store epilogue divides it back out.
-        dk_scr[...] += mxu_dot_ta_out(ds_c, q_s, exact=exact)
+        dk_scr[...] += mxu_dot_ta_out(ds_c, q_s)
         # dQ partial for this (kv block, q block): dS @ K — S and dP were
         # already in registers, so this is the only extra MXU pass.  Unscaled
         # (ds is unscaled); with several KV slices the wrapper folds sm_scale
         # into the XLA partial-sum, but a SINGLE slice is final — scale+cast
         # here so the wrapper's sum op (a full dq-sized f32 HBM round trip)
         # disappears.
-        dq_blk = mxu_dot_out(ds_c, k_c, exact=exact)
+        dq_blk = mxu_dot_out(ds_c, k_c)
         if scale_dq_in_kernel:
             dq_blk = dq_blk * sm_scale
         dq_part_ref[0, 0, 0] = dq_blk.astype(dq_part_ref.dtype)
@@ -307,9 +308,8 @@ def _fa2_bwd_dkv_kernel(
         do_c = tile_cast(do, tile_dtype)
         p_c = tile_cast(p, tile_dtype).astype(do_c.dtype)
         ds_c = tile_cast(ds, tile_dtype).astype(q_s.dtype)
-        exact = tile_dtype is None  # fp32-parity: keep the <1e-6 budget
-        dv_scr[...] += mxu_dot_ta_out(p_c, do_c, exact=exact)
-        dk_scr[...] += mxu_dot_ta_out(ds_c, q_s, exact=exact)
+        dv_scr[...] += mxu_dot_ta_out(p_c, do_c)
+        dk_scr[...] += mxu_dot_ta_out(ds_c, q_s)
 
     @pl.when(inner == kv_groups * num_q_blocks - 1)
     def _store():
@@ -367,8 +367,7 @@ def _fa2_bwd_dq_kernel(
         )
         k_c = tile_cast(k, tile_dtype)
         dq_scr[...] += mxu_dot_out(
-            tile_cast(ds, tile_dtype).astype(k_c.dtype), k_c,
-            exact=tile_dtype is None,
+            tile_cast(ds, tile_dtype).astype(k_c.dtype), k_c
         )
 
     @pl.when(kv_idx == num_kv_blocks - 1)
