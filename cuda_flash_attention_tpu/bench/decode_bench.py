@@ -211,6 +211,7 @@ def measure_engine_throughput(
     draft_layers: int = 1,
     spec_mode: str = "draft",
     prefill_chunk: int | None = None,
+    decode_burst: int = 1,
 ) -> dict:
     """END-TO-END engine tokens/sec including the host scheduler (admission,
     page allocation, retire) — the number a serving deployment sees; the
@@ -251,7 +252,7 @@ def measure_engine_throughput(
     eng = DecodeEngine(
         params, cfg, max_seqs=batch, max_seq_len=max_len,
         cache_dtype=cache_dtype, mesh=mesh, prefill_chunk=prefill_chunk,
-        **spec_kw,
+        decode_burst=decode_burst, **spec_kw,
     )
     prompts = np.random.default_rng(0).integers(
         0, cfg.vocab_size, (batch, prompt_len)
@@ -269,6 +270,7 @@ def measure_engine_throughput(
     return {
         "engine_tokens_per_sec": timed_tokens / dt,
         "engine_step_ms": dt / max(steps, 1) * 1e3,
+        "decode_burst": decode_burst,
         "steps": steps,
         "timed_tokens": timed_tokens,
         "cache_dtype": ("int4" if cache_dtype == "int4"
@@ -348,6 +350,9 @@ def main():
     p.add_argument("--engine", action="store_true",
                    help="measure END-TO-END engine throughput (host "
                         "scheduler included) instead of the device loop")
+    p.add_argument("--burst", type=int, default=1,
+                   help="with --engine: decode_burst — chained device steps "
+                        "per dispatch (one readback per burst)")
     p.add_argument("--tp-dryrun", type=int, default=0, metavar="TP",
                    help="run the tensor-parallel decode path on a TP-way "
                         "virtual CPU mesh (validation, not a speed number)")
@@ -374,6 +379,7 @@ def main():
             gen_tokens=args.gen, cache_dtype=_cache_dtype(args),
             spec_tokens=args.spec, draft_layers=args.draft_layers,
             spec_mode=args.spec_mode, prefill_chunk=args.prefill_chunk,
+            decode_burst=args.burst,
         )
     else:
         out = measure_decode_throughput(

@@ -201,12 +201,12 @@ def _normalize_window(window, causal, q_len, kv_len):
     return window
 
 
-def _normalize(q, k, v, sm_scale, block_sizes, causal=False):
+def _normalize(q, k, v, sm_scale, block_sizes, causal=False, window=None):
     _validate_shapes(q, k, v)
     if sm_scale is None:
         sm_scale = 1.0 / (q.shape[-1] ** 0.5)
     if block_sizes is None:
-        block_sizes = BlockSizes.default(causal)
+        block_sizes = BlockSizes.default(causal, window=window)
     q_len, kv_len = q.shape[2], k.shape[2]
     q_pad = pad_to_block(q, 2, seq_pad_quantum(q_len, q.dtype))
     k_pad = pad_to_block(k, 2, seq_pad_quantum(kv_len, k.dtype))
@@ -379,7 +379,7 @@ def flash_attention(
         )
     segs = _pack_segments(q_segment_ids, kv_segment_ids, q, k)
     q_pad, k_pad, v_pad, sm_scale, block_sizes, q_len, kv_len = _normalize(
-        q, k, v, sm_scale, block_sizes, causal
+        q, k, v, sm_scale, block_sizes, causal, window
     )
     o = _fa2(
         q_pad, k_pad, v_pad, segs, kv_len, causal, sm_scale, block_sizes,
@@ -417,7 +417,7 @@ def flash_attention_with_lse(
         )
     segs = _pack_segments(q_segment_ids, kv_segment_ids, q, k)
     q_pad, k_pad, v_pad, sm_scale, block_sizes, q_len, kv_len = _normalize(
-        q, k, v, sm_scale, block_sizes, causal
+        q, k, v, sm_scale, block_sizes, causal, window
     )
     o, lse_rep = _fa2_fwd_impl(
         q_pad, k_pad, v_pad, segs, kv_len, causal, sm_scale, block_sizes,
@@ -446,7 +446,7 @@ def fa2_backward(
         do = jnp.ones_like(o)
     window = _normalize_window(window, causal, q.shape[2], k.shape[2])
     q_pad, k_pad, v_pad, sm_scale, block_sizes, q_len, kv_len = _normalize(
-        q, k, v, sm_scale, block_sizes, causal
+        q, k, v, sm_scale, block_sizes, causal, window
     )
     quantum = seq_pad_quantum(q_len, q.dtype)
     o_pad = pad_to_block(o, 2, quantum)

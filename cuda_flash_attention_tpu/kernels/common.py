@@ -50,12 +50,17 @@ class BlockSizes:
     TPU blocks (multiples of 128 along sequence dims).
     """
 
-    # Defaults are the v5e profiler-sweep optima at S=2048 D=64 (fp32 and
-    # bf16 agree on the forward; the fused backward prefers a taller Q
-    # block).  Non-causal forward wants the whole KV in one block (fewer
-    # online-softmax rescale steps); causal wants KV blocks small enough for
-    # the above-diagonal tile-skip to pay — `default(causal)` picks per-case.
-    block_q: int = 1024
+    # Defaults are the v5e profiler-sweep optima at S=2048 D=64 (round-4
+    # re-sweep, plots/autotune_r4.json; fp32 and bf16 agree): the
+    # non-causal forward wants the WHOLE problem in one grid cell per
+    # (b, h) — 2048x2048 beats 1024x2048 by ~2% on both tile dtypes (fewer
+    # online-softmax rescale steps).  The fused backward's KERNEL prefers
+    # a 1024-tall Q slice (3.850 vs 3.858 ms) but the FULL program is
+    # faster at 512 (4.002 vs 4.050 ms — the taller slice inflates the
+    # surrounding stat-broadcast/partial-sum ops), so 512 stays.  Causal
+    # wants KV blocks small enough for the above-diagonal tile-skip to
+    # pay — `default(causal)` picks per-case.
+    block_q: int = 2048
     block_k: int = 2048
     block_q_dkv: int = 512
     block_k_dkv: int = 2048
@@ -69,12 +74,31 @@ class BlockSizes:
                 raise ValueError(f"{f.name}={v} must be a multiple of {MIN_BLOCK}")
 
     @classmethod
-    def default(cls, causal: bool = False) -> "BlockSizes":
+    def default(cls, causal: bool = False,
+                window: int | None = None) -> "BlockSizes":
+        if window is not None:
+            # Sliding window: computed cols per q block ~ block_q + window
+            # + block_k (tile alignment), vs ~ window + block_q/2 live —
+            # at W=4k the 1024x2048 causal default computes 1.56x the live
+            # area (measured 1.47x wall speedup vs the ~2.2x FLOP ratio at
+            # S=16k).  Blocks at 512 cut the tile-skip granularity loss to
+            # ~18% while keeping the MXU tiles full-width.
+            b = max(MIN_BLOCK, min(512, _next_pow2_at_most(window)))
+            return cls(block_q=b, block_k=b, block_q_dkv=b, block_k_dkv=b,
+                       block_q_dq=b, block_k_dq=b)
         if causal:
             # Smaller KV blocks keep the above-diagonal tile-skip effective
             # (a whole-KV block can never be skipped).
             return cls(block_q=1024, block_k=1024, block_k_dkv=1024)
         return cls()
+
+
+def _next_pow2_at_most(n: int) -> int:
+    """Largest power of two <= n (window-sized block snapping)."""
+    p = 1
+    while p * 2 <= n:
+        p *= 2
+    return p
 
 
 def fit_block(requested: int, padded_len: int) -> int:

@@ -29,7 +29,6 @@ Gradient algebra (identical to the reference, :219-323):
 from __future__ import annotations
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp
@@ -57,23 +56,6 @@ from cuda_flash_attention_tpu.kernels.fa2_forward import bf16_vpu_chain
 _TRANS_A_DIMS = (((0,), (0,)), ((), ()))
 
 
-def _aug_stat_col(tile, col):
-    """[rows, D] tile -> [rows, NUM_LANES] with `col` ([rows, 1]) at lane D,
-    zeros above — the backward twin of the forward's augment_v: a stats
-    column rides the matmul's idle contraction lanes at D < 128."""
-    rows, d = tile.shape
-    parts = [tile, col.astype(tile.dtype)]
-    if d + 1 < NUM_LANES:
-        parts.append(jnp.zeros((rows, NUM_LANES - d - 1), tile.dtype))
-    return jnp.concatenate(parts, axis=1)
-
-
-def _stat_fold_enabled() -> bool:
-    """A/B knob (trace-time): fold lse/di subtracts into the score/dP
-    matmuls on the bf16 path.  CFA_BWD_STAT_FOLD=0 disables."""
-    return os.environ.get("CFA_BWD_STAT_FOLD", "1") != "0"
-
-
 def _compute_p_ds(q, k, v, do, lse, di, *, sm_scale, mask, mask_value, tile_dtype):
     """Shared recompute: P from logsumexp, then the UNSCALED dS.
 
@@ -86,28 +68,21 @@ def _compute_p_ds(q, k, v, do, lse, di, *, sm_scale, mask, mask_value, tile_dtyp
         dk = sm_scale * (ds_u^T @ q_raw)  = LN2 * (ds_u^T @ q_scaled)-accum
     Returns (p, ds_unscaled, q_scaled) in compute precision.
 
-    bf16-tile path (the production train path) adds two more VPU savings:
+    bf16-tile path (the production train path) adds one more VPU saving —
+    the bf16 chain: the S^2-element exp2 and the ds multiply run in bf16
+    itself (the matmuls need p/ds in bf16 anyway, so the separate downcast
+    passes collapse into the half-width chain; measured 3.92 -> 3.85 ms at
+    Stress-1).  Precision: bf16 t carries <= 2^-9 |t| ln2 relative error
+    into p, largest where p is tiny and its absolute contribution to dV/dK
+    vanishes — inside the bf16-tile grad budget (tests: 5e-2).
 
-      * bf16 chain: the S^2-element exp2 and the ds multiply run in bf16
-        itself — the matmuls need p/ds in bf16 anyway, so the separate
-        downcast passes collapse into the half-width chain.  Precision:
-        bf16 t carries <= 2^-9 |t| ln2 relative error into p, largest
-        where p is tiny and its absolute contribution to dV/dK vanishes —
-        inside the bf16-tile grad budget (tests: 5e-2).
-        CFA_BF16_VPU_CHAIN=0 disables (fa2_forward.bf16_vpu_chain).
-      * stat fold: unlike the forward (whose running max comes OUT of the
-        score matmul), both backward stats are known BEFORE the matmuls,
-        so the two [block_q, block_k] broadcast subtracts ride the MXU's
-        idle contraction lanes instead of costing a VPU pass each:
-            [q_s | -lse*log2e] @ [k | 1]^T  = s - lse*log2e
-            [do  |  di      ] @ [v | -1]^T = dP - di
-        (lanes D+1..127 zero-padded, augment_v-style; contraction width
-        stays one 128-lane MXU pass, so the folds are FREE in MXU time).
-        CFA_BWD_STAT_FOLD=0 disables.
+    (A retired round-3 variant also folded the lse/di subtracts onto the
+    matmuls' idle contraction lanes — zero measured effect at two block
+    optima, deleted with its CFA_BWD_STAT_FOLD knob.)
 
     fp16 is storage-rounding emulation (compute stays fp32) and keeps the
-    fp32 chain; the fp32-parity path keeps the lane-packed 2-pass emulation
-    (folding a stats lane would break _can_pack's d <= 64)."""
+    fp32 chain; the fp32-parity path keeps the lane-packed 2-pass
+    emulation."""
     c = sm_scale * LOG2E
     q_s = q.astype(jnp.float32) * c
     q_s = q_s.astype(q.dtype) if tile_dtype is None else tile_cast(q_s, tile_dtype)
@@ -115,28 +90,14 @@ def _compute_p_ds(q, k, v, do, lse, di, *, sm_scale, mask, mask_value, tile_dtyp
     bf16_chain = bf16_vpu_chain(
         tile_dtype, jnp.float32, q.shape[0] * k.shape[0]
     )
-    # The fold needs a free contraction lane for the stats column.
-    fold = (
-        bf16_chain and _stat_fold_enabled() and q.shape[-1] < NUM_LANES
-    )
     do_c = tile_cast(do, tile_dtype)
     v_c = tile_cast(v, tile_dtype)
-    if fold:
-        ones = jnp.ones((k.shape[0], 1), jnp.float32)
-        t = mxu_dot_tb(
-            _aug_stat_col(q_s, -(lse[:, :1] * LOG2E)),
-            _aug_stat_col(k, ones),
-        )
-        dpd = mxu_dot_tb(
-            _aug_stat_col(do_c, di[:, :1]), _aug_stat_col(v_c, -ones)
-        )
-    else:
-        s = mxu_dot_tb(q_s, k)  # log2-domain scores
-        # lse/di are lane-replicated; a single-lane broadcast beats a
-        # lane-tile.  P = exp2(S2 - lse*log2e): rows already normalized
-        # (lse = log(l) + m).
-        t = s - (lse[:, :1] * LOG2E)
-        dpd = mxu_dot_tb(do_c, v_c) - di[:, :1]
+    s = mxu_dot_tb(q_s, k)  # log2-domain scores
+    # lse/di are lane-replicated; a single-lane broadcast beats a
+    # lane-tile.  P = exp2(S2 - lse*log2e): rows already normalized
+    # (lse = log(l) + m).
+    t = s - (lse[:, :1] * LOG2E)
+    dpd = mxu_dot_tb(do_c, v_c) - di[:, :1]
     if mask is not None:
         t += jnp.where(mask, 0.0, mask_value)
     if bf16_chain:

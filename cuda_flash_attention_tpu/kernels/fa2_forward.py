@@ -41,7 +41,6 @@ at the final KV block.
 from __future__ import annotations
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp
@@ -98,13 +97,11 @@ def bf16_vpu_chain(tile_dtype, in_dtype, score_elems=_BF16_CHAIN_MIN_SCORE_ELEMS
     their tile pass it so sub-threshold tiles keep the fp32 chain (see
     _BF16_CHAIN_MIN_SCORE_ELEMS).
 
-    CFA_BF16_VPU_CHAIN=0 disables it (A/B knob: Mosaic may widen bf16
-    elementwise ops to fp32 internally, in which case the win is only the
-    removed cast passes — measure per chip generation, read at trace
-    time)."""
+    Unconditional on the bf16 path since round 4: the backward measures a
+    1.7% kernel win (3.92 -> 3.85 ms at Stress-1), the forward is neutral
+    (1.5514 vs 1.5524 ms) — the former CFA_BF16_VPU_CHAIN A/B knob is
+    retired."""
     if score_elems < _BF16_CHAIN_MIN_SCORE_ELEMS:
-        return False
-    if os.environ.get("CFA_BF16_VPU_CHAIN", "1") == "0":
         return False
     eff = tile_dtype if tile_dtype is not None else in_dtype
     return jnp.dtype(eff) == jnp.dtype(jnp.bfloat16)
@@ -277,41 +274,14 @@ def _fa2_fwd_kernel(
     fold_rowsum: bool,
     window=None,
     sinks=0,
-    static_max: bool = False,
 ):
-    """``static_max`` (VFA-style): a PRECOMPUTED per-row score upper bound
-    (log2 domain, ||q_s||·max||k|| — see fa2_forward_aligned) replaces the
-    running max, so the per-KV-tile VPU chain loses the row max, the
-    m_prev/m_next maximum, alpha = exp2(m_prev - m_next), and BOTH
-    alpha-rescales of the accumulators.  Softmax weights stay exact for any
-    bound >= max score: exp2(s - M)/sum exp2(s - M) is M-invariant; the
-    overshoot only shifts all exponentials down (fp32/bf16 share an 8-bit
-    exponent, so relative precision is unaffected until ~2^-126
-    underflow)."""
     if has_segments:
-        if static_max:
-            (q_ref, k_ref, v_ref, qseg_ref, kvseg_ref, bound_ref,
-             o_ref, lse_ref, *scratch) = refs
-        else:
-            (q_ref, k_ref, v_ref, qseg_ref, kvseg_ref,
-             o_ref, lse_ref, *scratch) = refs
-            bound_ref = None
+        (q_ref, k_ref, v_ref, qseg_ref, kvseg_ref,
+         o_ref, lse_ref, *scratch) = refs
     else:
-        if static_max:
-            (q_ref, k_ref, v_ref, bound_ref,
-             o_ref, lse_ref, *scratch) = refs
-        else:
-            q_ref, k_ref, v_ref, o_ref, lse_ref, *scratch = refs
-            bound_ref = None
+        q_ref, k_ref, v_ref, o_ref, lse_ref, *scratch = refs
         qseg_ref = kvseg_ref = None
-    if static_max:
-        m_scr = None
-        if fold_rowsum:
-            (acc_scr,) = scratch
-            l_scr = None
-        else:
-            l_scr, acc_scr = scratch
-    elif fold_rowsum:
+    if fold_rowsum:
         m_scr, acc_scr = scratch  # acc [block_q, NUM_LANES]; lane D carries l
         l_scr = None
     else:
@@ -342,8 +312,7 @@ def _fa2_fwd_kernel(
 
     @pl.when(kv_idx == 0)
     def _init():
-        if m_scr is not None:
-            m_scr[...] = jnp.full(m_scr.shape, -jnp.inf, jnp.float32)
+        m_scr[...] = jnp.full(m_scr.shape, -jnp.inf, jnp.float32)
         acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
         if l_scr is not None:
             l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
@@ -381,19 +350,13 @@ def _fa2_fwd_kernel(
         if mask is not None:
             s += jnp.where(mask, 0.0, mask_value)
 
-        if static_max:
-            # No running max: subtract the precomputed per-row bound and
-            # accumulate directly — zero rescaling work on the VPU.
-            t = s - bound_ref[0, 0][:, :1]
-        else:
-            m_prev = m_scr[...]  # [block_q, 128] lane-replicated, log2 units
-            m_curr = jnp.max(s, axis=1)[:, None]  # [block_q, 1]
-            m_next = jnp.maximum(m_prev, m_curr)  # [block_q, 128]
-            alpha = jnp.exp2(m_prev - m_next)
-            # Single-lane broadcast (m_next[:, :1]) instead of a
-            # materialized lane-tile: saves a (block_q, block_k) VPU copy
-            # per KV step.
-            t = s - m_next[:, :1]
+        m_prev = m_scr[...]  # [block_q, 128] lane-replicated, log2 units
+        m_curr = jnp.max(s, axis=1)[:, None]  # [block_q, 1]
+        m_next = jnp.maximum(m_prev, m_curr)  # [block_q, 128]
+        alpha = jnp.exp2(m_prev - m_next)
+        # Single-lane broadcast (m_next[:, :1]) instead of a materialized
+        # lane-tile: saves a (block_q, block_k) VPU copy per KV step.
+        t = s - m_next[:, :1]
         if bf16_vpu_chain(tile_dtype, q_ref.dtype, t.size):
             t = t.astype(jnp.bfloat16)  # half-width exp2 (bf16_vpu_chain)
         p = jnp.exp2(t)
@@ -402,20 +365,13 @@ def _fa2_fwd_kernel(
             # already underflows to 0, but a FULLY-masked row (possible with
             # segment ids) would otherwise normalize the mask value itself.
             p = jnp.where(mask, p, jnp.zeros((), p.dtype))
-        if not static_max:
-            m_scr[...] = m_next
+        m_scr[...] = m_next
 
         v = tile_cast(v_ref[0, 0], tile_dtype)
         pv = mxu_dot_out(
             tile_cast(p, tile_dtype).astype(v.dtype), v, exact=True
         )  # [block_q, D] or [block_q, NUM_LANES] with rowsum(p) in lane D
-        if static_max:
-            if fold_rowsum:
-                acc_scr[...] += pv
-            else:
-                l_scr[...] += jnp.sum(p, axis=1, dtype=jnp.float32)[:, None]
-                acc_scr[...] += pv
-        elif fold_rowsum:
+        if fold_rowsum:
             acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
         else:
             l_scr[...] = (
@@ -438,13 +394,7 @@ def _fa2_fwd_kernel(
         # is a width-1 column [block_q, 1] — materializing lane-replicated
         # stats costs a measurable HBM pass on the backward's scale
         # (profiler: 2 x 0.18 ms broadcast at B8 H16 S2048).
-        m_fin = bound_ref[0, 0][:, :1] if static_max else m_scr[:, :1]
-        lse = m_fin * LN2 + jnp.log(jnp.where(l == 0.0, 1.0, l))
-        if static_max:
-            # Fully-masked rows (segment ids): the online path's m stays
-            # -inf, giving lse = -inf; the static bound is finite, so
-            # restore the contract explicitly.
-            lse = jnp.where(l == 0.0, -jnp.inf, lse)
+        lse = m_scr[:, :1] * LN2 + jnp.log(jnp.where(l == 0.0, 1.0, l))
         lse_ref[0, 0] = lse
 
 
@@ -590,11 +540,10 @@ def fa2_forward_aligned(
     blocks entirely past the window are tile-skipped, so prefill cost is
     O(S * window) instead of O(S^2 / 2).
 
-    CFA_STATIC_MAX=1 (trace-time A/B knob): replace the online running max
-    with a precomputed per-row Cauchy-Schwarz bound ||q_s||·max_j||k_j||
-    (per KV head) — the per-tile VPU chain loses the row max, the running
-    maximum, and both alpha rescales (see _fa2_fwd_kernel).  Exact softmax
-    weights for any bound >= the true max."""
+    (A retired round-3 variant replaced the running max with a precomputed
+    Cauchy-Schwarz row bound — on-chip A/B measured zero effect at both the
+    round-3 and round-4 block optima, so the online max stays and the
+    CFA_STATIC_MAX knob was deleted.)"""
     batch, heads, q_len, head_dim = q.shape
     kv_len_pad = k.shape[2]
     assert q_len % block_q == 0 and kv_len_pad % block_k == 0
@@ -605,23 +554,6 @@ def fa2_forward_aligned(
         assert (not causal) or window >= 1
     num_kv_blocks = kv_len_pad // block_k
     grid = (batch, heads, q_len // block_q, num_kv_blocks)
-    static_max = (
-        os.environ.get("CFA_STATIC_MAX", "0") != "0" and num_kv_blocks > 1
-    )
-    bound = None
-    if static_max:
-        c = sm_scale * LOG2E
-        qn = jnp.sqrt(
-            jnp.sum(jnp.square(q.astype(jnp.float32)), axis=-1)
-        )  # [B, Hq, Sq]
-        kn_max = jnp.max(
-            jnp.sqrt(jnp.sum(jnp.square(k.astype(jnp.float32)), axis=-1)),
-            axis=-1,
-        )  # [B, Hkv]
-        kn_max = jnp.repeat(kn_max, kv_groups, axis=1)  # [B, Hq]
-        # Tiny headroom for the kernel-side tile_cast rounding of q/k.
-        bound = (c * qn * kn_max[:, :, None] * (1.0 + 2e-2) + 1e-6)[..., None]
-
     fold_rowsum = use_fold_rowsum(head_dim, tile_dtype, q.dtype)
     if fold_rowsum:
         v = augment_v(v)
@@ -666,7 +598,6 @@ def fa2_forward_aligned(
         fold_rowsum=fold_rowsum,
         window=window,
         sinks=sinks,
-        static_max=static_max,
     )
 
     in_specs = [
@@ -689,17 +620,12 @@ def fa2_forward_aligned(
             pl.BlockSpec((1, 1, block_k), kvseg_index_map),
         ]
         inputs += [q_seg, kv_seg]
-    if static_max:
-        in_specs.append(pl.BlockSpec((1, 1, block_q, 1), q_index_map))
-        inputs.append(bound)
 
     out_shape = (
         jax.ShapeDtypeStruct(q.shape, q.dtype),
         jax.ShapeDtypeStruct((batch, heads, q_len, 1), jnp.float32),
     )
-    scratch_shapes = []
-    if not static_max:  # running-max scratch
-        scratch_shapes.append(pltpu.VMEM((block_q, NUM_LANES), jnp.float32))
+    scratch_shapes = [pltpu.VMEM((block_q, NUM_LANES), jnp.float32)]  # m
     if not fold_rowsum:  # separate l scratch
         scratch_shapes.append(pltpu.VMEM((block_q, NUM_LANES), jnp.float32))
     scratch_shapes.append(

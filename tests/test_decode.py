@@ -749,3 +749,77 @@ def test_scanned_decode_with_quantized_weights(w8a8):
             np.asarray(out_l), np.asarray(out_s), atol=1e-4
         )
         assert np.isfinite(np.asarray(out_s)).all()
+
+
+# ---------------------------------------------------------------------------
+# Burst decode: N chained steps per device dispatch (decode_burst > 1).
+# ---------------------------------------------------------------------------
+
+
+def test_burst_decode_matches_plain_greedy():
+    """decode_burst=4 emits exactly the plain engine's greedy tokens AND
+    logprobs (same device math per step; only the dispatch granularity
+    changes), across requests whose budgets are not burst multiples."""
+    cfg, params, eng = _engine(logprobs=True)
+    r_plain = eng.run([[5, 7, 11], [2, 3]], max_new_tokens=6)
+
+    cfg2, params2, eng2 = _engine(logprobs=True, decode_burst=4)
+    r_burst = eng2.run([[5, 7, 11], [2, 3]], max_new_tokens=6)
+    for a, b in zip(r_plain, r_burst):
+        assert a.generated == b.generated
+        np.testing.assert_allclose(a.logprobs, b.logprobs, atol=1e-5)
+
+
+def test_burst_decode_eos_and_stop_mid_burst():
+    """A request hitting EOS (or a stop sequence) mid-burst truncates there
+    — tokens sampled past the finish are discarded, lengths stay exact, and
+    the slot frees for the pending queue."""
+    cfg, params, eng = _engine()
+    base = eng.run([[5, 7, 11]], max_new_tokens=8)[0].generated
+    assert len(base) == 8
+
+    # Use the 3rd greedy token as EOS: the burst engine must stop there.
+    eos = base[2]
+    cfg2, params2, eng2 = _engine(decode_burst=4)
+    r = eng2.run([[5, 7, 11]], max_new_tokens=8, eos_id=eos)[0]
+    assert r.generated == base[: base.index(eos) + 1]
+
+    cfg3, params3, eng3 = _engine(decode_burst=4)
+    r3 = eng3.run([[5, 7, 11]], max_new_tokens=8, stop=[base[1:3]])[0]
+    assert r3.generated == base[:3]
+
+
+def test_burst_decode_sampled_finite_and_budgeted():
+    """Sampled burst decode: budgets respected, logprobs finite, RNG
+    advances (two engines with different seeds diverge)."""
+    cfg, params, eng = _engine(temperature=0.8, seed=1, logprobs=True,
+                               decode_burst=3)
+    reqs = eng.run([[5, 7, 11], [2, 3]], max_new_tokens=5)
+    for r in reqs:
+        assert len(r.generated) == 5
+        assert all(np.isfinite(lp) and lp <= 0.0 for lp in r.logprobs)
+
+
+def test_burst_decode_penalties_fall_back():
+    """Repetition penalties mutate the bias row per token, so penalized
+    requests force the exact per-token path — outputs match the plain
+    engine with the same penalties."""
+    cfg, params, eng = _engine()
+    base = eng.run([[5, 7, 11]], max_new_tokens=6,
+                   presence_penalty=0.5)[0].generated
+
+    cfg2, params2, eng2 = _engine(decode_burst=4)
+    assert eng2.run([[5, 7, 11]], max_new_tokens=6,
+                    presence_penalty=0.5)[0].generated == base
+
+
+def test_burst_decode_logit_bias_stays_fast_path():
+    """Static logit_bias rows are constant within a burst: bans hold and
+    the burst path is used (stats['steps'] advances by bursts)."""
+    cfg, params, eng = _engine(decode_burst=4)
+    base = eng.run([[5, 7, 11]], max_new_tokens=6)[0].generated
+    banned = set(base)
+    r = eng.run([[5, 7, 11]], max_new_tokens=6,
+                logit_bias={t: float("-inf") for t in banned})[0]
+    assert not (set(r.generated) & banned)
+    assert len(r.generated) == 6

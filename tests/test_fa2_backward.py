@@ -118,3 +118,36 @@ def test_value_and_grad_consistency():
     np.testing.assert_array_equal(np.asarray(o_direct), np.asarray(o_vjp))
     o_ref = vanilla_attention(q, k, v)
     assert compute_metrics(o_vjp, o_ref).max_abs_error < 2e-6
+
+
+def test_grads_head_dim_256():
+    """head_dim=256 is advertised in SUPPORTED_HEAD_DIMS
+    (dispatch/registry.py) — exercise the full backward at that width
+    (two 128-lane tiles per head)."""
+    q, k, v = make_qkv(1, 2, 256, 256, seed=21)
+    dq_ref, dk_ref, dv_ref = reference_attention_grads(q, k, v)
+
+    def loss(q, k, v):
+        return jnp.sum(flash_attention(q, k, v))
+
+    dq, dk, dv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    assert compute_metrics(dq, dq_ref).passes(1e-3)
+    assert compute_metrics(dk, dk_ref).passes(1e-3)
+    assert compute_metrics(dv, dv_ref).passes(1e-3)
+
+
+def test_grads_fp16_tiles():
+    """fp16-tile backward (the reference fp16-SHM analog,
+    /root/reference/kernels/f-attn2-backward_f16.cu): storage-rounding
+    emulation keeps compute fp32, so the budget is ~10-bit-mantissa tight
+    (measured 5.7e-4) — far tighter than bf16's 5e-2 gate."""
+    q, k, v = make_qkv(1, 2, 256, 64, seed=22)
+    dq_ref, dk_ref, dv_ref = reference_attention_grads(q, k, v)
+
+    def loss(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, tile_dtype=jnp.float16))
+
+    dq, dk, dv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    assert compute_metrics(dq, dq_ref).passes(5e-3)
+    assert compute_metrics(dk, dk_ref).passes(5e-3)
+    assert compute_metrics(dv, dv_ref).passes(5e-3)

@@ -34,6 +34,7 @@ CONFIGS = [
     ("Edge-SmallSeq", 2, 4, 32, 64),
     ("HeadDim-32", 2, 4, 256, 32),
     ("HeadDim-128", 2, 4, 256, 128),
+    ("HeadDim-256", 1, 2, 256, 256),
 ]
 
 
@@ -50,30 +51,6 @@ def test_forward_matches_oracle(name, b, h, s, d, causal):
     assert lse_m.passes(1e-3), f"{name} lse: {lse_m}"
 
 
-def test_static_max_forward_matches_oracle(monkeypatch):
-    """CFA_STATIC_MAX=1 (VFA-style precomputed row bound, no running max /
-    alpha rescale): output and logsumexp must match the oracle across
-    causal/full — softmax weights are bound-invariant."""
-    from cuda_flash_attention_tpu.kernels import fa2_forward as mod
-
-    q, k, v = make_qkv(2, 4, 512, 64)
-    monkeypatch.setenv("CFA_STATIC_MAX", "1")
-    mod.fa2_forward_aligned.clear_cache()  # knob is read at trace time
-    try:
-        for causal in (False, True):
-            o, lse = mod.fa2_forward_aligned(
-                q, k, v, causal=causal, sm_scale=0.125, block_q=128,
-                block_k=128, kv_len=512,
-            )
-            o_ref, lse_ref = vanilla_attention_with_lse(q, k, v,
-                                                        causal=causal)
-            assert float(jnp.abs(o - o_ref).max()) < 3e-6
-            assert float(jnp.abs(lse[..., 0] - lse_ref).max()) < 2e-5
-    finally:
-        mod.fa2_forward_aligned.clear_cache()
-
-
-@pytest.mark.quick
 def test_forward_differentiable_entry_matches():
     q, k, v = make_qkv(2, 4, 384, 64)
     o = flash_attention(q, k, v)
