@@ -64,7 +64,7 @@ def train(cfg, steps=300, batch=16, seq=256, seed=0):
     params = init_params(jax.random.PRNGKey(seed), cfg)
     opt = make_optimizer(learning_rate=3e-4)
     state = init_train_state(params, opt)
-    step = make_optax_train_step(cfg, opt)
+    step = jax.jit(make_optax_train_step(cfg, opt), donate_argnums=(0,))
     corpus, pats = make_corpus(rng, 4096, seq, vocab=cfg.vocab_size)
     t0 = time.perf_counter()
     for i in range(steps):

@@ -147,3 +147,30 @@ def test_int4_speculative_verify_chunks():
     r = eng.run([[5, 7, 11] * 6], max_new_tokens=6)[0]
     assert r.done and len(r.generated) == 6
     assert eng.stats["spec_rounds"] > 0
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="on-chip Mosaic compile smoke "
+                           "(CFA_TEST_PLATFORM=tpu to enable)")
+def test_int4_storage_cast_compiles_on_chip():
+    """The nibble unpack must legalize in Mosaic (round-3 failure:
+    8-bit arith.subi; now i32 shift pairs) — compiled decode over int4
+    pages matches the dequant oracle on the real chip."""
+    hkv, d = 2, 64
+    pages = init_kv_pages(hkv, 4, PAGE, d, "int4")
+    rng = np.random.default_rng(0)
+    k = jnp.asarray(rng.standard_normal((PAGE, hkv, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((PAGE, hkv, d)), jnp.float32)
+    pages = write_prompt_kv(pages, k, v, jnp.asarray([1], jnp.int32))
+    q = jnp.asarray(rng.standard_normal((1, hkv * 2, d)), jnp.float32)
+    table = jnp.asarray([[1, 0]], jnp.int32)
+    o = paged_decode_attention(q, pages, table,
+                               jnp.asarray([100], jnp.int32),
+                               compute_dtype=jnp.float32)  # interpret=None -> compiled
+    kd, vd = _dense_from_pages(pages, np.asarray(table), 100, 0)
+    kk = jnp.repeat(kd, 2, axis=0)[None]
+    vv = jnp.repeat(vd, 2, axis=0)[None]
+    o_ref = vanilla_attention(q[0][None, :, None, :], kk, vv,
+                              causal=False)[0, :, 0]
+    assert float(jnp.abs(o[0] - o_ref).max()) < 2e-5
