@@ -279,26 +279,28 @@ def _fa2_fwd(q, k, v, segs, kv_len, causal, sm_scale, block_sizes, tile_dtype,
 def _fa2_bwd(kv_len, causal, sm_scale, block_sizes, tile_dtype, interpret,
              window, sinks, residuals, do):
     q, k, v, segs, o, lse_rep = residuals
-    # D_i = rowsum(dO * O): the reference runs a separate reduction kernel
-    # (f-attn2-backward.cu:342-380); on TPU this is a single fused XLA
-    # elementwise-multiply + lane reduction — no custom kernel wins here.
-    di_rep = _replicate_lanes(
-        jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
-    )
     kv_groups = q.shape[1] // k.shape[1]
     bq_dkv = _fit_block(block_sizes.block_q_dkv, q.shape[2])
     bk_dkv = _fit_block(block_sizes.block_k_dkv, k.shape[2])
     dsegs = None if segs is None else (None, None)
     q_seg, kv_seg = segs if segs is not None else (None, None)
     if _use_fused_bwd(q, k, bk_dkv):
+        # D_i folds into the fused kernel (o passed instead of di): the
+        # separate reduction pass the reference pays a whole launch for
+        # (f-attn2-backward.cu:342-380) disappears.
         dq, dk, dv = fa2_backward_fused_aligned(
-            q, k, v, do, lse_rep, di_rep, q_seg, kv_seg,
+            q, k, v, do, lse_rep, None, q_seg, kv_seg, o=o,
             causal=causal, sm_scale=sm_scale,
             block_q=bq_dkv, block_k=bk_dkv,
             kv_len=kv_len, tile_dtype=tile_dtype, kv_groups=kv_groups,
             window=window, sinks=sinks, interpret=interpret,
         )
         return dq, dk, dv, dsegs
+    # Two-kernel path: D_i = rowsum(dO * O) as a fused XLA preamble (the
+    # reference's D_computation_reduction_kernel analog).
+    di_rep = _replicate_lanes(
+        jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
+    )
     dq = fa2_backward_dq_aligned(
         q, k, v, do, lse_rep, di_rep, q_seg, kv_seg,
         causal=causal, sm_scale=sm_scale,
@@ -452,15 +454,20 @@ def fa2_backward(
     o_pad = pad_to_block(o, 2, quantum)
     do_pad = pad_to_block(do, 2, quantum)
     lse_rep = _replicate_lanes(pad_to_block(lse, 2, quantum))
-    di_rep = _replicate_lanes(
-        jnp.sum(o_pad.astype(jnp.float32) * do_pad.astype(jnp.float32), axis=-1)
-    )
     kv_groups = q_pad.shape[1] // k_pad.shape[1]
     bq_dkv = _fit_block(block_sizes.block_q_dkv, q_pad.shape[2])
     bk_dkv = _fit_block(block_sizes.block_k_dkv, k_pad.shape[2])
+    di_rep = None
+    if not _use_fused_bwd(q_pad, k_pad, bk_dkv):
+        di_rep = _replicate_lanes(
+            jnp.sum(
+                o_pad.astype(jnp.float32) * do_pad.astype(jnp.float32),
+                axis=-1,
+            )
+        )
     if _use_fused_bwd(q_pad, k_pad, bk_dkv):
         dq, dk, dv = fa2_backward_fused_aligned(
-            q_pad, k_pad, v_pad, do_pad, lse_rep, di_rep,
+            q_pad, k_pad, v_pad, do_pad, lse_rep, None, o=o_pad,
             causal=causal, sm_scale=sm_scale,
             block_q=bq_dkv, block_k=bk_dkv,
             kv_len=kv_len, tile_dtype=tile_dtype, kv_groups=kv_groups,

@@ -117,8 +117,16 @@ def _fa2_bwd_fused_kernel(
     sm_scale, causal, mask_value, kv_len,
     block_q, block_k, num_q_blocks, tile_dtype, mask_kv_tail, kv_groups,
     has_segments, scale_dq_in_kernel=False, window=None, sinks=0,
+    fold_di=False,
 ):
     """dK/dV accumulation + per-KV-slice dQ partial in ONE recompute.
+
+    ``fold_di``: the stat input carries O instead of the precomputed
+    D_i = rowsum(dO*O), and D_i is reduced in-kernel — the separate XLA
+    preamble pass (a full read of dO+O plus a di round trip, ~90 us at
+    Stress-1) disappears; the in-cell rowsum is ~1000x smaller than the
+    cell's matmuls.  The reference pays a whole launch for this
+    (D_computation_reduction_kernel, f-attn2-backward.cu:342-380).
 
     The standalone dQ kernel re-derives S and dP from scratch — 2 of its 3
     matmuls duplicate work this kernel already does.  Emitting
@@ -130,10 +138,10 @@ def _fa2_bwd_fused_kernel(
     (f-attn2-backward.cu:269-300): partial sums land in disjoint memory and
     reduce in a fixed order."""
     if has_segments:
-        (q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, qseg_ref, kvseg_ref,
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, stat_ref, qseg_ref, kvseg_ref,
          dk_ref, dv_ref, dq_part_ref, dk_scr, dv_scr) = refs
     else:
-        (q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, stat_ref,
          dk_ref, dv_ref, dq_part_ref, dk_scr, dv_scr) = refs
         qseg_ref = kvseg_ref = None
     kv_idx = pl.program_id(2)
@@ -160,7 +168,13 @@ def _fa2_bwd_fused_kernel(
         v = v_ref[0, 0]
         do = do_ref[0, 0]
         lse = lse_ref[0, 0]
-        di = di_ref[0, 0]
+        if fold_di:
+            di = jnp.sum(
+                do.astype(jnp.float32) * stat_ref[0, 0].astype(jnp.float32),
+                axis=-1,
+            )[:, None]
+        else:
+            di = stat_ref[0, 0]
         mask = build_block_mask(
             q_idx, kv_idx, block_q, block_k,
             causal=causal, mask_kv_tail=mask_kv_tail, kv_len=kv_len,
@@ -252,7 +266,13 @@ def _fa2_bwd_dkv_kernel(
         v = v_ref[0, 0]
         do = do_ref[0, 0]
         lse = lse_ref[0, 0]
-        di = di_ref[0, 0]
+        if fold_di:
+            di = jnp.sum(
+                do.astype(jnp.float32) * stat_ref[0, 0].astype(jnp.float32),
+                axis=-1,
+            )[:, None]
+        else:
+            di = stat_ref[0, 0]
         mask = build_block_mask(
             q_idx, kv_idx, block_q, block_k,
             causal=causal, mask_kv_tail=mask_kv_tail, kv_len=kv_len,
@@ -477,10 +497,11 @@ def fa2_backward_dkv_aligned(
     ),
 )
 def fa2_backward_fused_aligned(
-    q, k, v, do, lse_rep, di_rep,
+    q, k, v, do, lse_rep, di_rep=None,
     q_seg=None,   # [B, Sq_pad, 1] int32
     kv_seg=None,  # [B, 1, Skv_pad] int32
     *,
+    o=None,       # pass O INSTEAD of di_rep to fold the D_i reduction in
     causal: bool,
     sm_scale: float,
     block_q: int,
@@ -552,12 +573,15 @@ def fa2_backward_fused_aligned(
         scale_dq_in_kernel=single_slice,
         window=window,
         sinks=sinks,
+        fold_di=o is not None,
     )
+    assert (o is None) != (di_rep is None), "pass exactly one of o/di_rep"
     qo_spec = pl.BlockSpec((1, 1, block_q, head_dim), qo_index_map)
     kv_spec = pl.BlockSpec((1, 1, block_k, head_dim), kv_index_map)
     stat_spec = pl.BlockSpec((1, 1, block_q, lse_rep.shape[-1]), qo_index_map)
-    in_specs = [qo_spec, kv_spec, kv_spec, qo_spec, stat_spec, stat_spec]
-    inputs = [q, k, v, do, lse_rep, di_rep]
+    di_spec = qo_spec if o is not None else stat_spec
+    in_specs = [qo_spec, kv_spec, kv_spec, qo_spec, stat_spec, di_spec]
+    inputs = [q, k, v, do, lse_rep, di_rep if o is None else o]
     if has_segments:
         def qseg_index_map(b, hk, ki, inner):
             qi = inner % num_q_blocks
