@@ -36,6 +36,7 @@ def main():
         logprobs=True,
         prefill_chunk=256,          # long prompts advance chunk-by-chunk
         prefix_cache=True,          # shared prompt prefixes stored once
+        decode_burst=8,             # N chained steps per device dispatch
     )
 
     system_prompt = list(range(1, 257))  # stands in for a shared system prompt
