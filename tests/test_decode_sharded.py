@@ -243,3 +243,22 @@ def test_dp_engine_continuous_batching_over_capacity():
                        cache_dtype=jnp.bfloat16, mesh=mesh)
     reqs = eng.run(prompts, max_new_tokens=3)
     assert all(r.done and len(r.generated) == 3 for r in reqs)
+
+
+def test_tp_engine_burst_matches_single_device():
+    """Burst decode composes with TP: the mesh-sharded engine at
+    decode_burst=4 equals the unsharded per-token engine token-for-token
+    (the burst body runs the same shard_map append+attend per step)."""
+    mesh = _cpu_mesh({"data": 1, "model": 2})
+    cfg = TransformerConfig.tiny()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    prompts = [[5, 17, 100, 42], [3, 9]]
+
+    eng1 = DecodeEngine(params, cfg, max_seqs=2, max_seq_len=512,
+                        cache_dtype=jnp.bfloat16, interpret=True)
+    ref = [r.generated for r in eng1.run(prompts, max_new_tokens=6)]
+
+    eng2 = DecodeEngine(params, cfg, max_seqs=2, max_seq_len=512,
+                        cache_dtype=jnp.bfloat16, mesh=mesh, decode_burst=4)
+    got = [r.generated for r in eng2.run(prompts, max_new_tokens=6)]
+    assert got == ref, f"TP burst {got} vs single {ref}"
