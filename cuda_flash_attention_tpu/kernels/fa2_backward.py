@@ -266,13 +266,7 @@ def _fa2_bwd_dkv_kernel(
         v = v_ref[0, 0]
         do = do_ref[0, 0]
         lse = lse_ref[0, 0]
-        if fold_di:
-            di = jnp.sum(
-                do.astype(jnp.float32) * stat_ref[0, 0].astype(jnp.float32),
-                axis=-1,
-            )[:, None]
-        else:
-            di = stat_ref[0, 0]
+        di = di_ref[0, 0]
         mask = build_block_mask(
             q_idx, kv_idx, block_q, block_k,
             causal=causal, mask_kv_tail=mask_kv_tail, kv_len=kv_len,

@@ -26,7 +26,7 @@ run experiment_seqlen.log python -m cuda_flash_attention_tpu.bench \
   --mode forward --seqlen-experiment --save-results --output-dir plots
 
 # 3. Decode device-loop throughput across cache dtypes (flagship B16).
-for dt in int8 fp8_e4m3 int4 bf16; do
+for dt in int8 float8_e4m3fn int4 bfloat16; do
   run "decode_${dt}.log" python -m cuda_flash_attention_tpu.bench.decode_bench \
     --config flagship --batch 16 --prompt-len 128 --gen 32 --cache-dtype "$dt"
 done

@@ -52,4 +52,7 @@ def test_scaling_bench_layouts_execute():
     out = scaling_efficiency_bench(8, batch=8, seq=256, steps=1)
     assert set(out) == {"dp8", "dp4_tp2", "ctx8"}
     for r in out.values():
-        assert r["loss_finite"] and r["tokens_per_sec"] > 0
+        # Virtual CPU mesh: compile-proof fields only (timings would be
+        # emulated-collective wall clocks masquerading as scaling numbers).
+        assert r["loss_finite"] and r["virtual_cpu"]
+        assert "tokens_per_sec" not in r
