@@ -267,9 +267,14 @@ def measure_engine_throughput(
         steps += 1
     dt = time.perf_counter() - t0
     timed_tokens = sum(len(r.generated) for r in reqs) - tokens_before
+    # Per-token-step cost: one "token step" advances every active sequence
+    # by one token, so timed_tokens/batch token steps elapsed.  Comparable
+    # to the device loop's step_ms (VERDICT r3 item 6: track the overhead).
+    token_steps = max(timed_tokens / max(batch, 1), 1e-9)
     return {
         "engine_tokens_per_sec": timed_tokens / dt,
         "engine_step_ms": dt / max(steps, 1) * 1e3,
+        "engine_ms_per_token_step": dt / token_steps * 1e3,
         "decode_burst": decode_burst,
         "steps": steps,
         "timed_tokens": timed_tokens,
@@ -353,6 +358,11 @@ def main():
     p.add_argument("--burst", type=int, default=1,
                    help="with --engine: decode_burst — chained device steps "
                         "per dispatch (one readback per burst)")
+    p.add_argument("--device-ratio", action="store_true",
+                   help="with --engine: also run the device-loop slope "
+                        "measurement on the same config and emit "
+                        "engine_ms_per_token_step / device step_ms — the "
+                        "host-scheduler overhead factor")
     p.add_argument("--tp-dryrun", type=int, default=0, metavar="TP",
                    help="run the tensor-parallel decode path on a TP-way "
                         "virtual CPU mesh (validation, not a speed number)")
@@ -381,6 +391,15 @@ def main():
             spec_mode=args.spec_mode, prefill_chunk=args.prefill_chunk,
             decode_burst=args.burst,
         )
+        if args.device_ratio:
+            dev = measure_decode_throughput(
+                cfg, batch=args.batch, prompt_len=args.prompt_len,
+                gen_tokens=args.gen, cache_dtype=_cache_dtype(args),
+            )
+            out["device_step_ms"] = dev["step_ms"]
+            out["engine_overhead_x"] = (
+                out["engine_ms_per_token_step"] / max(dev["step_ms"], 1e-9)
+            )
     else:
         out = measure_decode_throughput(
             cfg, batch=args.batch, prompt_len=args.prompt_len,
