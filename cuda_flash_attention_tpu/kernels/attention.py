@@ -47,7 +47,14 @@ _FUSED_BWD_MAX_KV_SLICES = 8
 _FUSED_BWD_MAX_DQPART_BYTES = 1 << 30
 
 
-def _use_fused_bwd(q, k, bk_dkv: int) -> bool:
+def _use_fused_bwd(q, k, bk_dkv: int, window=None, causal=False,
+                   sinks=0) -> bool:
+    # A narrow sliding window prefers the two-kernel path: its compact
+    # window grids (fa2_backward.py) iterate only the live span, while the
+    # fused kernel's dense inner sweep pays bookkeeping + a dq_part HBM
+    # write for every dead cell.
+    if window is not None and causal and sinks == 0 and 2 * window < k.shape[2]:
+        return False
     num_slices = k.shape[2] // bk_dkv
     if num_slices > _FUSED_BWD_MAX_KV_SLICES:
         return False
@@ -284,7 +291,7 @@ def _fa2_bwd(kv_len, causal, sm_scale, block_sizes, tile_dtype, interpret,
     bk_dkv = _fit_block(block_sizes.block_k_dkv, k.shape[2])
     dsegs = None if segs is None else (None, None)
     q_seg, kv_seg = segs if segs is not None else (None, None)
-    if _use_fused_bwd(q, k, bk_dkv):
+    if _use_fused_bwd(q, k, bk_dkv, window, causal, sinks):
         # D_i folds into the fused kernel (o passed instead of di): the
         # separate reduction pass the reference pays a whole launch for
         # (f-attn2-backward.cu:342-380) disappears.
@@ -458,14 +465,14 @@ def fa2_backward(
     bq_dkv = _fit_block(block_sizes.block_q_dkv, q_pad.shape[2])
     bk_dkv = _fit_block(block_sizes.block_k_dkv, k_pad.shape[2])
     di_rep = None
-    if not _use_fused_bwd(q_pad, k_pad, bk_dkv):
+    if not _use_fused_bwd(q_pad, k_pad, bk_dkv, window, causal, sinks):
         di_rep = _replicate_lanes(
             jnp.sum(
                 o_pad.astype(jnp.float32) * do_pad.astype(jnp.float32),
                 axis=-1,
             )
         )
-    if _use_fused_bwd(q_pad, k_pad, bk_dkv):
+    if _use_fused_bwd(q_pad, k_pad, bk_dkv, window, causal, sinks):
         dq, dk, dv = fa2_backward_fused_aligned(
             q_pad, k_pad, v_pad, do_pad, lse_rep, None, o=o_pad,
             causal=causal, sm_scale=sm_scale,

@@ -230,7 +230,7 @@ def _fa2_bwd_dkv_kernel(
     *refs,
     sm_scale, causal, mask_value, kv_len,
     block_q, block_k, num_q_blocks, tile_dtype, mask_kv_tail, kv_groups,
-    has_segments, window=None, sinks=0,
+    has_segments, window=None, sinks=0, q_span=None,
 ):
     if has_segments:
         (q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, qseg_ref, kvseg_ref,
@@ -244,7 +244,20 @@ def _fa2_bwd_dkv_kernel(
     # KV head accumulate contributions from ALL query heads in its group
     # before the single store (kernel-native GQA).
     inner = pl.program_id(3)
-    q_idx = inner % num_q_blocks
+    span_overflow = None
+    if q_span is not None:
+        # Compact window grid: only ~window/block_q Q blocks are live per
+        # KV block; the span starts at the diagonal Q block.  Near the end
+        # of the sequence the span sticks out past the last Q block — those
+        # slots clamp their prefetch and are masked dead here.
+        s = inner % q_span
+        qu = (kv_idx * block_k) // block_q + s
+        q_idx = jnp.minimum(qu, num_q_blocks - 1)
+        span_overflow = qu > num_q_blocks - 1
+        inner_last = kv_groups * q_span - 1
+    else:
+        q_idx = inner % num_q_blocks
+        inner_last = kv_groups * num_q_blocks - 1
 
     @pl.when(inner == 0)
     def _init():
@@ -258,6 +271,8 @@ def _fa2_bwd_dkv_kernel(
         should_run &= within_window(
             q_idx, block_q, kv_idx, block_k, window, sinks
         )
+    if span_overflow is not None:
+        should_run &= jnp.logical_not(span_overflow)
 
     @pl.when(should_run)
     def _run():
@@ -286,7 +301,7 @@ def _fa2_bwd_dkv_kernel(
         dv_scr[...] += mxu_dot_ta_out(p_c, do_c)
         dk_scr[...] += mxu_dot_ta_out(ds_c, q_s)
 
-    @pl.when(inner == kv_groups * num_q_blocks - 1)
+    @pl.when(inner == inner_last)
     def _store():
         dk_ref[0, 0] = (dk_scr[...] * LN2).astype(dk_ref.dtype)
         dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
@@ -296,7 +311,7 @@ def _fa2_bwd_dq_kernel(
     *refs,
     sm_scale, causal, mask_value, kv_len,
     block_q, block_k, num_kv_blocks, tile_dtype, mask_kv_tail,
-    has_segments, window=None, sinks=0,
+    has_segments, window=None, sinks=0, window_span=None,
 ):
     if has_segments:
         (q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, qseg_ref, kvseg_ref,
@@ -306,9 +321,18 @@ def _fa2_bwd_dq_kernel(
          dq_ref, dq_scr) = refs
         qseg_ref = kvseg_ref = None
     q_idx = pl.program_id(2)
-    kv_idx = pl.program_id(3)
+    kv_prog = pl.program_id(3)
+    if window_span is not None:
+        # Compact window grid (see fa2_forward): span-relative kv index,
+        # last slot anchored at the diagonal block.
+        diag = (q_idx * block_q + block_q - 1) // block_k
+        kv_idx = jnp.maximum(diag - (window_span - 1), 0) + kv_prog
+        last_prog = window_span - 1
+    else:
+        kv_idx = kv_prog
+        last_prog = num_kv_blocks - 1
 
-    @pl.when(kv_idx == 0)
+    @pl.when(kv_prog == 0)
     def _init():
         dq_scr[...] = jnp.zeros(dq_scr.shape, jnp.float32)
 
@@ -345,7 +369,7 @@ def _fa2_bwd_dq_kernel(
             tile_cast(ds, tile_dtype).astype(k_c.dtype), k_c
         )
 
-    @pl.when(kv_idx == num_kv_blocks - 1)
+    @pl.when(kv_prog == last_prog)
     def _store():
         # ds was unscaled; fold sm_scale in once at store time.
         dq_ref[0, 0] = (dq_scr[...] * sm_scale).astype(dq_ref.dtype)
@@ -391,9 +415,17 @@ def fa2_backward_dkv_aligned(
         assert (not causal) or window >= 1
     kv_len_pad = k.shape[2]
     num_q_blocks = q_len // block_q
-    grid = (
-        batch, kv_heads, kv_len_pad // block_k, kv_groups * num_q_blocks
-    )
+    # Compact window grid (forward twin, see fa2_forward): the inner Q
+    # sweep covers only the live span per KV block, anchored at the
+    # diagonal Q block.  Slots past the last Q block clamp their prefetch
+    # and are masked dead in-kernel.
+    q_span = None
+    if window is not None and causal and sinks == 0 and q_len == kv_len_pad:
+        span = (block_k + window - 2) // block_q + 2
+        if span < num_q_blocks:
+            q_span = span
+    inner_n = kv_groups * (q_span if q_span is not None else num_q_blocks)
+    grid = (batch, kv_heads, kv_len_pad // block_k, inner_n)
 
     def _q_clamp(qi, ki):
         """Dead Q blocks (above-diagonal, or past the sliding window for
@@ -407,12 +439,18 @@ def fa2_backward_dkv_aligned(
             diag = 0
         return lax.select(live, qi, diag)
 
-    def qo_index_map(b, hk, ki, inner):
-        g = inner // num_q_blocks
+    def _inner_q(ki, inner):
+        if q_span is not None:
+            qi = (ki * block_k) // block_q + inner % q_span
+            return jnp.minimum(qi, num_q_blocks - 1)
         qi = inner % num_q_blocks
         if causal:
             qi = _q_clamp(qi, ki)
-        return (b, hk * kv_groups + g, qi, 0)
+        return qi
+
+    def qo_index_map(b, hk, ki, inner):
+        g = inner // (q_span if q_span is not None else num_q_blocks)
+        return (b, hk * kv_groups + g, _inner_q(ki, inner), 0)
 
     def kv_index_map(b, hk, ki, inner):
         return (b, hk, ki, 0)
@@ -433,6 +471,7 @@ def fa2_backward_dkv_aligned(
         has_segments=has_segments,
         window=window,
         sinks=sinks,
+        q_span=q_span,
     )
     qo_spec = pl.BlockSpec((1, 1, block_q, head_dim), qo_index_map)
     kv_spec = pl.BlockSpec((1, 1, block_k, head_dim), kv_index_map)
@@ -441,10 +480,7 @@ def fa2_backward_dkv_aligned(
     inputs = [q, k, v, do, lse_rep, di_rep]
     if has_segments:
         def qseg_index_map(b, hk, ki, inner):
-            qi = inner % num_q_blocks
-            if causal:
-                qi = _q_clamp(qi, ki)
-            return (b, qi, 0)
+            return (b, _inner_q(ki, inner), 0)
 
         def kvseg_index_map(b, hk, ki, inner):
             return (b, 0, ki)
@@ -664,7 +700,16 @@ def fa2_backward_dq_aligned(
         assert (not causal) or window >= 1
     kv_len_pad = k.shape[2]
     num_kv_blocks = kv_len_pad // block_k
-    grid = (batch, heads, q_len // block_q, num_kv_blocks)
+    # Compact window grid (see fa2_forward): kv grid dim = live span only.
+    window_span = None
+    if window is not None and causal and sinks == 0 and q_len == kv_len_pad:
+        span = (block_q + window - 2) // block_k + 2
+        if span < num_kv_blocks:
+            window_span = span
+    grid = (
+        batch, heads, q_len // block_q,
+        window_span if window_span is not None else num_kv_blocks,
+    )
 
     def _kv_clamp(qi, ki):
         # Dead KV blocks prefetch the oldest in-window live block instead.
@@ -677,11 +722,17 @@ def fa2_backward_dq_aligned(
         lo = jnp.maximum(0, (qi * block_q - (window - 1)) // block_k)
         return lax.select(live, ki, lo)
 
+    def _span_block(qi, ki):
+        diag = (qi * block_q + block_q - 1) // block_k
+        return jnp.maximum(diag - (window_span - 1), 0) + ki
+
     def qo_index_map(b, h, qi, ki):
         return (b, h, qi, 0)
 
     def kv_index_map(b, h, qi, ki):
-        if causal:
+        if window_span is not None:
+            ki = _span_block(qi, ki)
+        elif causal:
             ki = _kv_clamp(qi, ki)
         return (b, h // kv_groups, ki, 0)
 
@@ -700,6 +751,7 @@ def fa2_backward_dq_aligned(
         has_segments=has_segments,
         window=window,
         sinks=sinks,
+        window_span=window_span,
     )
     qo_spec = pl.BlockSpec((1, 1, block_q, head_dim), qo_index_map)
     kv_spec = pl.BlockSpec((1, 1, block_k, head_dim), kv_index_map)
@@ -711,7 +763,9 @@ def fa2_backward_dq_aligned(
             return (b, qi, 0)
 
         def kvseg_index_map(b, h, qi, ki):
-            if causal:
+            if window_span is not None:
+                ki = _span_block(qi, ki)
+            elif causal:
                 ki = _kv_clamp(qi, ki)
             return (b, 0, ki)
 

@@ -274,6 +274,7 @@ def _fa2_fwd_kernel(
     fold_rowsum: bool,
     window=None,
     sinks=0,
+    window_span=None,
 ):
     if has_segments:
         (q_ref, k_ref, v_ref, qseg_ref, kvseg_ref,
@@ -291,7 +292,17 @@ def _fa2_fwd_kernel(
     # lse [1,1,block_q,NUM_LANES]; qseg [1,block_q,1]; kvseg [1,1,block_k];
     # scratch m/l [block_q,NUM_LANES] f32, acc f32.
     q_idx = pl.program_id(2)
-    kv_idx = pl.program_id(3)
+    kv_prog = pl.program_id(3)
+    if window_span is not None:
+        # Compact window grid: the kv grid dimension covers only the live
+        # span, anchored so its LAST iteration is the diagonal block —
+        # kv_prog is span-relative; recover the absolute block index.
+        diag = (q_idx * block_q + block_q - 1) // block_k
+        kv_idx = jnp.maximum(diag - (window_span - 1), 0) + kv_prog
+        last_prog = window_span - 1
+    else:
+        kv_idx = kv_prog
+        last_prog = num_kv_blocks - 1
     head_dim = q_ref.shape[-1]
 
     if num_kv_blocks == 1:
@@ -310,7 +321,7 @@ def _fa2_fwd_kernel(
         )
         return
 
-    @pl.when(kv_idx == 0)
+    @pl.when(kv_prog == 0)
     def _init():
         m_scr[...] = jnp.full(m_scr.shape, -jnp.inf, jnp.float32)
         acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
@@ -380,7 +391,7 @@ def _fa2_fwd_kernel(
             )
             acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
 
-    @pl.when(kv_idx == num_kv_blocks - 1)
+    @pl.when(kv_prog == last_prog)
     def _store():
         if fold_rowsum:
             l = acc_scr[:, head_dim][:, None]  # [block_q, 1]
@@ -553,7 +564,23 @@ def fa2_forward_aligned(
         # band whose offset may be <= 0 (ring shard decomposition).
         assert (not causal) or window >= 1
     num_kv_blocks = kv_len_pad // block_k
-    grid = (batch, heads, q_len // block_q, num_kv_blocks)
+    # Compact window grid: with a sliding window only ~window/block_k KV
+    # blocks per Q block are live, but a dense grid still pays a pipeline
+    # iteration for every dead block (its DMA is redirected by _kv_clamp,
+    # its compute skipped by pl.when — the bookkeeping is not free: at
+    # S=16k/W=4k/block=512, 70% of iterations were dead).  Size the kv grid
+    # dimension to the live span instead and anchor its end at the diagonal
+    # block via the index map — O(S*window) iterations, none dead except
+    # alignment/start-of-sequence edges.
+    window_span = None
+    if window is not None and causal and sinks == 0 and q_len == kv_len_pad:
+        span = (block_q + window - 2) // block_k + 2
+        if span < num_kv_blocks:
+            window_span = span
+    grid = (
+        batch, heads, q_len // block_q,
+        window_span if window_span is not None else num_kv_blocks,
+    )
     fold_rowsum = use_fold_rowsum(head_dim, tile_dtype, q.dtype)
     if fold_rowsum:
         v = augment_v(v)
@@ -574,11 +601,19 @@ def fa2_forward_aligned(
         lo = jnp.maximum(0, (qi * block_q - (window - 1)) // block_k)
         return lax.select(_live(qi, ki), ki, lo)
 
+    def _span_block(qi, ki):
+        """Absolute kv block for span-relative index ki (compact grid):
+        the span's last slot is the diagonal block."""
+        diag = (qi * block_q + block_q - 1) // block_k
+        return jnp.maximum(diag - (window_span - 1), 0) + ki
+
     def q_index_map(b, h, qi, ki):
         return (b, h, qi, 0)
 
     def kv_index_map(b, h, qi, ki):
-        if causal:
+        if window_span is not None:
+            ki = _span_block(qi, ki)
+        elif causal:
             ki = _kv_clamp(qi, ki)
         return (b, h // kv_groups, ki, 0)
 
@@ -598,6 +633,7 @@ def fa2_forward_aligned(
         fold_rowsum=fold_rowsum,
         window=window,
         sinks=sinks,
+        window_span=window_span,
     )
 
     in_specs = [
@@ -611,7 +647,9 @@ def fa2_forward_aligned(
             return (b, qi, 0)
 
         def kvseg_index_map(b, h, qi, ki):
-            if causal:
+            if window_span is not None:
+                ki = _span_block(qi, ki)
+            elif causal:
                 ki = _kv_clamp(qi, ki)
             return (b, 0, ki)
 
