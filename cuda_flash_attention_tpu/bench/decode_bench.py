@@ -94,7 +94,7 @@ def build_state(cfg: TransformerConfig, batch: int, prompt_len: int,
         jax.random.PRNGKey(seed + 1), (batch, prompt_len), 0, cfg.vocab_size
     )
     logits, kv = jax.jit(
-        lambda p, t: prefill_forward(p, t, cfg)
+        lambda p, t: prefill_forward(p, t, cfg, last_only=True)
     )(params, tokens)
 
     n_prompt_pages = _cdiv(prompt_len, page_size)
@@ -115,7 +115,7 @@ def build_state(cfg: TransformerConfig, batch: int, prompt_len: int,
                 vs = jnp.pad(v_all[s], ((0, pad), (0, 0), (0, 0)))
                 caches[li] = write_prompt_kv(caches[li], ks, vs, ids_prompt)
 
-    first = jnp.argmax(logits[:, prompt_len - 1, :], axis=-1).astype(jnp.int32)
+    first = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
     return params, caches, jnp.asarray(page_table), first
 
 

@@ -81,7 +81,8 @@ def _prefill_layer(x, layer, positions, cfg: TransformerConfig, mesh,
     return x, (k, v)
 
 
-def prefill_forward(params, tokens, cfg: TransformerConfig, mesh=None):
+def prefill_forward(params, tokens, cfg: TransformerConfig, mesh=None,
+                    last_only: bool = False):
     """Full causal forward over a prompt batch [B, S]; returns
     (logits [B, S, vocab], kv) where kv is per-layer post-RoPE K/V:
     a list of (k, v) [B, S, Hkv, D] for list-form params, or a stacked
@@ -111,6 +112,11 @@ def prefill_forward(params, tokens, cfg: TransformerConfig, mesh=None):
 
         x, kv_out = lax.scan(body, x, layers)
     x = rms_norm(x, params["final_norm"])
+    if last_only:
+        # Long-prompt prefill only needs the next-token logits: the full
+        # [B, S, vocab] tensor is the largest array in the program by far
+        # (8.6 GB at B8/S8192/V32k fp32 — an OOM, not a slowdown).
+        x = x[:, -1:, :]
     logits = dense(x, params["lm_head"]).astype(jnp.float32)
     return logits, kv_out
 

@@ -12,7 +12,10 @@ Usage: python scripts/r4_d128_roofline.py [quick|sweep]
 
 import itertools
 import json
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,10 @@ speedup ~1.8x at b=512.
 """
 
 import json
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax, jax.numpy as jnp
 
