@@ -31,7 +31,8 @@ import jax
 import jax.numpy as jnp
 
 
-def _attention_point(tile_label, dtype, tile_dtype):
+def _attention_point(tile_label, dtype, tile_dtype, shape=(8, 16, 2048, 64),
+                     block_sizes=None):
     from cuda_flash_attention_tpu.kernels.attention import (
         fa2_backward,
         flash_attention,
@@ -40,19 +41,21 @@ def _attention_point(tile_label, dtype, tile_dtype):
     from cuda_flash_attention_tpu.ops.metrics import attention_flops
     from cuda_flash_attention_tpu.utils.profiling import profile_ops
 
-    b, h, s, d = 8, 16, 2048, 64
+    b, h, s, d = shape
     ks = jax.random.split(jax.random.PRNGKey(42), 3)
     q, k, v = (jax.random.uniform(kk, (b, h, s, d), dtype) for kk in ks)
 
     fwd = lambda q, k, v: flash_attention(  # noqa: E731
-        q, k, v, tile_dtype=tile_dtype, force_kernel=True
+        q, k, v, tile_dtype=tile_dtype, force_kernel=True,
+        block_sizes=block_sizes,
     )
     o, lse = flash_attention_with_lse(
-        q, k, v, tile_dtype=tile_dtype, force_kernel=True
+        q, k, v, tile_dtype=tile_dtype, force_kernel=True,
+        block_sizes=block_sizes,
     )
     do = jnp.ones_like(o)
     bwd = lambda q, k, v, o, lse, do: fa2_backward(  # noqa: E731
-        q, k, v, o, lse, do, tile_dtype=tile_dtype
+        q, k, v, o, lse, do, tile_dtype=tile_dtype, block_sizes=block_sizes
     )
 
     import re
@@ -158,6 +161,30 @@ def main():
         "fp32_bwd_ms": fp32["bwd_ms"],
         "fp32_vs_baseline": round(fp32["fwd_bwd_tflops"] / ref_tflops, 2),
     }
+
+    # D=128 point (no MXU derate): same total FLOPs as the headline shape;
+    # block optima from the round-4 sweep (logs/d128_roofline.log).  The
+    # backward runs at ~90% of the chip's ABSOLUTE bf16 peak here —
+    # on-chip confirmation that the D=64 headline's 2x derate is the MXU
+    # shape, not kernel scheduling (docs/ROOFLINE.md).
+    try:
+        from cuda_flash_attention_tpu.kernels.common import BlockSizes
+
+        d128 = _attention_point(
+            "bf16_tile_d128", jnp.bfloat16, None, shape=(4, 8, 2048, 128),
+            block_sizes=BlockSizes(
+                block_q=2048, block_k=2048, block_q_dkv=256,
+                block_k_dkv=2048, block_q_dq=256, block_k_dq=2048,
+            ),
+        )
+        extra["d128_fwd_bwd_tflops"] = d128["fwd_bwd_tflops"]
+        extra["d128_fwd_ms"] = d128["fwd_ms"]
+        extra["d128_bwd_ms"] = d128["bwd_ms"]
+        extra["d128_mfu_absolute"] = round(
+            d128["fwd_bwd_tflops"] / peaks.bf16_tflops, 3
+        )
+    except Exception as e:  # noqa: BLE001
+        extra["d128_error"] = f"{type(e).__name__}: {e}"[:200]
 
     # Decode + train throughput (flagship serving/training configs).  These
     # compile a full model — tolerate failure without losing the kernel

@@ -465,14 +465,14 @@ def fa2_backward(
     bq_dkv = _fit_block(block_sizes.block_q_dkv, q_pad.shape[2])
     bk_dkv = _fit_block(block_sizes.block_k_dkv, k_pad.shape[2])
     di_rep = None
-    if not _use_fused_bwd(q_pad, k_pad, bk_dkv, window, causal, sinks):
+    if not _use_fused_bwd(q_pad, k_pad, bk_dkv, window, causal):
         di_rep = _replicate_lanes(
             jnp.sum(
                 o_pad.astype(jnp.float32) * do_pad.astype(jnp.float32),
                 axis=-1,
             )
         )
-    if _use_fused_bwd(q_pad, k_pad, bk_dkv, window, causal, sinks):
+    if _use_fused_bwd(q_pad, k_pad, bk_dkv, window, causal):
         dq, dk, dv = fa2_backward_fused_aligned(
             q_pad, k_pad, v_pad, do_pad, lse_rep, None, o=o_pad,
             causal=causal, sm_scale=sm_scale,

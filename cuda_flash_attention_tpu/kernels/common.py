@@ -77,13 +77,14 @@ class BlockSizes:
     def default(cls, causal: bool = False,
                 window: int | None = None) -> "BlockSizes":
         if window is not None:
-            # Sliding window: computed cols per q block ~ block_q + window
-            # + block_k (tile alignment), vs ~ window + block_q/2 live —
-            # at W=4k the 1024x2048 causal default computes 1.56x the live
-            # area (measured 1.47x wall speedup vs the ~2.2x FLOP ratio at
-            # S=16k).  Blocks at 512 cut the tile-skip granularity loss to
-            # ~18% while keeping the MXU tiles full-width.
-            b = max(MIN_BLOCK, min(512, _next_pow2_at_most(window)))
+            # Sliding window: with the COMPACT window grid (the kv/q grid
+            # dim covers only the live span) dead-iteration cost is gone,
+            # so the trade is over-compute at the window edges (~block/2
+            # extra cols/row) vs per-block efficiency.  On-chip sweep at
+            # S=16k W=4k bf16 (logs/window_ab.log): b256 7.09 ms, b512
+            # 3.45, b1024 2.83 (= 1.62x over global causal, 91% of the
+            # ideal FLOP ratio), b2048 3.25 — 1024 wins.
+            b = max(MIN_BLOCK, min(1024, _next_pow2_at_most(window)))
             return cls(block_q=b, block_k=b, block_q_dkv=b, block_k_dkv=b,
                        block_q_dq=b, block_k_dq=b)
         if causal:
