@@ -328,6 +328,9 @@ def main():
     p.add_argument("--cache-dtype", default="int8",
                    choices=["int4", "int8", "float8_e4m3fn", "bfloat16",
                             "float32"])
+    p.add_argument("--page-size", type=int, default=128,
+                   help="KV page size in tokens (long contexts amortize "
+                        "per-page grid overhead with bigger pages)")
     p.add_argument("--flagship", action="store_true",
                    help="use the flagship config instead of the bench default")
     p.add_argument("--config", choices=["tiny", "flagship", "base"],
@@ -405,7 +408,9 @@ def main():
             cfg, batch=args.batch, prompt_len=args.prompt_len,
             gen_tokens=args.gen, cache_dtype=_cache_dtype(args),
             weight_dtype=weight_dtype, act_quant=args.w8a8,
+            page_size=args.page_size,
         )
+        out["page_size"] = args.page_size
     print(json.dumps(out))
 
 
