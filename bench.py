@@ -203,24 +203,22 @@ def main():
             ("int8", jnp.int8),
             ("fp8_e4m3", jnp.float8_e4m3fn),
         ):
-            # Tunneled-backend jitter spans ~15% across identical runs
-            # (measured 79.6k-92.3k tok/s back-to-back, round 4): report
-            # the best of two with the spread alongside.
-            runs = [
-                measure_decode_throughput(
-                    flagship, batch=16, prompt_len=128, gen_tokens=32,
-                    cache_dtype=cache_dtype,
-                )
-                for _ in range(2)
-            ]
-            dec = min(runs, key=lambda d: d["step_ms"])
+            # Tunneled-backend jitter spans ~15% across identical runs:
+            # the published number is the MEDIAN of 5 independent slope
+            # measurements with the spread alongside (round-4 verdict
+            # item 1 — best-of-2 could not distinguish recovery from a
+            # lucky draw).
+            dec = measure_decode_throughput(
+                flagship, batch=16, prompt_len=128, gen_tokens=32,
+                cache_dtype=cache_dtype, repeats=5,
+            )
             extra[f"decode_{label}_tokens_per_sec"] = round(
                 dec["tokens_per_sec_per_chip"]
             )
             extra[f"decode_{label}_step_ms"] = round(dec["step_ms"], 3)
-            extra[f"decode_{label}_step_ms_worst"] = round(
-                max(d["step_ms"] for d in runs), 3
-            )
+            extra[f"decode_{label}_step_ms_spread"] = [
+                dec["step_ms_min"], dec["step_ms_max"]
+            ]
     except Exception as e:  # noqa: BLE001
         extra["decode_error"] = f"{type(e).__name__}: {e}"[:200]
 

@@ -214,6 +214,25 @@ def _normalize(q, k, v, sm_scale, block_sizes, causal=False, window=None):
         sm_scale = 1.0 / (q.shape[-1] ** 0.5)
     if block_sizes is None:
         block_sizes = BlockSizes.default(causal, window=window)
+    elif window is not None and min(
+        block_sizes.block_q, block_sizes.block_k
+    ) <= 256 and window >= 4 * min(
+        block_sizes.block_q, block_sizes.block_k
+    ):
+        # Measured cliff (docs/ROOFLINE.md): at S=16k W=4k, b=256 compact
+        # window grids run 0.65x of even the GLOBAL causal kernel — the
+        # per-block pipeline overhead swamps the window's FLOP savings.
+        # Explicit block choices are respected (VMEM pressure is a valid
+        # reason), but loudly.
+        import warnings
+
+        warnings.warn(
+            f"window={window} with block sizes <= 256 is in the measured "
+            f"slowdown regime (0.65x of global attention at W=4k); omit "
+            f"block_sizes to get BlockSizes.default(window=...) "
+            f"(b={max(MIN_BLOCK, min(1024, window))}-ish) instead",
+            stacklevel=3,
+        )
     q_len, kv_len = q.shape[2], k.shape[2]
     q_pad = pad_to_block(q, 2, seq_pad_quantum(q_len, q.dtype))
     k_pad = pad_to_block(k, 2, seq_pad_quantum(kv_len, k.dtype))
@@ -464,15 +483,16 @@ def fa2_backward(
     kv_groups = q_pad.shape[1] // k_pad.shape[1]
     bq_dkv = _fit_block(block_sizes.block_q_dkv, q_pad.shape[2])
     bk_dkv = _fit_block(block_sizes.block_k_dkv, k_pad.shape[2])
+    fused = _use_fused_bwd(q_pad, k_pad, bk_dkv, window, causal)
     di_rep = None
-    if not _use_fused_bwd(q_pad, k_pad, bk_dkv, window, causal):
+    if not fused:
         di_rep = _replicate_lanes(
             jnp.sum(
                 o_pad.astype(jnp.float32) * do_pad.astype(jnp.float32),
                 axis=-1,
             )
         )
-    if _use_fused_bwd(q_pad, k_pad, bk_dkv, window, causal):
+    if fused:
         dq, dk, dv = fa2_backward_fused_aligned(
             q_pad, k_pad, v_pad, do_pad, lse_rep, None, o=o_pad,
             causal=causal, sm_scale=sm_scale,

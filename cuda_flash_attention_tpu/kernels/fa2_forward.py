@@ -293,13 +293,33 @@ def _fa2_fwd_kernel(
     # scratch m/l [block_q,NUM_LANES] f32, acc f32.
     q_idx = pl.program_id(2)
     kv_prog = pl.program_id(3)
+    span_dup_dead = None
     if window_span is not None:
         # Compact window grid: the kv grid dimension covers only the live
         # span, anchored so its LAST iteration is the diagonal block —
         # kv_prog is span-relative; recover the absolute block index.
-        diag = (q_idx * block_q + block_q - 1) // block_k
-        kv_idx = jnp.maximum(diag - (window_span - 1), 0) + kv_prog
-        last_prog = window_span - 1
+        # With attention sinks the first `sink_blocks` slots own the sink
+        # KV blocks (attendable by EVERY q block) and the remaining
+        # window_span slots own the diagonal-anchored window span;
+        # ownership partitions at block index sink_blocks, so a window
+        # slot landing on a sink-owned block is a DUPLICATE and must not
+        # contribute (span_dup_dead) — the sink slot already computed it
+        # with the full element mask.
+        sink_blocks = (sinks + block_k - 1) // block_k
+        diag = jnp.minimum(
+            (q_idx * block_q + block_q - 1) // block_k, num_kv_blocks - 1
+        )
+        span_lo = jnp.maximum(diag - (window_span - 1), 0)
+        if sink_blocks:
+            is_sink_slot = kv_prog < sink_blocks
+            win_idx = span_lo + (kv_prog - sink_blocks)
+            kv_idx = jnp.where(is_sink_slot, kv_prog, win_idx)
+            span_dup_dead = jnp.where(
+                is_sink_slot, kv_prog > diag, win_idx < sink_blocks
+            )
+        else:
+            kv_idx = span_lo + kv_prog
+        last_prog = sink_blocks + window_span - 1
     else:
         kv_idx = kv_prog
         last_prog = num_kv_blocks - 1
@@ -337,6 +357,8 @@ def _fa2_fwd_kernel(
         should_run &= within_window(
             q_idx, block_q, kv_idx, block_k, window, sinks
         )
+    if span_dup_dead is not None:
+        should_run &= jnp.logical_not(span_dup_dead)
 
     @pl.when(should_run)
     def _run():
@@ -572,14 +594,23 @@ def fa2_forward_aligned(
     # dimension to the live span instead and anchor its end at the diagonal
     # block via the index map — O(S*window) iterations, none dead except
     # alignment/start-of-sequence edges.
+    # Round 5 extends the compact grid to attention sinks (the first
+    # cdiv(sinks, block_k) grid slots own the always-live sink blocks) and
+    # to causal cross-attention shapes (q_len != kv_len_pad: the diagonal
+    # anchor clamps to the last kv block) — both previously fell back to
+    # the dense grid and paid a pipeline iteration per dead block
+    # (round-4 verdict item 9).
     window_span = None
-    if window is not None and causal and sinks == 0 and q_len == kv_len_pad:
+    sink_blocks = 0
+    if window is not None and causal:
+        sink_blocks = (sinks + block_k - 1) // block_k if sinks else 0
         span = (block_q + window - 2) // block_k + 2
-        if span < num_kv_blocks:
+        if sink_blocks + span < num_kv_blocks:
             window_span = span
     grid = (
         batch, heads, q_len // block_q,
-        window_span if window_span is not None else num_kv_blocks,
+        (sink_blocks + window_span) if window_span is not None
+        else num_kv_blocks,
     )
     fold_rowsum = use_fold_rowsum(head_dim, tile_dtype, q.dtype)
     if fold_rowsum:
@@ -603,9 +634,19 @@ def fa2_forward_aligned(
 
     def _span_block(qi, ki):
         """Absolute kv block for span-relative index ki (compact grid):
-        the span's last slot is the diagonal block."""
-        diag = (qi * block_q + block_q - 1) // block_k
-        return jnp.maximum(diag - (window_span - 1), 0) + ki
+        slots < sink_blocks own the sink blocks, the rest form the
+        diagonal-anchored window span (last slot = diagonal block).
+        Dead/duplicate slots redirect their DMA to a LIVE block (the
+        diagonal) — must mirror the kernel's kv_idx recovery exactly."""
+        diag = jnp.minimum(
+            (qi * block_q + block_q - 1) // block_k, num_kv_blocks - 1
+        )
+        lo = jnp.maximum(diag - (window_span - 1), 0)
+        if sink_blocks:
+            win = lo + (ki - sink_blocks)
+            win = jnp.where(win < sink_blocks, diag, win)
+            return jnp.where(ki < sink_blocks, jnp.minimum(ki, diag), win)
+        return lo + ki
 
     def q_index_map(b, h, qi, ki):
         return (b, h, qi, 0)

@@ -2,7 +2,13 @@
 
 Measures on the real chip: device time (profiler) + max-abs grad error vs
 the fp32 oracle, for the Stress-1 bench shape (time) and Medium-1 (error).
-Toggle is the CFA_BWD_EXACT env var read at trace time in fa2_backward.
+
+HISTORICAL NOTE: the 3-pass arm keyed off a CFA_BWD_EXACT env var (an
+`exact=` parameter in fa2_backward) that was DELETED after the A/B showed
+identical grad error at 1.5x the cost (docs/ROOFLINE.md).  As committed,
+this script can only run the surviving 2-pass arm — it remains useful as a
+fp32-backward timing/error probe; re-adding the exact= plumbing locally is
+required to reproduce the dead arm.
 """
 
 import os

@@ -800,17 +800,53 @@ def test_burst_decode_sampled_finite_and_budgeted():
         assert all(np.isfinite(lp) and lp <= 0.0 for lp in r.logprobs)
 
 
-def test_burst_decode_penalties_fall_back():
-    """Repetition penalties mutate the bias row per token, so penalized
-    requests force the exact per-token path — outputs match the plain
-    engine with the same penalties."""
+def test_burst_decode_penalties_on_device_match_plain():
+    """Repetition penalties replay ON-DEVICE inside the burst (occurrence
+    counts carried through the fori_loop), so penalized requests keep the
+    burst fast path — greedy outputs match the per-token engine exactly,
+    and the burst dispatch counter confirms the fast path actually ran."""
     cfg, params, eng = _engine()
-    base = eng.run([[5, 7, 11]], max_new_tokens=6,
-                   presence_penalty=0.5)[0].generated
+    base = eng.run([[5, 7, 11], [2, 3]], max_new_tokens=6,
+                   presence_penalty=0.5, frequency_penalty=0.25)
+    base_toks = [r.generated for r in base]
 
     cfg2, params2, eng2 = _engine(decode_burst=4)
-    assert eng2.run([[5, 7, 11]], max_new_tokens=6,
-                    presence_penalty=0.5)[0].generated == base
+    got = eng2.run([[5, 7, 11], [2, 3]], max_new_tokens=6,
+                   presence_penalty=0.5, frequency_penalty=0.25)
+    assert [r.generated for r in got] == base_toks
+    assert eng2.stats.get("burst_dispatches", 0) > 0
+
+    # Mixed batch: one penalized + one plain request share the same bursts.
+    cfg3, params3, eng3 = _engine(decode_burst=4)
+    r1 = eng3.submit([5, 7, 11], max_new_tokens=6, presence_penalty=0.5)
+    r2 = eng3.submit([2, 3], max_new_tokens=6)
+    while not (r1.done and r2.done):
+        eng3.step()
+    cfgp, paramsp, engp = _engine()
+    assert r1.generated == engp.run(
+        [[5, 7, 11]], max_new_tokens=6, presence_penalty=0.5
+    )[0].generated
+    assert r2.generated == engp.run(
+        [[2, 3]], max_new_tokens=6
+    )[0].generated
+
+
+def test_burst_decode_interleaves_chunked_prefill():
+    """Chunked prefill no longer blocks bursting: while a long prompt
+    chunks in, decoding slots advance in (capped) bursts, and the finished
+    outputs match the per-token engine token-for-token."""
+    long_prompt = list(range(1, 2 * PAGE + 3))
+    short = [5, 7, 11]
+    cfg, params, eng = _engine(prefill_chunk=PAGE)
+    base = eng.run([short, long_prompt], max_new_tokens=6)
+    base_toks = [r.generated for r in base]
+
+    cfg2, params2, eng2 = _engine(prefill_chunk=PAGE, decode_burst=4,
+                                  prefill_burst_cap=2)
+    got = eng2.run([short, long_prompt], max_new_tokens=6)
+    assert [r.generated for r in got] == base_toks
+    assert eng2.stats.get("burst_dispatches", 0) > 0
+    assert eng2.stats["prefill_chunks"] > 0
 
 
 def test_burst_decode_logit_bias_stays_fast_path():

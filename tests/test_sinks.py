@@ -153,3 +153,54 @@ def test_engine_keeps_sink_page_resident():
     pages = eng._slot_pages[0][0]  # slot 0, window group 0
     assert pages[0] is not None          # sink page resident
     assert any(p is None for p in pages[1:3])  # rolling middle recycled
+
+
+@pytest.mark.parametrize("sinks", [4, 200])
+def test_sinks_compact_span_matches_oracle(sinks):
+    """S large enough that the COMPACT window grid engages (sink slots +
+    diagonal-anchored span < dense kv blocks): round 5 extended the
+    compact grid to sinks > 0 — previously these shapes paid the dense
+    grid's dead iterations (round-4 verdict item 9)."""
+    q, k, v = _qkv(2048, seed=3)
+    o = flash_attention(
+        q, k, v, causal=True, window=256, sinks=sinks, block_sizes=_BS,
+        force_kernel=True,
+    )
+    o_ref = vanilla_attention(q, k, v, causal=True, window=256, sinks=sinks)
+    err = float(jnp.max(jnp.abs(o - o_ref)))
+    assert err < 1e-5, err
+
+
+def test_sinks_compact_span_grads_match_oracle():
+    q, k, v = _qkv(2048, seed=4)
+    w = jax.random.normal(jax.random.PRNGKey(5), q.shape, jnp.float32)
+
+    def loss(q, k, v):
+        return jnp.sum(flash_attention(
+            q, k, v, causal=True, window=256, sinks=100, block_sizes=_BS,
+            force_kernel=True) * w)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(vanilla_attention(
+            q, k, v, causal=True, window=256, sinks=100) * w)
+
+    g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for got, ref, name in zip(g, g_ref, "qkv"):
+        err = float(jnp.max(jnp.abs(got - ref)))
+        assert err < 2e-5, (name, err)
+
+
+@pytest.mark.parametrize("sinks", [0, 64])
+def test_windowed_cross_attention_compact_span(sinks):
+    """Causal cross-attention (q_len != kv_len) with a window now rides the
+    compact grid too (the diagonal anchor clamps to the last kv block)."""
+    q, _, _ = _qkv(512, seed=6)
+    _, k, v = _qkv(2048, seed=7)
+    o = flash_attention(
+        q, k, v, causal=True, window=256, sinks=sinks, block_sizes=_BS,
+        force_kernel=True,
+    )
+    o_ref = vanilla_attention(q, k, v, causal=True, window=256, sinks=sinks)
+    err = float(jnp.max(jnp.abs(o - o_ref)))
+    assert err < 1e-5, err
