@@ -105,7 +105,7 @@ def _decode_kernel(
         head_dim = q_ref.shape[-1]
         q = q_ref[0].astype(compute_dtype)          # [Hkv, group, D]
         k = kv_storage_cast(
-            k_ref[:, 0], head_dim, compute_dtype
+            k_ref[:, 0], head_dim, compute_dtype, ftz=True
         )  # [Hkv, page_size, D] (int4 pages unpack in-register)
         s = lax.dot_general(
             q, k, _BATCHED_QKT,
@@ -136,7 +136,7 @@ def _decode_kernel(
         l_scr[...] = alpha * l_prev + jnp.sum(prob, axis=2)[..., None]
         m_scr[...] = m_next
 
-        v = kv_storage_cast(v_ref[:, 0], head_dim, compute_dtype)
+        v = kv_storage_cast(v_ref[:, 0], head_dim, compute_dtype, ftz=True)
         prob_scaled = (prob * vs_ref[:, 0]).astype(compute_dtype)
         pv = lax.dot_general(
             prob_scaled, v, _BATCHED_PV,
@@ -304,7 +304,7 @@ def _chunk_kernel(
         head_dim = q_ref.shape[-1]
         q = q_ref[0].astype(compute_dtype)            # [Hkv, rows, D]
         k = kv_storage_cast(
-            k_ref[:, 0], head_dim, compute_dtype
+            k_ref[:, 0], head_dim, compute_dtype, ftz=True
         )  # [Hkv, page_size, D] (int4 pages unpack in-register)
         s = lax.dot_general(
             q, k, _BATCHED_QKT,
@@ -340,7 +340,7 @@ def _chunk_kernel(
         l_scr[...] = alpha * l_prev + jnp.sum(prob, axis=2)[..., None]
         m_scr[...] = m_next
 
-        v = kv_storage_cast(v_ref[:, 0], head_dim, compute_dtype)
+        v = kv_storage_cast(v_ref[:, 0], head_dim, compute_dtype, ftz=True)
         prob_scaled = (prob * vs_ref[:, 0]).astype(compute_dtype)
         pv = lax.dot_general(
             prob_scaled, v, _BATCHED_PV,

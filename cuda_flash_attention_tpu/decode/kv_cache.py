@@ -177,8 +177,24 @@ def _quantize_rows(x, dtype, packed: bool = False):
     if jnp.dtype(dtype) == jnp.dtype(jnp.int8):
         values = jnp.clip(jnp.round(q), -qmax, qmax).astype(jnp.int8)
     else:
+        # Flush-to-zero below the fp8 min NORMAL: the paged decode kernels
+        # then dequantize with a normal-only bit pattern (half the VPU
+        # surgery of the subnormal-exact path — storage_cast's docstring).
+        # Cost: values < 2^-6/qmax of the row amax (~3.5e-5 relative for
+        # e4m3) round to 0 — far below the format's own 2^-4 mid-scale
+        # quantization noise.  Kernel-vs-oracle exactness is preserved
+        # because the flush happens at WRITE time, identically for both.
+        d = jnp.dtype(dtype)
+        min_normal = (2.0 ** -6 if d == jnp.dtype(jnp.float8_e4m3fn)
+                      else 2.0 ** -14)
+        q = jnp.where(jnp.abs(q) < min_normal, 0.0, q)
         values = jnp.clip(q, -qmax, qmax).astype(dtype)
     return values, scales
+
+
+# Above this slot count the unrolled per-slot dynamic-update-slice append
+# would bloat the step program (4 ops per slot); batched scatters take over.
+_DUS_APPEND_MAX_SLOTS = 64
 
 
 def append_token_kv(
@@ -189,11 +205,22 @@ def append_token_kv(
     positions,   # [num_seqs] int32 — write position (current length)
     active,      # [num_seqs] bool — inactive slots must not clobber pages
 ) -> KVPages:
-    """Single-token decode append for every slot, as one scatter per tensor.
+    """Single-token decode append for every slot.
 
     Inactive slots' writes are redirected to the reserved null page 0 (the
     allocator never hands it out) — cheaper than the gather + select needed
-    to make them true no-ops, and page 0 is never attended (lengths gate)."""
+    to make them true no-ops, and page 0 is never attended (lengths gate).
+
+    FORM MATTERS for layout (round-5 profiling, scripts/r5_layout_fix.py):
+    the batched scatter `.at[:, ids, offs].set(...)` makes XLA pick a
+    {3,0,2,1:T(4,128)} layout for the decode loop's cache carry, forcing a
+    FULL-cache relayout copy per K/V per layer per step to feed the Pallas
+    kernel (4.6 us each for int8 pages, 19.3 us for fp8 — the f8 relayout
+    is ~4x slower and was most of the round-4 "fp8 anomaly").  Per-slot
+    `dynamic_update_slice` writes keep the carry in the kernel-native
+    default layout: measured 93.8 -> 79.7 us/step (int8) and 166 -> 95
+    us/step (fp8) on the single-layer microbench.  Very large slot counts
+    fall back to the scatter to bound program size."""
     page_size = pages.page_size
     page_idx = positions // page_size
     offsets = jnp.where(active, positions % page_size, 0)
@@ -205,11 +232,36 @@ def append_token_kv(
     packed = pages.k_pages.shape[-1] * 2 == k_new.shape[-1]
     kq, ks = _quantize_rows(k_new, dtype, packed)  # [S, Hkv, *], [S, Hkv]
     vq, vs = _quantize_rows(v_new, dtype, packed)
+
+    if num_seqs <= _DUS_APPEND_MAX_SLOTS and not pages.stacked:
+        # UNROLLED python loop, deliberately: a lax.scan form (tried first
+        # for compile time) measured 0.98 ms/step on-chip vs 0.18 unrolled
+        # — XLA does not keep the scan carry in place here and copies the
+        # whole cache per slot iteration.  The unrolled chain of
+        # dynamic-update-slices is pure in-place writes.
+        kp, ksc = pages.k_pages, pages.k_scales
+        vp, vsc = pages.v_pages, pages.v_scales
+        hkv = kp.shape[0]
+        for s in range(num_seqs):
+            at = (0, page_ids[s], offsets[s], 0)
+            kp = jax.lax.dynamic_update_slice(
+                kp, kq[s][:, None, None, :], at
+            )
+            vp = jax.lax.dynamic_update_slice(
+                vp, vq[s][:, None, None, :], at
+            )
+            ksc = jax.lax.dynamic_update_slice(
+                ksc, ks[s].reshape(hkv, 1, 1), at[:3]
+            )
+            vsc = jax.lax.dynamic_update_slice(
+                vsc, vs[s].reshape(hkv, 1, 1), at[:3]
+            )
+        return KVPages(k_pages=kp, k_scales=ksc, v_pages=vp, v_scales=vsc)
+
     kq = kq.transpose(1, 0, 2)  # [Hkv, S, D]
     vq = vq.transpose(1, 0, 2)
     ks = ks.T  # [Hkv, S]
     vs = vs.T
-
     return KVPages(
         k_pages=pages.k_pages.at[:, page_ids, offsets, :].set(kq),
         k_scales=pages.k_scales.at[:, page_ids, offsets].set(ks),

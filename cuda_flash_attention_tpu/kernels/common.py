@@ -88,9 +88,16 @@ class BlockSizes:
             return cls(block_q=b, block_k=b, block_q_dkv=b, block_k_dkv=b,
                        block_q_dq=b, block_k_dq=b)
         if causal:
-            # Smaller KV blocks keep the above-diagonal tile-skip effective
-            # (a whole-KV block can never be skipped).
-            return cls(block_q=1024, block_k=1024, block_k_dkv=1024)
+            # Round-5 causal re-sweep at the train shape (B4 HQ16/HKV8
+            # S2048 D64 bf16, evidence/r5/causal_sweep.log): the forward's
+            # WHOLE-PROBLEM 2048x2048 block beats 1024x1024 by 12% (0.807
+            # vs 0.917 ms) — at S=2048 the tile-skip can save nothing a
+            # smaller block doesn't lose in per-block efficiency (b=512:
+            # 1.11 ms, b=256: 2.02 ms), so dense-causal-with-mask at max
+            # block wins; larger S still skips whole above-diagonal 2048
+            # blocks.  Backward optimum measured at the existing
+            # (512, 1024) dkv pair (1.862 ms; 2048 dkv: 1.90).
+            return cls(block_q=2048, block_k=2048, block_k_dkv=1024)
         return cls()
 
 
@@ -397,13 +404,17 @@ def matmul_precision(operand_dtype):
     return lax.Precision.HIGHEST if operand_dtype == jnp.float32 else None
 
 
-def kv_storage_cast(x, head_dim, compute_dtype):
+def kv_storage_cast(x, head_dim, compute_dtype, ftz: bool = False):
     """storage_cast for paged-KV tiles that transparently unpacks the INT4
     split-half layout (stored width head_dim//2; byte lane j = element j in
     the low nibble, element j + head_dim//2 in the high nibble): two
     integer VPU ops plus ONE lane-concat restore the exact element order —
     no interleave, no permutation.  Packing is shape-inferred, so every
-    other cache dtype passes straight through."""
+    other cache dtype passes straight through.
+
+    ``ftz=True`` (paged decode kernels) asserts the PRODUCER flushed fp8
+    subnormals to zero at quantization time (_quantize_rows), enabling the
+    normal-only fp8 bit path — half the VPU surgery."""
     if x.shape[-1] * 2 == head_dim:
         # Widen to i32 FIRST: Mosaic cannot legalize 8-bit arith.subi /
         # xor on v5e (round-3 failure: "failed to legalize operation
@@ -414,10 +425,10 @@ def kv_storage_cast(x, head_dim, compute_dtype):
         lo = (xi << 28) >> 28   # low nibble, sign bit at i32 bit 31
         hi = (xi << 24) >> 28   # high nibble likewise
         x = jnp.concatenate([lo, hi], axis=-1)
-    return storage_cast(x, compute_dtype)
+    return storage_cast(x, compute_dtype, ftz=ftz)
 
 
-def storage_cast(x, compute_dtype):
+def storage_cast(x, compute_dtype, ftz: bool = False):
     """VPU-friendly cast from a KV-cache storage dtype to the compute dtype.
 
     int8/bf16/f32 use the native convert.  fp8 (e4m3fn/e5m2) has NO hardware
@@ -427,6 +438,13 @@ def storage_cast(x, compute_dtype):
     exponent (e4m3 bias 7 -> bf16 bias 127 = +120), with a select for the
     subnormal range.  fp8 Inf/NaN payloads decode as large finite values —
     the KV quantizer never emits them (amax clipping).
+
+    ``ftz=True``: the producer guaranteed no fp8 subnormal codes exist in
+    storage (KV quantizer flush, kv_cache._quantize_rows), so the subnormal
+    reconstruction (int->float convert + two selects) is skipped — the
+    remaining normal-only path is ~half the VPU ops.  Subnormal codes, if
+    ever present anyway, decode to small values <= 2x the true magnitude
+    (bounded by the min normal) instead of exactly.
     """
     from jax import lax
 
@@ -437,6 +455,18 @@ def storage_cast(x, compute_dtype):
         mant_bits, bias = 2, 15
     else:
         return x.astype(compute_dtype)
+
+    if ftz:
+        rebias = 127 - bias
+        b = lax.bitcast_convert_type(x, jnp.uint8).astype(jnp.int32)
+        em = b & 0x7F
+        shift = 23 - mant_bits
+        bits = ((b & 0x80) << 24) | ((em << shift) + (rebias << 23))
+        val = lax.bitcast_convert_type(bits, jnp.float32)
+        # em == 0 is ZERO under the producer's flush contract (the formula
+        # alone would decode it as the min normal).
+        out = jnp.where(em == 0, 0.0, val)
+        return out.astype(compute_dtype)
 
     # Build the f32 bit pattern in int32 (Mosaic has no 16-bit int converts):
     # f32 = s<<31 | (e + (127-bias))<<23 | m<<(23-mant_bits).

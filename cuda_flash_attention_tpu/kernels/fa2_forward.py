@@ -119,6 +119,25 @@ def augment_v(v):
     return jnp.concatenate([v, ones, zeros], axis=-1)
 
 
+def _rowsum_chunks(head_dim: int, block_k: int, tile_dtype, in_dtype) -> int:
+    """In-body KV chunk count for the single-KV fast path.
+
+    At head_dim >= 128 there is no idle MXU output lane for fold-rowsum, so
+    `l = rowsum(P)` is an exposed VPU reduction on the QK^T -> exp2 -> PV
+    serial chain (~5 us/cell at D=128/S=2048 — docs/ROOFLINE.md).  Splitting
+    the KV into TWO chunks inside ONE grid cell lets Mosaic overlap chunk
+    i+1's QK^T (MXU) with chunk i's rowsum/exp2 (VPU): measured 0.466 ->
+    0.411 ms (147 -> 167 TF) at B4 H8 S2048 D128 bf16 — where the same
+    split via the GRID (block_k=1024, scratch round trips + pl.when per
+    iteration) measured 0.57 ms.  bf16-only: the fp32 emulation paths are
+    MXU-pass-bound, not rowsum-exposed."""
+    eff = tile_dtype if tile_dtype is not None else in_dtype
+    if (head_dim >= NUM_LANES and block_k >= 2048 and block_k % 2 == 0
+            and jnp.dtype(eff) == jnp.dtype(jnp.bfloat16)):
+        return 2
+    return 1
+
+
 def _single_kv_attention(
     q_raw, k_raw, v_raw, q_seg, kv_seg, *,
     sm_scale, causal, mask_value, kv_len, block_q, block_k,
@@ -135,6 +154,51 @@ def _single_kv_attention(
         c = sm_scale * LOG2E
         q = q_raw.astype(jnp.float32) * c
         q = q.astype(q_raw.dtype) if tile_dtype is None else tile_cast(q, tile_dtype)
+
+    n_chunks = _rowsum_chunks(head_dim, block_k, tile_dtype, q_raw.dtype)
+    if n_chunks > 1:
+        chunk = block_k // n_chunks
+        m_run = jnp.full((q.shape[0], 1), -jnp.inf, jnp.float32)
+        l_run = jnp.zeros((q.shape[0], 1), jnp.float32)
+        acc = jnp.zeros((q.shape[0], head_dim), jnp.float32)
+        for i in range(n_chunks):
+            ks = tile_cast(k_raw[i * chunk:(i + 1) * chunk], tile_dtype)
+            vs = tile_cast(v_raw[i * chunk:(i + 1) * chunk], tile_dtype)
+            s = mxu_dot_tb(q, ks)
+            mask = build_block_mask(
+                q_idx, i, block_q, chunk,
+                causal=causal, mask_kv_tail=mask_kv_tail, kv_len=kv_len,
+                q_seg=q_seg,
+                kv_seg=None if kv_seg is None
+                else kv_seg[:, i * chunk:(i + 1) * chunk],
+                window=window, sinks=sinks,
+            )
+            if mask is not None:
+                s += jnp.where(mask, 0.0, mask_value)
+            m_cur = jnp.max(s, axis=1)[:, None]
+            m_new = jnp.maximum(m_run, m_cur)
+            alpha = jnp.exp2(m_run - m_new)
+            t = s - m_new
+            if bf16_vpu_chain(tile_dtype, q_raw.dtype, block_q * chunk):
+                t = t.astype(jnp.bfloat16)
+            p = jnp.exp2(t)
+            if mask is not None:
+                p = jnp.where(mask, p, jnp.zeros((), p.dtype))
+            l_run = (
+                alpha * l_run + jnp.sum(p, axis=1, dtype=jnp.float32)[:, None]
+            )
+            pv = mxu_dot_out(
+                tile_cast(p, tile_dtype).astype(vs.dtype), vs, exact=True
+            )
+            acc = acc * alpha + pv
+            m_run = m_new
+        l_inv = jnp.where(l_run == 0.0, 1.0, 1.0 / l_run)
+        o = (acc * l_inv).astype(out_dtype)
+        if not want_lse:
+            return o, None
+        lse = m_run * LN2 + jnp.log(jnp.where(l_run == 0.0, 1.0, l_run))
+        return o, lse
+
     k = tile_cast(k_raw, tile_dtype)
     s = mxu_dot_tb(q, k)
     mask = build_block_mask(

@@ -414,12 +414,20 @@ def forward(params, tokens, cfg: TransformerConfig, mesh=None,
 
 def loss_fn(params, tokens, cfg: TransformerConfig, mesh=None):
     """Next-token cross entropy (tokens serve as both input and target),
-    plus the MoE router auxiliary loss when the model has experts."""
+    plus the MoE router auxiliary loss when the model has experts.
+
+    Fused CE form: nll = logsumexp(logits) - logits[target].  The
+    log_softmax formulation materializes a SECOND [B, S, vocab] fp32
+    tensor (1 GB at B4/S2048/V32k) plus a gather pass over it; this form
+    reduces straight off the logits — round-5 train-step profiling found
+    the logp materialization among the top non-matmul ops."""
     logits, aux = forward(params, tokens[:, :-1], cfg, mesh, return_aux=True)
     targets = tokens[:, 1:]
-    logp = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
-    return jnp.mean(nll) + cfg.router_aux_coef * aux
+    lse = jax.scipy.special.logsumexp(logits, axis=-1)
+    target_logit = jnp.take_along_axis(
+        logits, targets[..., None], axis=-1
+    )[..., 0]
+    return jnp.mean(lse - target_logit) + cfg.router_aux_coef * aux
 
 
 def make_train_step(cfg: TransformerConfig, mesh=None, learning_rate=1e-3):

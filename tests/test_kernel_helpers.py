@@ -87,6 +87,32 @@ def test_storage_cast_matches_astype(dt):
     np.testing.assert_array_equal(got[finite], ref[finite])
 
 
+@pytest.mark.parametrize("dt", [jnp.float8_e4m3fn, jnp.float8_e5m2])
+@pytest.mark.quick
+def test_storage_cast_ftz_matches_on_flushed_data(dt):
+    """The ftz fast path (paged decode kernels) is exact on data produced
+    under the KV quantizer's subnormal-flush contract, including zeros."""
+    from cuda_flash_attention_tpu.decode.kv_cache import _quantize_rows
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(
+        np.concatenate([
+            rng.standard_normal((64, 64)).astype(np.float32),
+            rng.standard_normal((64, 64)).astype(np.float32) * 1e-6,
+            np.zeros((4, 64), np.float32),
+        ])
+    )
+    values, scales = _quantize_rows(x, dt)
+    ref = np.asarray(values.astype(jnp.float32))
+    got = np.asarray(storage_cast(values, jnp.float32, ftz=True))
+    np.testing.assert_array_equal(got, ref)
+    # ... and the producer really flushed: no subnormal codes in storage.
+    bits = np.asarray(values).view(np.uint8)
+    mant_bits = 3 if dt == jnp.float8_e4m3fn else 2
+    em = bits & 0x7F
+    assert not ((em > 0) & (em < (1 << mant_bits))).any()
+
+
 def test_storage_cast_int8_passthrough():
     x = jnp.arange(-128, 128, dtype=jnp.int8)
     np.testing.assert_array_equal(
