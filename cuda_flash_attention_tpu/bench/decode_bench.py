@@ -119,9 +119,21 @@ def build_state(cfg: TransformerConfig, batch: int, prompt_len: int,
     return params, caches, jnp.asarray(page_table), first
 
 
-def make_loop_fn(cfg: TransformerConfig, page_table, start_len: int):
+def make_loop_fn(cfg: TransformerConfig, page_table, start_len: int,
+                 horizon: int | None = None, page_size: int = 128):
     """Returns fn(params, caches, tokens, n) running n chained greedy decode
-    steps on-device; output feeds the next step's input."""
+    steps on-device; output feeds the next step's input.
+
+    ``horizon`` (max tokens this loop will ever hold) SLICES the page table
+    to the live span: the paged kernel's grid covers pages_per_seq columns
+    and each dead (beyond-length) page cell still costs ~0.9 us of grid
+    bookkeeping (measured round 5: the same decode step at 11 preallocated
+    pages/seq ran 0.52 ms vs 0.18 at 5) — benchmarks preallocate a 6x
+    generation slack, so without the slice they time the slack."""
+    if horizon is not None:
+        pages = page_table.shape[1]
+        live = min(-(-int(horizon) // int(page_size)), pages)
+        page_table = page_table[:, :live]
     active = jnp.ones((page_table.shape[0],), bool)
 
     @functools.partial(jax.jit, static_argnames=("n",), donate_argnums=(1,))
@@ -164,9 +176,9 @@ def measure_decode_throughput(
         cfg, batch, prompt_len, max_len, page_size, cache_dtype,
         weight_dtype=weight_dtype, act_quant=act_quant,
     )
-    run_n = make_loop_fn(cfg, page_table, prompt_len)
-
     n_lo, n_hi = gen_tokens, gen_tokens * 5
+    run_n = make_loop_fn(cfg, page_table, prompt_len,
+                         horizon=prompt_len + n_hi + 1, page_size=page_size)
     # Warm-up must compile BOTH loop lengths before any timed run (each
     # static n is its own executable); donated caches thread forward.
     caches, toks = run_n(params, caches, first, n=n_lo)
