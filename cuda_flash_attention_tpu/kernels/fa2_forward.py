@@ -132,8 +132,13 @@ def _rowsum_chunks(head_dim: int, block_k: int, tile_dtype, in_dtype) -> int:
     iteration) measured 0.57 ms.  bf16-only: the fp32 emulation paths are
     MXU-pass-bound, not rowsum-exposed."""
     eff = tile_dtype if tile_dtype is not None else in_dtype
-    if (head_dim >= NUM_LANES and block_k >= 2048 and block_k % 2 == 0
+    if (head_dim >= NUM_LANES and block_k >= 2048
             and jnp.dtype(eff) == jnp.dtype(jnp.bfloat16)):
+        # Chunk-count sweep on-chip at D=128/S=2048 (round 5): 2 -> 167.1
+        # TF, 3 -> 150.0, 4 -> 173.5, 8 -> 159.8.  Four chunks measured
+        # only at D=128; D>=256 keeps the measured 2-chunk split.
+        if head_dim == NUM_LANES and block_k % 4 == 0:
+            return 4
         return 2
     return 1
 
